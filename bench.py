@@ -1,0 +1,66 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed to full materialization (count of the result —
+forces the whole plan, no driver-side row transfer cost in the number).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from covid_19_fl_spark import suite  # noqa: E402
+from covid_19_fl_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "w1_cumulative_daily",
+    "w2_cumulative_by_group",
+    "w3_growth_rates",
+    "w4_daily_delta",
+    "a4_top5_by_count",
+    "a5_mean_tail_rates",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_spark("covid_19_fl_spark-bench")
+    names = [n for n in HEADLINE if n in suite.QUERIES]
+
+    # Warm the JVM + parquet footer caches once so per-query numbers
+    # measure the plan, not first-touch JIT/IO noise.
+    suite.QUERIES[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        suite.QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
