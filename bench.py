@@ -21,12 +21,18 @@ from covid_19_fl_spark import suite  # noqa: E402
 from covid_19_fl_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_local_supplier_volume",
     "w1_cumulative_daily",
     "w2_cumulative_by_group",
     "w3_growth_rates",
     "w4_daily_delta",
     "a4_top5_by_count",
     "a5_mean_tail_rates",
+    "j1_broadcast_left_join",
+    "j4_anti_join",
+    "g1_growth_sim",
 ]
 
 

@@ -260,7 +260,7 @@ def w3_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS event_date,
-             CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total_value
+             CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1
     )
     SELECT event_date,
@@ -278,7 +278,7 @@ def w4_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     daily = (
         events.groupBy(F.col("ts").cast("date").alias("event_date"))
-        .agg(F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"))
+        .agg(F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("total_value"))
     )
     return analytics.daily_delta(daily, "event_date", "total_value", out_col="new_value")
 
@@ -311,3 +311,13 @@ def w6_last_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.last_row(cum, "order_date").select(
         F.col("order_date").alias("last_date"), F.col("cum_orders").alias("last_count")
     )
+
+
+# ---------------------------------------------------------------------------
+# Register the rest of the suite (decorator side effects on import).
+# Placed at the bottom: these modules import `query`/`_t` from here.
+# ---------------------------------------------------------------------------
+
+from . import suite_relational  # noqa: E402,F401
+from . import suite_transforms  # noqa: E402,F401
+from . import suite_tpch  # noqa: E402,F401

@@ -1,0 +1,327 @@
+"""Relational operator suite — joins (SURVEY §2.4), filters/predicates
+(§2.3), set ops (§2.8), sorts/limits/pagination (§2.7), plus the
+"free via Spark" completeness operators the reference lacked
+(rollup, distinct, intersect/except, percentiles; SURVEY §2.5/§2.8
+"not present" rows).
+
+Join strategy notes for 100 TB:
+- nation/region (25/5 rows) are always broadcast — the probe side
+  never shuffles (the counties-dimension pattern, cv-api.py:233-240).
+- customer at real scale is NOT broadcastable; semi/anti joins against
+  it shuffle on the join key and AQE handles skew.
+- The watermark shortcut (u3) broadcasts a 1-row scalar instead of
+  shuffling facts — the cv.py:104-110 incremental idiom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .suite import _t, query
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_broadcast_left_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def j1_broadcast_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — broadcast hash lookup join with left-outer semantics
+    (the county→location dict probe, cv-api.py:117; miss → null)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "j2_per_capita_dim_join",
+    oracle="""
+    WITH counts AS (
+      SELECT c_nationkey, COUNT(c_custkey) AS count FROM customer GROUP BY 1
+    )
+    SELECT n_name, count,
+           (n_nationkey + 1) * 1000 AS population,
+           ROUND(count / (((n_nationkey + 1) * 1000) / 1000.0), 2) AS normalized_count
+    FROM counts JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def j2_per_capita_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 + P9 — inner join to a broadcast dimension + per-capita
+    normalization (cv-county-stats.py:57-66; synthetic population)."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    counts = customer.groupBy("c_nationkey").agg(F.count("c_custkey").alias("count"))
+    dim = nation.withColumn("population", (F.col("n_nationkey") + 1) * 1000)
+    return (
+        counts.join(F.broadcast(dim), counts.c_nationkey == dim.n_nationkey, "inner")
+        .select(
+            "n_name",
+            "count",
+            "population",
+            F.round(F.col("count") / (F.col("population") / F.lit(1000.0)), 2).alias(
+                "normalized_count"
+            ),
+        )
+    )
+
+
+@query(
+    "j3_semi_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    """,
+)
+def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/F2 — left-semi join: membership filter without duplication
+    (the under-investigation id-set filter, cv.py:113-117)."""
+    orders = _t(spark, sf_dir, "orders")
+    rich = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return (
+        orders.join(rich, orders.o_custkey == rich.c_custkey, "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "j4_anti_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE o_orderkey NOT IN (
+      SELECT o_orderkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01')
+    """,
+)
+def j4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — exact anti-join incremental append: new = scraped ∖ stored
+    (cv.py:93-110). The general form of the watermark shortcut (u3)."""
+    orders = _t(spark, sf_dir, "orders")
+    stored = orders.filter(F.col("o_orderdate") < "1998-01-01").select("o_orderkey")
+    return (
+        orders.join(stored, "o_orderkey", "left_anti").select("o_orderkey", "o_custkey")
+    )
+
+
+@query(
+    "u3_watermark_append",
+    oracle="""
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE o_orderkey > (
+      SELECT COALESCE(MAX(o_orderkey), 0) FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01')
+    """,
+)
+def u3_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3/F1 — max-key watermark incremental (cv.py:104-110): a 1-row
+    scalar is broadcast and facts are filtered — no fact-fact shuffle,
+    the cheap path when the key is monotonic."""
+    orders = _t(spark, sf_dir, "orders")
+    mx = (
+        orders.filter(F.col("o_orderdate") < "1998-01-01")
+        .agg(F.coalesce(F.max("o_orderkey"), F.lit(0)).alias("mx"))
+    )
+    return (
+        orders.join(F.broadcast(mx), F.col("o_orderkey") > F.col("mx"), "inner")
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / predicates (SURVEY §2.3 F3-F7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f_predicate_suite",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+      AND o_orderstatus = 'F'
+      AND o_orderpriority NOT LIKE '1%'
+      AND o_orderpriority IN ('2-HIGH', '3-MEDIUM', '5-LOW')
+    """,
+)
+def f_predicate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3-F7 — equality, range, NOT LIKE, IN-list predicates, all pushed
+    to the parquet scan by Catalyst (verify: PushedFilters in explain)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1999-01-01")
+            & (F.col("o_orderstatus") == "F")
+            & (~F.col("o_orderpriority").like("1%"))
+            & (F.col("o_orderpriority").isin("2-HIGH", "3-MEDIUM", "5-LOW"))
+        )
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / pagination (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o4_pagination",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10 OFFSET 5
+    """,
+)
+def o4_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 — deterministic offset/limit pagination (the ArcGIS
+    resultOffset/resultRecordCount page loop, cv-api.py:79-80).
+    Tie-broken by key so pages are stable under any partitioning."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(5)
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Engine-completeness operators (SURVEY §2.5/§2.8 "not present" rows)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_rollup_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def x_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup aggregate (subtotals + grand total).
+
+    Double sums accumulate in DECIMAL so results are exact and
+    order-independent — deterministic at any partition count.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).cast("double").alias(
+            "total_price"
+        ),
+    )
+
+
+@query(
+    "x_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def x_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct — dedup on projected key set (groupBy under the hood)."""
+    return _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "x_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(o_orderkey) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def x_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate (expand+two-phase agg in Spark)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("o_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "x_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    """,
+)
+def x_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection of two key sets."""
+    customer = _t(spark, sf_dir, "customer")
+    a = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = customer.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    return a.intersect(b)
+
+
+@query(
+    "x_except",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    """,
+)
+def x_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference of two key sets."""
+    customer = _t(spark, sf_dir, "customer")
+    a = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = customer.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    return a.exceptAll(b).distinct()
+
+
+@query(
+    "x_percentiles",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(quantile_cont(c_acctbal, 0.5), 6) AS median_acctbal,
+           ROUND(quantile_cont(c_acctbal, 0.9), 6) AS p90_acctbal
+    FROM customer GROUP BY 1
+    """,
+)
+def x_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (reference had none;
+    engine surfaces both exact `percentile` and sketch-based
+    `percentile_approx` — the oracle checks the exact one)."""
+    customer = _t(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 6).alias("median_acctbal"),
+        F.round(F.percentile("c_acctbal", F.lit(0.9)), 6).alias("p90_acctbal"),
+    )
+
+
+@query(
+    "x_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 9) AS sd_qty,
+           ROUND(var_samp(l_discount), 9) AS var_disc,
+           ROUND(corr(l_quantity, l_extendedprice), 9) AS corr_qty_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def x_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation), rounded to
+    9dp — both engines use single-pass moment formulas whose last few
+    ulps differ."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 9).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 9).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 9).alias("corr_qty_price"),
+    )
