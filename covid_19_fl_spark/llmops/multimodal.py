@@ -1,0 +1,113 @@
+"""Multimodal column plumbing (SURVEY §2.13): image/audio/video as
+opaque ``binary`` payloads with typed metadata, processed in
+Arrow-batched Pandas iterators (``mapInPandas``).
+
+The decode step is STUBBED — the container has no image/audio codecs —
+but everything Spark-side is real and tested: the schema contract, the
+batch iterator signature, partition-preserving execution, and the
+deterministic fake feature extractor standing in for a model forward
+pass. Swap ``_decode_payload`` for a real decoder (PIL/torchaudio) and
+nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("source", T.StringType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("checksum", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def to_media(docs: DataFrame) -> DataFrame:
+    """documents → media table: utf-8 payload bytes + typed metadata.
+
+    (In production the payload column arrives from an object-store
+    manifest; here the documents table stands in.)
+    """
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("source").alias("source"),
+            F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _decode_payload(payload: bytes, mime: str) -> bytes:
+    """STUB — real decode (image/audio frame extraction) needs codecs
+    not present in this container. The Spark-side contract (binary in,
+    binary out, per-batch) is what this module exercises."""
+    if mime.startswith(("image/", "audio/", "video/")):
+        raise NotImplementedError(
+            "media decode requires codec libraries (PIL/ffmpeg); "
+            "plug a decoder into _decode_payload"
+        )
+    return payload  # text passthrough
+
+
+def _fake_feature(payload: bytes, dims: int = 8) -> list[float]:
+    """Deterministic stand-in for a model forward pass: md5-seeded
+    pseudo-embedding. Stable across runs/partitions."""
+    digest = hashlib.md5(payload).digest()
+    return [int.from_bytes(digest[2 * i : 2 * i + 2], "big") / 65535.0 for i in range(dims)]
+
+
+def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Arrow-batched feature extraction over the media table.
+
+    ``mapInPandas``: each Arrow batch arrives as a pandas DataFrame;
+    output is an iterator of frames with FEATURE_SCHEMA. Partitioning
+    is preserved — no shuffle; at 100 TB this runs as a map-only stage
+    whose parallelism is the input split count.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            mimes = pdf["meta"].map(lambda m: m["mime"])
+            decoded = [
+                _decode_payload(p, m) for p, m in zip(payloads, mimes)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in decoded],
+                    "checksum": [zlib.crc32(p) for p in decoded],
+                    "feature": [_fake_feature(p) for p in decoded],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)

@@ -1,0 +1,207 @@
+"""Similarity search over embedding columns (SURVEY §2.13).
+
+Brute-force cosine top-k is the exactness baseline: queries are
+broadcast (k queries ≪ corpus), the corpus side never shuffles, and
+the per-pair dot product is a JVM higher-order fold (zip_with +
+aggregate) — no Python in the hot path. Top-k per query compiles to a
+window rank over the (tiny) query partition count.
+
+The scale paths bucket the corpus first so each query scores a
+fraction of it: IVF (centroid assignment) and random-hyperplane LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double precision (matches
+    a scalar loop in any engine — oracle-comparable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k neighbors for each query id.
+
+    Deterministic ranking: (rounded cosine desc, neighbor id asc) —
+    rounding first makes the rank robust to last-ulp float noise.
+    """
+    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    pairs = emb.alias("c").crossJoin(F.broadcast(queries)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("qvec"), F.col(vec_col)), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean vector (the IVF coarse quantizer, seeded from the
+    existing cluster labels). posexplode → per-dimension avg →
+    re-assemble sorted by position; dims are small (64), labels few —
+    the shuffle carries |labels|×dims rows."""
+    exploded = emb.select(label_col, F.posexplode(vec_col).alias("pos", "val"))
+    per_dim = exploded.groupBy(label_col, "pos").agg(F.avg("val").alias("avg_val"))
+    return (
+        per_dim.groupBy(label_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("avg_val")))
+            ).alias("dims")
+        )
+        .select(
+            label_col,
+            F.transform(F.col("dims"), lambda s: s.getField("avg_val")).alias("centroid"),
+        )
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: route each query to its nearest centroid, then
+    score only that cluster's vectors (nprobe=1). At 100 TB the corpus
+    is hash-partitioned by cluster id, so a query touches one
+    partition's worth of vectors instead of the whole corpus."""
+    centroids = label_centroids(emb, label_col, vec_col)
+    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    routed = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("cdist", F.round(cosine(F.col("qvec"), F.col("centroid")), 6))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cdist").desc(), F.col(label_col).asc()
+                )
+            ),
+        )
+        .filter(F.col("crank") == 1)
+        .select("query_id", "qvec", F.col(label_col).alias("probe_label"))
+    )
+    cluster = emb.select(id_col, vec_col, label_col)
+    scored = (
+        cluster.join(
+            F.broadcast(routed), cluster[label_col] == routed.probe_label
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col(vec_col)), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def hyperplane_bucket(
+    vec: Column,
+    planes: int = 8,
+    dims: int = 64,
+    seed: int = 42,
+) -> Column:
+    """Random-hyperplane LSH bucket id: sign bits of dot products with
+    ``planes`` pseudo-random hyperplanes. Plane coefficients are
+    derived deterministically from murmur3(seed, plane, dim) scaled to
+    [-1, 1] — no stored model, reproducible across runs and engines
+    that share the hash."""
+    bucket = F.lit(0)
+    for p in range(planes):
+        coeffs = F.array(
+            *[
+                (F.hash(F.lit(f"{seed}:{p}:{d}")).cast("double") / F.lit(2147483647.0))
+                for d in range(dims)
+            ]
+        )
+        proj = dot(vec, coeffs)
+        bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via hyperplane-LSH bucketing: score only corpus vectors in
+    the query's bucket (equi-join on bucket id). Recall trades off with
+    ``planes``; the join never fans out beyond one bucket per query."""
+    dims = 64
+    bucketed = emb.select(
+        id_col, vec_col, hyperplane_bucket(F.col(vec_col), planes, dims).alias("bucket")
+    )
+    queries = bucketed.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        bucketed.join(F.broadcast(queries), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col(vec_col)), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,91 @@
+"""Text analysis for training-data pipelines (SURVEY §2.13):
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All pure Column expressions (JVM-side, codegen'd) — at 100 TB these run
+inside the parquet scan stage with zero shuffles and zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists — the n-gram-heuristic language
+# identifier. Deterministic and oracle-expressible; accuracy is bounded
+# by design (a real pipeline would swap in fastText behind the same
+# column contract).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "de", "que"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "也"],
+}
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+# the GPT-2-style split without the merges table.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+PUNCT_PATTERN = r"[,.!?;:]"
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokenization (collapses runs)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col))
+
+
+def bpe_ish_count(col: Column) -> Column:
+    """BPE-style pre-token count via regex extraction."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """Count of tokens that are stopwords of ``lang`` (non-distinct)."""
+    vocab = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words(col), lambda w: F.array_contains(vocab, w)))
+
+
+def language_id(col: Column) -> Column:
+    """Argmax of per-language stopword-hit scores.
+
+    Tie-break is the declared language priority (alphabetical via the
+    CASE chain order): the first language whose score is >= all
+    others wins — deterministic, and mirrored verbatim in oracle SQL.
+    """
+    langs = sorted(STOPWORDS)
+    scores = {lang: stopword_hits(col, lang) for lang in langs}
+    expr = None
+    for lang in langs:
+        others = [scores[o] for o in langs if o != lang]
+        cond = scores[lang] >= F.greatest(*others)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def punct_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(PUNCT_PATTERN), F.lit(0)))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic quality in [0,1]: stopword density + length credit −
+    punctuation noise. The exact formula is arbitrary; what matters is
+    that it is deterministic, cheap, and columnar."""
+    n_words = token_count(col).cast("double")
+    stop_ratio = stopword_hits(col, "en").cast("double") / n_words
+    punct_ratio = punct_count(col).cast("double") / n_words
+    length_credit = F.least(n_words / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * stop_ratio + F.lit(0.4) * length_credit + F.lit(0.2) * (1 - punct_ratio),
+        6,
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Canonical document fingerprint: md5 of the whitespace-collapsed,
+    lower-cased text — the exact-dedup key."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")))

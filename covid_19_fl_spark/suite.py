@@ -321,3 +321,4 @@ def w6_last_row(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import suite_relational  # noqa: E402,F401
 from . import suite_transforms  # noqa: E402,F401
 from . import suite_tpch  # noqa: E402,F401
+from . import suite_llmops  # noqa: E402,F401

@@ -1,0 +1,271 @@
+"""LLM-data-pipeline operator suite (SURVEY §2.13): dedup, similarity
+search, text analysis, multimodal plumbing — over the driver's
+``documents`` and ``embeddings`` tables.
+
+Oracle notes: murmur3-based operators (MinHash/SimHash/hyperplane LSH)
+have no DuckDB equivalent → rows-only checks + pytest property tests;
+everything md5/regex/list-arithmetic-based has a full SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .llmops import dedup, multimodal, similarity, text
+from .suite import _t, query
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+    for lang, ws in text.STOPWORDS.items()
+}
+
+_WORDS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _hits_sql(lang: str) -> str:
+    return (
+        f"len(list_filter({_WORDS_SQL}, x -> list_contains({_STOP_SQL[lang]}, x)))"
+    )
+
+
+@query(
+    "tx_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_WORDS_SQL}) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_ish,
+           len(regexp_extract_all(text, '[,.!?;:]')) AS n_punct
+    FROM documents
+    """,
+)
+def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish pre-tokens + punct —
+    all regex expressions inside the scan stage."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.bpe_ish_count(F.col("text")).alias("n_bpe_ish"),
+        text.punct_count(F.col("text")).alias("n_punct"),
+    )
+
+
+_LANG_CASE = []
+_langs = sorted(text.STOPWORDS)
+for _lang in _langs:
+    _others = ", ".join(_hits_sql(o) for o in _langs if o != _lang)
+    _LANG_CASE.append(f"WHEN {_hits_sql(_lang)} >= greatest({_others}) THEN '{_lang}'")
+_LANG_CASE_SQL = "CASE " + " ".join(_LANG_CASE) + " ELSE 'und' END"
+
+
+@query(
+    "tx_language_id",
+    oracle=f"""
+    SELECT doc_id, lang, {_LANG_CASE_SQL} AS pred_lang
+    FROM documents
+    """,
+)
+def tx_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language identification (n-gram heuristic),
+    deterministic argmax with declared tie order."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", text.language_id(F.col("text")).alias("pred_lang")
+    )
+
+
+@query(
+    "tx_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           ROUND(0.4 * ({_hits_sql('en')} / CAST(len({_WORDS_SQL}) AS DOUBLE))
+                 + 0.4 * least(len({_WORDS_SQL}) / 100.0, 1.0)
+                 + 0.2 * (1 - len(regexp_extract_all(text, '[,.!?;:]'))
+                              / CAST(len({_WORDS_SQL}) AS DOUBLE)), 6) AS quality
+    FROM documents
+    """,
+)
+def tx_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score (stopword density, length
+    credit, punctuation noise)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "tx_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical md5 fingerprint of normalized text (exact-dedup key)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dd_exact_dup_groups",
+    oracle="""
+    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+           COUNT(doc_id) AS n_docs,
+           MIN(doc_id) AS canonical_id
+    FROM documents GROUP BY 1
+    """,
+)
+def dd_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: fingerprint → (size, canonical id)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dup_groups(docs, "text", "doc_id")
+
+
+@query(
+    "dd_exact_dedup",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id IN (
+      SELECT MIN(doc_id) FROM documents
+      GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
+    """,
+)
+def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keep-first: min-id winner per fingerprint group."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "text", "doc_id").select("doc_id", "n_chars")
+
+
+@query(
+    "dd_ngram_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in generate_series(1, greatest(len(w)-2, 0)) ]) AS shingles
+      FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.1
+    """,
+)
+def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs, blocked by language +
+    id window (banded equi-join — see dedup.ngram_jaccard_pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", "lang", id_window=25, n=3, threshold=0.1
+    )
+
+
+@query("dd_minhash_lsh_pairs")  # murmur3-based — no SQL oracle, rows-only
+def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (signature → bands → bucket join →
+    exact-Jaccard verify). Property-tested in tests/test_llmops.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=32, bands=8, threshold=0.3
+    )
+
+
+@query("dd_simhash_pairs")  # murmur3-based — no SQL oracle, rows-only
+def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via chunk banding + hamming verify."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
+
+_COS_SQL = """
+    list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+              for i in generate_series(1, len(q.embedding))])
+    / (sqrt(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)
+                      for i in generate_series(1, len(q.embedding))]))
+       * sqrt(list_sum([CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                        for i in generate_series(1, len(c.embedding))])))
+"""
+
+
+@query(
+    "ss_cosine_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND({_COS_SQL}, 6) AS cos_sim
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id IN (0,1,2,3,4,5,6,7)
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ss_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for 8 query vectors —
+    the exact ANN baseline. Queries broadcast; corpus never shuffles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _QUERY_IDS, k=5)
+
+
+@query("ss_ivf_topk")  # two-stage routing — rows-only (tested vs brute force)
+def ss_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (label-seeded centroids, nprobe=1)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, _QUERY_IDS, k=5)
+
+
+@query("ss_lsh_topk")  # murmur3 hyperplanes — rows-only
+def ss_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucketed_topk(emb, _QUERY_IDS, k=5, planes=6)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_feature_extract",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           'text/plain' AS mime
+    FROM documents
+    """,
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through the real Arrow/mapInPandas path:
+    documents → binary payload + typed metadata → batched feature
+    extraction. The oracle checks the byte-accounting the Python side
+    produced (the fake-embedding columns are covered by pytest)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.to_media(docs)
+    feats = multimodal.extract_features(media)
+    media_meta = media.select("doc_id", F.col("meta.mime").alias("mime"))
+    return feats.join(media_meta, "doc_id").select("doc_id", "n_bytes", "mime")
