@@ -1,0 +1,81 @@
+"""Incremental-load semantics (SURVEY §2.8 U3, §2.4 J3/J4, §2.2 K4/K5).
+
+The reference implements incrementality imperatively: a Mongo $max probe
+plus a per-row filter for appends (cv.py:93-110), and a per-row
+update_one loop for status refresh (cv.py:127-132). Here each idiom is
+one DataFrame→DataFrame function, so it composes with any source/sink
+and distributes: the anti-join shuffles only the key column of the
+stored side, the merge is a single left join.
+
+At 100 TB: `new_rows_exact` is the safe path (works with gaps/out-of-
+order keys) and becomes a SortMergeJoin on the key; `new_rows_watermark`
+is the O(stored-side-scan-free) fast path when the key is monotonic —
+the stored side reduces to ONE scalar crossing the driver, and the
+incoming side is a pure filter (no shuffle at all).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def max_key(stored: DataFrame, key: str, default: int = 0):
+    """A1 — scalar high-watermark: ``max(key)`` with empty-table default
+    (cv.py:93-107). One partial+final agg; one scalar to the driver."""
+    return stored.agg(F.coalesce(F.max(key), F.lit(default))).first()[0]
+
+
+def new_rows_watermark(stored: DataFrame, incoming: DataFrame, key: str) -> DataFrame:
+    """J4/F1 watermark shortcut — rows with ``key > max(stored.key)``
+    (cv.py:104-110). Valid only for monotonically increasing keys; the
+    filter is shuffle-free and pushes down to the incoming scan."""
+    wm = max_key(stored, key)
+    return incoming.filter(F.col(key) > F.lit(wm))
+
+
+def new_rows_exact(stored: DataFrame, incoming: DataFrame, key: str | Sequence[str]) -> DataFrame:
+    """J4 exact — left-anti join on the key (handles gaps, out-of-order
+    arrival, re-sent rows; the general form of the reference's shortcut)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return incoming.join(stored.select(*keys), on=keys, how="left_anti")
+
+
+def matching_rows(incoming: DataFrame, keys_df: DataFrame, key: str) -> DataFrame:
+    """J3/F2 — left-semi membership filter (cv.py:113-117's
+    ``case_number in under_investigation`` id-list probe)."""
+    return incoming.join(keys_df.select(key), on=key, how="left_semi")
+
+
+def merge_update(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    update_cols: Sequence[str],
+) -> DataFrame:
+    """K4 — keyed merge, matched-only update, no insert (cv.py:127-132's
+    ``update_one(..., upsert=False)`` loop as ONE left join).
+
+    For every target row with a matching update row, ``update_cols``
+    take the update's value; unmatched target rows pass through;
+    unmatched update rows are dropped (upsert=False).
+    """
+    u = updates.select(
+        F.col(key),
+        *[F.col(c).alias(f"__u_{c}") for c in update_cols],
+        F.lit(True).alias("__matched"),
+    )
+    out = target.join(u, on=key, how="left")
+    for c in update_cols:
+        out = out.withColumn(
+            c, F.when(F.col("__matched").isNotNull(), F.col(f"__u_{c}")).otherwise(F.col(c))
+        )
+    return out.drop("__matched", *[f"__u_{c}" for c in update_cols])
+
+
+def count_delta(new_df: DataFrame, old_df: DataFrame) -> int:
+    """K5 — row-count delta metric computed before a full refresh
+    (cv-api.py:185-186). Two partial-agg counts, no data movement."""
+    return new_df.count() - old_df.count()

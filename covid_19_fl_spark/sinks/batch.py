@@ -1,0 +1,124 @@
+"""Batch table sinks (SURVEY §2.2 K1-K5) over a parquet-backed store.
+
+The reference's sink surface is MongoDB collection mutations:
+insert_many (K1), delete_many({}) + insert_many (K2), predicate delete
+(K3), keyed update loop (K4). The engine's native store is columnar
+parquet (Delta-style semantics without the Delta dependency — this
+container ships no Delta jars; the interface is written so a Delta/
+Iceberg-backed implementation can swap in transparently).
+
+Mutation model: parquet is immutable, so K3/K4 are read-modify-write
+*on the logical table* — rewrite-as-overwrite. That is exactly Delta's
+copy-on-write physical strategy; at 100 TB you'd bound the rewrite with
+partition pruning (`replace_where` rewrites only matching partitions of
+a date/series-partitioned table, not the whole table).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import incremental
+
+
+class ParquetTable:
+    """A named parquet directory with Delta-flavored mutation verbs.
+
+    Writes are staged to a sibling temp dir then atomically swapped via
+    rename, so a failed job never leaves a half-written table (the
+    same crash-safety the reference got for free from Mongo's
+    delete/insert being separate durable ops — minus its window of
+    emptiness between them, cv-api.py:188-195).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, partition_by: Sequence[str] = ()):
+        self.spark = spark
+        self.path = path
+        self.partition_by = list(partition_by)
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            f.endswith(".parquet") or f.startswith("part-") or f == "_SUCCESS"
+            for root, _, fs in os.walk(self.path)
+            for f in fs
+        )
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    # -- K1: append ---------------------------------------------------------
+    def append(self, df: DataFrame) -> None:
+        w = df.write.mode("append")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(self.path)
+
+    # -- K2: full refresh ----------------------------------------------------
+    def overwrite(self, df: DataFrame) -> int:
+        """Truncate-and-reload with the K5 count-delta metric
+        (cv-api.py:184-207). Returns new_records = len(df) - len(old)."""
+        delta = incremental.count_delta(df, self.read()) if self.exists() else df.count()
+        self._swap(df)
+        return delta
+
+    # -- K3: selective delete -------------------------------------------------
+    def delete_where(self, condition: str) -> None:
+        """``DELETE WHERE`` (cv-stats.py:89-92's delete_many({"series": ...})).
+        Copy-on-write: keep rows NOT matching, swap."""
+        if not self.exists():
+            return
+        self._swap(self.read().filter(~F.expr(condition)))
+
+    def replace_where(self, condition: str, df: DataFrame) -> None:
+        """Delta-style ``replaceWhere``: atomically delete matching rows
+        and insert ``df`` (the reference's delete_many + insert_many pair
+        as one swap — no window of emptiness)."""
+        if self.exists():
+            kept = self.read().filter(~F.expr(condition))
+            self._swap(kept.unionByName(df, allowMissingColumns=True))
+        else:
+            self._swap(df)
+
+    # -- K4: keyed merge -------------------------------------------------------
+    def merge_update(self, updates: DataFrame, key: str, update_cols: Sequence[str]) -> None:
+        """MERGE WHEN MATCHED THEN UPDATE (cv.py:127-132)."""
+        self._swap(incremental.merge_update(self.read(), updates, key, update_cols))
+
+    # -- U3/J4: incremental append ----------------------------------------------
+    def append_new(self, incoming: DataFrame, key: str, exact: bool = True) -> int:
+        """Idempotent incremental append: only not-yet-stored keys land
+        (cv.py:104-125). Returns the number of appended rows."""
+        if not self.exists():
+            fresh = incoming
+        elif exact:
+            fresh = incremental.new_rows_exact(self.read(), incoming, key)
+        else:
+            fresh = incremental.new_rows_watermark(self.read(), incoming, key)
+        n = fresh.count()
+        if n:
+            self.append(fresh)
+        return n
+
+    # -- internals ---------------------------------------------------------------
+    def _swap(self, df: DataFrame) -> None:
+        parent = os.path.dirname(os.path.abspath(self.path)) or "."
+        staging = os.path.join(
+            tempfile.mkdtemp(dir=parent), f".staging-{uuid.uuid4().hex[:8]}"
+        )
+        w = df.write.mode("overwrite")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(staging)
+        old = self.path + f".old-{uuid.uuid4().hex[:8]}"
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(staging, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(staging), ignore_errors=True)

@@ -1,0 +1,114 @@
+"""Incremental semantics + batch sink tests (SURVEY §5.3.4 property
+tests: watermark-append idempotence, count-delta invariant, merge)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from covid_19_fl_spark import incremental
+from covid_19_fl_spark.sinks.batch import ParquetTable
+
+
+def _df(spark, rows, schema="case_number long, travel string"):
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return ParquetTable(spark, str(tmp_path / "florida"))
+
+
+BASE = [(1, "No"), (2, "Under Investigation"), (3, "Under Investigation")]
+INCOMING = [(2, "Yes"), (3, "No"), (4, "No"), (5, "Under Investigation")]
+
+
+def test_watermark_vs_exact_new_rows(spark):
+    stored, incoming = _df(spark, BASE), _df(spark, INCOMING)
+    wm = incremental.new_rows_watermark(stored, incoming, "case_number")
+    exact = incremental.new_rows_exact(stored, incoming, "case_number")
+    assert sorted(r.case_number for r in wm.collect()) == [4, 5]
+    assert sorted(r.case_number for r in exact.collect()) == [4, 5]
+
+
+def test_exact_handles_out_of_order_keys(spark):
+    # Watermark shortcut misses back-filled keys; exact anti-join doesn't.
+    stored = _df(spark, [(1, "No"), (5, "No")])
+    incoming = _df(spark, [(3, "No"), (6, "No")])
+    wm = incremental.new_rows_watermark(stored, incoming, "case_number")
+    exact = incremental.new_rows_exact(stored, incoming, "case_number")
+    assert sorted(r.case_number for r in wm.collect()) == [6]
+    assert sorted(r.case_number for r in exact.collect()) == [3, 6]
+
+
+def test_max_key_empty_default(spark):
+    empty = _df(spark, []) if False else spark.createDataFrame([], "case_number long")
+    assert incremental.max_key(empty, "case_number") == 0
+
+
+def test_semi_join_membership(spark):
+    incoming = _df(spark, INCOMING)
+    keys = spark.createDataFrame([(2,), (5,)], "case_number long")
+    got = incremental.matching_rows(incoming, keys, "case_number")
+    assert sorted(r.case_number for r in got.collect()) == [2, 5]
+
+
+def test_merge_update_semantics(spark):
+    target, updates = _df(spark, BASE), _df(spark, [(2, "Yes"), (9, "Yes")])
+    merged = incremental.merge_update(target, updates, "case_number", ["travel"])
+    got = {r.case_number: r.travel for r in merged.collect()}
+    # matched row updated; unmatched target untouched; upsert=False → no row 9
+    assert got == {1: "No", 2: "Yes", 3: "Under Investigation"}
+
+
+def test_append_new_idempotent(spark, table):
+    table.append(_df(spark, BASE))
+    n1 = table.append_new(_df(spark, INCOMING), "case_number")
+    assert n1 == 2 and table.read().count() == 5
+    # Property (SURVEY §5.3.4): replay adds nothing.
+    n2 = table.append_new(_df(spark, INCOMING), "case_number")
+    assert n2 == 0 and table.read().count() == 5
+
+
+def test_overwrite_count_delta(spark, table):
+    assert table.overwrite(_df(spark, BASE)) == 3
+    assert table.overwrite(_df(spark, INCOMING)) == 1  # 4 - 3
+    assert table.read().count() == 4
+
+
+def test_delete_where_and_replace_where(spark, table):
+    rows = [(d, float(c), s) for d, c, s in
+            [("2020-03-01", 1.0, "actual"), ("2020-03-02", 3.0, "actual"),
+             ("2020-03-03", 9.0, "predicted")]]
+    df = spark.createDataFrame(rows, "date string, count double, series string")
+    table.overwrite(df)
+    # K3: cv-stats.py:89-92 deletes series='actual' before reinsert.
+    table.delete_where("series = 'actual'")
+    assert [r.series for r in table.read().collect()] == ["predicted"]
+    fresh = spark.createDataFrame(
+        [("2020-03-04", 27.0, "predicted")], "date string, count double, series string"
+    )
+    table.replace_where("series = 'predicted'", fresh)
+    got = table.read().collect()
+    assert len(got) == 1 and got[0].date == "2020-03-04"
+
+
+def test_merge_update_sink(spark, table):
+    table.overwrite(_df(spark, BASE))
+    table.merge_update(_df(spark, [(3, "No")]), "case_number", ["travel"])
+    got = {r.case_number: r.travel for r in table.read().collect()}
+    assert got[3] == "No" and got[2] == "Under Investigation"
+
+
+def test_partitioned_table_prunes(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "by_series"), partition_by=["series"])
+    df = spark.createDataFrame(
+        [("2020-03-01", 1.0, "actual"), ("2020-03-02", 2.0, "predicted")],
+        "date string, count double, series string",
+    )
+    t.overwrite(df)
+    q = t.read().filter(F.col("series") == "actual")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert q.count() == 1
+    # Partition filter must prune at scan time, not post-filter.
+    assert "PartitionFilters: [isnotnull(series" in plan
