@@ -1,0 +1,103 @@
+"""Structured Streaming equivalents of the reference's scheduled-rerun
+incrementality (SURVEY §2.11).
+
+The reference "streams" by re-running whole scripts on a Heroku
+scheduler (Procfile:1) and reconciling with max-key filters (cv.py:104-110)
+and per-row update loops (cv.py:127-132). Here the same semantics are
+continuous micro-batch plans:
+
+- polling ingest        → ``readStream`` on a directory (or any source),
+                          ``Trigger.AvailableNow`` for catch-up batches
+- max-key incremental   → ``withWatermark`` + ``dropDuplicates`` keyed state
+- status-refresh merge  → ``foreachBatch`` + ParquetTable.merge_update
+- daily groupBy(date)   → 1-day tumbling event-time window
+
+State is bounded by the watermark (the reference bounded it by full
+refresh); at scale the dedup state is per-key in the state store,
+partitioned by key hash across executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+from ..sinks.batch import ParquetTable
+
+
+def dedup_incremental(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    event_time_col: str,
+    late_threshold: str = "1 day",
+) -> DataFrame:
+    """U3 streaming form — keyed dedup with watermark-bounded state
+    (the reference's max-key append, cv.py:104-110, without requiring
+    monotonic keys). Duplicate rows arriving within ``late_threshold``
+    of the max observed event time are dropped exactly once."""
+    return stream.withWatermark(event_time_col, late_threshold).dropDuplicates(
+        [*key_cols, event_time_col]
+    )
+
+
+def daily_counts_stream(
+    stream: DataFrame, event_time_col: str, late_threshold: str = "1 day"
+) -> DataFrame:
+    """A2/W1 streaming form — the epidemic-curve daily bucketing as a
+    1-day tumbling event-time window with late-data handling the batch
+    reference never had (it full-refreshed instead)."""
+    return (
+        stream.withWatermark(event_time_col, late_threshold)
+        .groupBy(F.window(F.col(event_time_col), "1 day").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("day.start").cast("date").alias("date"), "n")
+    )
+
+
+def write_merge(
+    stream: DataFrame,
+    table: ParquetTable,
+    key: str,
+    update_cols: Sequence[str],
+    checkpoint_dir: str,
+) -> DataStreamWriter:
+    """K4 streaming sink — per-micro-batch MERGE (matched-update) into a
+    ParquetTable via foreachBatch (cv.py:127-132's update loop, one join
+    per micro-batch). Caller starts it with ``.trigger(...)`` of choice."""
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        # One update row per key per batch: keep the latest by key.
+        latest = batch.dropDuplicates([key])
+        if table.exists():
+            table.merge_update(latest, key, update_cols)
+        else:
+            table.overwrite(latest)
+
+    return stream.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def write_append_new(
+    stream: DataFrame,
+    table: ParquetTable,
+    key: str,
+    checkpoint_dir: str,
+) -> DataStreamWriter:
+    """U3/K1 streaming sink — idempotent incremental append per
+    micro-batch (anti-join against the stored table), the exact
+    streaming analogue of the reference's watermark append."""
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        table.append_new(batch.dropDuplicates([key]), key, exact=True)
+
+    return stream.writeStream.foreachBatch(_append).option(
+        "checkpointLocation", checkpoint_dir
+    )
