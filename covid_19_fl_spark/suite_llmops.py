@@ -269,3 +269,31 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = multimodal.extract_features(media)
     media_meta = media.select("doc_id", F.col("meta.mime").alias("mime"))
     return feats.join(media_meta, "doc_id").select("doc_id", "n_bytes", "mime")
+
+
+_PAIR_COS_SQL = """
+    list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+              for i in generate_series(1, len(a.embedding))])
+    / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+                      for i in generate_series(1, len(a.embedding))]))
+       * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                        for i in generate_series(1, len(b.embedding))])))
+"""
+
+
+@query(
+    "dd_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_PAIR_COS_SQL}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND b.vec_id > a.vec_id
+    WHERE ROUND({_PAIR_COS_SQL}, 6) >= 0.4
+    """,
+)
+def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked on cluster label (the
+    equi-join block stands in for a coarse quantizer at scale — exact
+    cosine only within a block, never corpus×corpus)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs(emb, threshold=0.4)

@@ -325,3 +325,106 @@ def x_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("l_discount"), 9).alias("var_disc"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 9).alias("corr_qty_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Extension operators: as-of join, rank windows, moving average
+# (SURVEY §2.4/§2.6 "not present" rows — engine completeness beyond
+# the reference surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_asof_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), clicks AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, p.purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.cts >= p.pts
+    """,
+)
+def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the user's most recent prior-or-equal
+    purchase value (operators/asof.py union+window plan — one shuffle on
+    user_id, no range join; oracle is DuckDB's native ASOF LEFT JOIN)."""
+    from .operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(clicks, purchases, on="ts", by="user_id")
+    return joined.select("event_id", "user_id", "purchase_value")
+
+
+@query(
+    "x_window_ranks",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def x_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window functions (row_number/rank/dense_rank/ntile)
+    with a fully deterministic order (price desc, key asc tiebreak).
+    Partitioned by priority — stays distributed at any scale."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "x_moving_average",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT order_date, n,
+           ROUND(AVG(n) OVER (ORDER BY order_date
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+    FROM daily
+    """,
+)
+def x_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing moving average over the daily series (the
+    smoothing the reference's dashboard implied but never computed).
+    Runs on the post-aggregation series — ≤ one row per date."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("order_date")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy("order_date").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "order_date", "n", F.round(F.avg("n").over(w), 6).alias("ma7")
+    )
