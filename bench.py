@@ -23,7 +23,12 @@ from covid_19_fl_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_unshipped",
+    "q4_priority_with_exists",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_volume_customers",
     "w1_cumulative_daily",
     "w2_cumulative_by_group",
     "w3_growth_rates",

@@ -1,0 +1,108 @@
+"""Physical-plan assertions — the 100 TB design gate.
+
+Correctness says the answer is right; these say the PLAN is right:
+filters reach the parquet scan, projections prune columns, dimensions
+broadcast, aggregations partial-combine before the exchange, top-k
+avoids global sorts. A regression here means a query that still passes
+its oracle but would fall over at 1000× the data.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from covid_19_fl_spark import suite, tables
+
+
+@pytest.fixture(autouse=True)
+def _full_metadata(spark):
+    # FileScan metadata (PushedFilters/ReadSchema) is truncated to 100
+    # chars by default — too short to assert against.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    yield
+    spark.conf.unset("spark.sql.maxMetadataStringLength")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    q = suite.QUERIES["q6_forecast_revenue"](spark, sf_dir)
+    plan = _plan(q)
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed, plan
+    # Range + comparison predicates must reach the parquet reader.
+    assert "l_shipdate" in pushed.group(1)
+    assert "l_quantity" in pushed.group(1)
+    assert "l_discount" in pushed.group(1)
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    q = suite.QUERIES["q6_forecast_revenue"](spark, sf_dir)
+    plan = _plan(q)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    # 11-column table, 4-column query — the scan must not read the rest.
+    assert read_cols == {"l_shipdate", "l_quantity", "l_discount", "l_extendedprice"}
+
+
+def test_q5_broadcasts_dimensions_only(spark, sf_dir):
+    plan = _plan(suite.QUERIES["q5_local_supplier_volume"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # nation/region/supplier side
+
+
+def test_a2_partial_aggregation(spark, sf_dir):
+    plan = _plan(suite.QUERIES["a2_daily_counts"](spark, sf_dir))
+    # partial (map-side) + final HashAggregate around one exchange:
+    # fact rows never cross the shuffle un-combined.
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+def test_a4_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(suite.QUERIES["a4_top5_by_count"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # No global Sort node — per-partition heaps only.
+    assert not re.search(r"\bSort\b(?!.*TakeOrdered)", plan.split("TakeOrdered")[0])
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    q = suite.QUERIES["q1_pricing_summary"](spark, sf_dir)
+    q.collect()  # AQE finalizes (and codegens) only on execution
+    plan = _plan(q)
+    assert "isFinalPlan=true" in plan
+    # '*(n)' prefixes mark whole-stage-codegen spans: both the scan+
+    # partial-agg stage and the final-agg stage must be codegen'd.
+    assert "*(1)" in plan and "*(2)" in plan
+
+
+def test_j4_semi_and_anti_shuffle_keys_only(spark, sf_dir):
+    plan = _plan(suite.QUERIES["j4_anti_join"](spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_scan_filter_pushdown_via_tables_load(spark, sf_dir):
+    orders = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    plan = _plan(orders)
+    assert "PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority,1-URGENT)]" in plan
+
+
+def test_asof_join_no_join_node(spark, sf_dir):
+    plan = _plan(suite.QUERIES["x_asof_join"](spark, sf_dir))
+    # union + window — a range/theta join here would blow up at scale.
+    assert "Window" in plan
+
+
+def test_growth_sim_no_driver_loop(spark, sf_dir):
+    # G1 must be the closed form (explode(sequence) + pow), not an
+    # iterative driver loop: the plan contains a generator, and is a
+    # single job.
+    plan = _plan(suite.QUERIES["g1_growth_sim"](spark, sf_dir))
+    assert "Generate" in plan
