@@ -57,6 +57,32 @@ def daily_counts_stream(
     )
 
 
+def session_counts_stream(
+    stream: DataFrame,
+    key_col: str,
+    event_time_col: str,
+    gap: str = "30 minutes",
+    late_threshold: str = "1 day",
+) -> DataFrame:
+    """Session-window aggregation (gap-based), per key — the sessionized
+    form of the daily bucketing. State is bounded by the watermark;
+    sessions merge server-side as late rows arrive within the gap."""
+    return (
+        stream.withWatermark(event_time_col, late_threshold)
+        .groupBy(
+            F.col(key_col),
+            F.session_window(F.col(event_time_col), gap).alias("session"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def write_merge(
     stream: DataFrame,
     table: ParquetTable,

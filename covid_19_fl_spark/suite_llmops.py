@@ -297,3 +297,74 @@ def dd_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine only within a block, never corpus×corpus)."""
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_cosine_pairs(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling & curation
+# ---------------------------------------------------------------------------
+
+from .llmops import sampling  # noqa: E402
+
+
+@query(
+    "sp_hash_sample",
+    oracle="SELECT doc_id, lang FROM documents WHERE doc_id % 100 < 7",
+)
+def sp_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~7% id-mod sample — reproducible under any
+    partitioning (unlike seed-based df.sample), pure pushdown filter."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, "doc_id", 7).select("doc_id", "lang")
+
+
+@query(
+    "sp_stratified_take",
+    oracle="""
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS rn
+      FROM documents) t
+    WHERE rn <= 20
+    """,
+)
+def sp_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-per-language stratified sample (rank window
+    per stratum; one shuffle on the strata key)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.stratified_take(docs, "lang", "doc_id", 20).select("lang", "doc_id")
+
+
+@query(
+    "cur_quality_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len({_WORDS_SQL}) AS n_tokens,
+             ROUND(0.4 * ({_hits_sql('en')} / CAST(len({_WORDS_SQL}) AS DOUBLE))
+                   + 0.4 * least(len({_WORDS_SQL}) / 100.0, 1.0)
+                   + 0.2 * (1 - len(regexp_extract_all(text, '[,.!?;:]'))
+                                / CAST(len({_WORDS_SQL}) AS DOUBLE)), 6) AS quality
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens, quality
+    FROM scored
+    WHERE quality >= 0.5 AND lang IN ('en', 'de') AND n_tokens BETWEEN 10 AND 100000
+    """,
+)
+def cur_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pass: score → language allowlist → token
+    band → keep. One scan stage; the predicate is a single boolean
+    column over computed features."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.quality_score(F.col("text")).alias("quality"),
+    )
+    return scored.filter(
+        sampling.curation_filter(
+            F.col("quality"), F.col("lang"), F.col("n_tokens"),
+            min_quality=0.5, langs=("en", "de"), min_tokens=10, max_tokens=100_000,
+        )
+    )
