@@ -244,6 +244,57 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Duplicate clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair list → (doc_id,
+    cluster_id) with cluster_id = min doc id of the component (the
+    canonical representative a dedup pass keeps).
+
+    Min-label propagation: every node repeatedly adopts the smallest
+    label among itself and its neighbors; converges in O(diameter)
+    rounds (near-dup components are tiny and dense, so a handful).
+    Each round is one equi-join + partial-min aggregation — the
+    standard scalable CC formulation; ``localCheckpoint`` truncates the
+    growing lineage so round N doesn't replay rounds 1..N-1. The only
+    driver-side value per round is the convergence count.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("neighbor_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("neighbor_label"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.col("neighbor_label") < F.col("cluster_id")).alias("_changed"),
+            )
+        ).localCheckpoint()  # eager: materialize round, truncate lineage
+        changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 

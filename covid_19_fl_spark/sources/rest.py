@@ -34,7 +34,12 @@ import os
 import time
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 
@@ -120,6 +125,47 @@ class RestPagedReader(DataSourceReader):
             yield tuple(row.get(name) for name in fields)
 
 
+class RestPagedStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the paginated REST source (SURVEY §2.11).
+
+    The reference polls by re-running the whole script on a scheduler
+    (Procfile:1) and re-ingesting everything; here the row count IS the
+    stream offset: each micro-batch fetches only rows [last_count,
+    current_count) — incremental by construction, exactly-once via the
+    checkpointed offset, replayable through readBetweenOffsets.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_ = schema
+        self.options = dict(options)
+        self.page_size = int(self.options.get("page_size", "2000"))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def _fetch_range(self, start: int, end: int) -> list[tuple]:
+        # A LIST, not a generator: the stream reader's prefetch cache
+        # copy.copy()s the iterator for replay, which a generator can't.
+        _, page_fn = _TRANSPORTS[self.options.get("transport", "http")]
+        fields = [f.name for f in self.schema_.fields]
+        out = []
+        for off in range(start, end, self.page_size):
+            for row in page_fn(self.options, off, min(self.page_size, end - off)):
+                out.append(tuple(row.get(name) for name in fields))
+        return out
+
+    def read(self, start: dict):
+        count_fn, _ = _TRANSPORTS[self.options.get("transport", "http")]
+        current = count_fn(self.options)
+        s = start["offset"]
+        if current <= s:
+            return [], {"offset": s}
+        return self._fetch_range(s, current), {"offset": current}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        return self._fetch_range(start["offset"], end["offset"])
+
+
 class RestPagedDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -137,6 +183,9 @@ class RestPagedDataSource(DataSource):
 
     def reader(self, schema: StructType) -> RestPagedReader:
         return RestPagedReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> RestPagedStreamReader:
+        return RestPagedStreamReader(schema, self.options)
 
 
 def register(spark) -> None:

@@ -368,3 +368,52 @@ def cur_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             min_quality=0.5, langs=("en", "de"), min_tokens=10, max_tokens=100_000,
         )
     )
+
+
+_JACCARD_PAIRS_SQL = """
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in generate_series(1, greatest(len(w)-2, 0)) ]) AS shingles
+      FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.1
+"""
+
+
+@query(
+    "dd_dup_clusters",
+    oracle=f"""
+    WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+      WITH RECURSIVE r(id, seen) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.src, r.seen FROM edges e JOIN r ON e.dst = r.id
+      ) SELECT * FROM r
+    )
+    SELECT id AS doc_id, MIN(seen) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components (min-label propagation)
+    over the exact n-gram-Jaccard pair list — transitive closure of
+    near-duplication, each doc labeled with its component's canonical
+    (min) id. The oracle computes the same closure with a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", "lang", id_window=25, n=3, threshold=0.1
+    )
+    return dedup.dup_clusters(pairs.select("id_a", "id_b"))

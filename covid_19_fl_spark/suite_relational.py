@@ -428,3 +428,52 @@ def x_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "order_date", "n", F.round(F.avg("n").over(w), 6).alias("ma7")
     )
+
+
+@query(
+    "x_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           event_type
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 90
+    """,
+)
+def x_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column extraction (events.props is a JSON
+    string — the engine reads typed fields out of it in the scan stage
+    via get_json_object; no UDF, no second parse pass)."""
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        events.select("event_id", k.alias("k"), "event_type")
+        .filter(F.col("k") >= 90)
+    )
+
+
+@query(
+    "x_pivot_daily_types",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'error') AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS signup,
+           COUNT(*) FILTER (event_type = 'view') AS view
+    FROM events GROUP BY 1
+    """,
+)
+def x_pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily event counts spread across one column per type.
+    The value list is DECLARED (not discovered) so the plan is one
+    aggregation pass — Spark's pivot with explicit values compiles to
+    conditional partial aggs, same shape as the oracle's FILTER sums."""
+    events = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.groupBy(F.col("ts").cast("date").alias("event_date"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )

@@ -133,3 +133,56 @@ def test_rest_paged_source(spark, fixture_pages):
     assert df.count() == 4500
     agg = df.agg(F.max("case_number").alias("mx"), F.countDistinct("county").alias("nc")).first()
     assert agg.mx == 4499 and agg.nc == 7
+
+
+def test_rest_paged_stream_incremental(spark, tmp_path):
+    """Streaming REST source: row count is the offset — a restarted
+    stream (same checkpoint) ingests ONLY rows added since the last
+    batch (the incremental semantics the reference approximated with
+    max-key filtering, cv.py:104-110)."""
+    import json as _json
+
+    from covid_19_fl_spark.sources import rest
+
+    pages = tmp_path / "pages"
+    pages.mkdir()
+
+    def write_pages(total):
+        (pages / "count.json").write_text(_json.dumps({"count": total}))
+        for off in range(0, total, 2000):
+            feats = [
+                {"attributes": {"case_number": i, "county": f"C{i % 7}"}}
+                for i in range(off, min(off + 2000, total))
+            ]
+            (pages / f"page_{off}.json").write_text(_json.dumps({"features": feats}))
+
+    rest.register(spark)
+
+    def run_batch():
+        stream = (
+            spark.readStream.format("rest_paged")
+            .schema("case_number BIGINT, county STRING")
+            .option("transport", "fixture")
+            .option("fixture_dir", str(pages))
+            .option("page_size", "2000")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_pages(4000)
+    run_batch()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 4000
+
+    write_pages(6000)  # 2000 new rows arrive at the source
+    run_batch()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 6000  # only the delta was ingested
+    assert out.select("case_number").distinct().count() == 6000  # no re-reads
