@@ -54,9 +54,11 @@ def main() -> None:
     spark = get_spark("covid_19_fl_spark-bench")
     names = [n for n in HEADLINE if n in suite.QUERIES]
 
-    # Warm the JVM + parquet footer caches once so per-query numbers
-    # measure the plan, not first-touch JIT/IO noise.
-    suite.QUERIES[names[0]](spark, sf_dir).count()
+    # One untimed pass first: JIT/codegen compilation, parquet footer
+    # caches, and Python-worker startup all land here, so the timed
+    # pass measures steady-state plan execution (JMH-style warmup).
+    for name in names:
+        suite.QUERIES[name](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -111,3 +111,38 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
             )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_bytes", T.LongType(), False),
+        T.StructField("frame_payload", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling plumbing: each payload → ``n_frames`` equal byte
+    slices (the video frame-sample / audio-window shape: one input row
+    fans out to N payload rows). Real framing needs a demuxer — the
+    byte-slice stand-in keeps the Spark contract (mapInPandas 1→N row
+    expansion, binary slices, deterministic sizes) fully exercised.
+    Map-only stage; output partitioning inherits the input's."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_payload": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                chunk = -(-n // n_frames)  # ceil
+                for i in range(n_frames):
+                    piece = payload[i * chunk : (i + 1) * chunk]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_bytes"].append(len(piece))
+                    rows["frame_payload"].append(bytes(piece))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)

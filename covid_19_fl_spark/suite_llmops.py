@@ -417,3 +417,24 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", "lang", id_window=25, n=3, threshold=0.1
     )
     return dedup.dup_clusters(pairs.select("id_a", "id_b"))
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+           greatest(0, least(CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT),
+                             octet_length(encode(text))
+                             - i * CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT)))
+             AS frame_bytes
+    FROM documents, generate_series(0, 3) AS t(i)
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing through the real mapInPandas path: each
+    payload fans out to 4 byte slices. The oracle cross-checks the
+    emitted slice sizes against closed-form byte arithmetic — proving
+    the Python batch iterator actually sliced what it claimed."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.to_media(docs)
+    return multimodal.sample_frames(media, 4).select("doc_id", "frame_idx", "frame_bytes")

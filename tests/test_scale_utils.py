@@ -1,0 +1,100 @@
+"""Skew-mitigation and physical-layout tests (SURVEY §4.3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from covid_19_fl_spark.operators.skew import salted_distinct_agg, salted_join
+from covid_19_fl_spark.plans import layout
+
+
+@pytest.fixture()
+def skewed(spark):
+    # 90% of rows share one hot key — the Dade/Broward shape.
+    big = spark.range(0, 20_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("HOT")).otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 50).cast("string"))
+        ).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame(
+        [("HOT", 1.0)] + [(f"k{i}", float(i)) for i in range(50)], "k string, w double"
+    )
+    return big, small
+
+
+def test_salted_join_matches_plain_join(spark, skewed):
+    big, small = skewed
+    plain = big.join(small, "k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv"), F.sum("w").alias("sw")
+    ).first()
+    salted = salted_join(big, small, "k", buckets=8).agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv"), F.sum("w").alias("sw")
+    ).first()
+    assert (plain.n, plain.sv, plain.sw) == (salted.n, salted.sv, salted.sw)
+
+
+def test_salted_join_spreads_hot_key(spark, skewed):
+    big, _ = skewed
+    from covid_19_fl_spark.operators.skew import _row_salt
+
+    buckets = (
+        big.filter(F.col("k") == "HOT")
+        .withColumn("_salt", _row_salt(big, 8))
+        .groupBy("_salt").count()
+    )
+    rows = buckets.collect()
+    assert len(rows) == 8                      # hot key occupies all salts
+    assert max(r["count"] for r in rows) < 0.25 * 18_000  # roughly even
+
+
+def test_salted_distinct_agg_exact(spark, skewed):
+    big, _ = skewed
+    plain = {
+        r.k: r.n
+        for r in big.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    salted = {r.k: r.n_distinct for r in salted_distinct_agg(big, "k", "v").collect()}
+    assert plain == salted
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    from covid_19_fl_spark import tables
+
+    orders = tables.load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = tables.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    layout.write_bucketed(orders, "t_orders_b", "o_orderkey", 8)
+    layout.write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "t_lineitem_b", "o_orderkey", 8
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        joined = layout.colocated_join(spark, "t_orders_b", "t_lineitem_b", "o_orderkey")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # Matching bucketing on both sides: SortMergeJoin with ZERO
+        # shuffles — the 100 TB co-location payoff, verified.
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_partitioned_write_prunes(spark, tmp_path, sf_dir):
+    from covid_19_fl_spark import tables
+
+    events = tables.load(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    layout.write_date_partitioned(events, str(tmp_path / "ev"), ["event_date"])
+    q = spark.read.parquet(str(tmp_path / "ev")).filter(
+        F.col("event_date") == "2024-01-01"
+    )
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "PartitionFilters" in plan and "event_date" in plan.split("PartitionFilters")[1][:200]
+    assert q.count() > 0
