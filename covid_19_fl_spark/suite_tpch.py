@@ -336,3 +336,117 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — scalar MAX subquery over a derived revenue
+    view. The per-supplier aggregate is computed once; the scalar max
+    re-reads the same exchange (Catalyst ReusedExchange), then an equi
+    filter — decimal-exact revenue makes the max unambiguous."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        supplier.join(rev, supplier.s_suppkey == rev.l_suppkey)
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / 7.0, 6)
+             AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_type = 'SMALL'
+      AND l_quantity < (
+        SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated AVG subquery, decorrelated to a
+    per-part aggregate joined back to the fact (what Catalyst does to
+    the SQL form; written explicitly in the DataFrame form). The
+    quantity threshold comparison is against an exact half-average
+    (l_quantity is integral-valued in the corpus, so avg/2 is exact in
+    double and both engines agree on boundary rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_small = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        (F.sum(F.col("l_quantity").cast("decimal(28,2)"))
+         / F.count("l_quantity")).cast("double").alias("avg_qty")
+    )
+    return (
+        li.join(part_small, li.l_partkey == part_small.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pp_key"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).cast("double") / 7.0,
+                6,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    oracle="""
+    WITH thresh AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS totacctbal
+    FROM customer, thresh
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY 1
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — NOT EXISTS becomes a left-anti join; the
+    global-average threshold is a broadcast 1-row scalar (decimal-exact
+    so both engines agree on boundary rows); segment rollup on the
+    survivors."""
+    customer = _t(spark, sf_dir, "customer")
+    orders_keys = _t(spark, sf_dir, "orders").select("o_custkey")
+    thresh = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(28,2)")) / F.count("*"))
+        .cast("double")
+        .alias("avg_bal")
+    )
+    return (
+        customer.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders_keys, customer.c_custkey == orders_keys.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(28,2)")).cast("double").alias("totacctbal"),
+        )
+    )
