@@ -155,13 +155,15 @@ def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
         def seeded_min(k: int):
             # closure factory, NOT a defaulted lambda param: PySpark
             # treats a 2-arg lambda as the (element, index) form and
-            # would silently shadow the seed
-            prefix = F.lit(f"{k}:")
-            return F.array_min(F.transform(sh, lambda s: F.hash(F.concat(prefix, s))))
+            # would silently shadow the seed. Seeded family murmur3(k,
+            # murmur3(s)) — same values as minhash_lsh_pairs' agg path.
+            # sh is the pre-hashed shingle array: h = murmur3(s)
+            return F.array_min(F.transform(sh, lambda h: F.hash(F.lit(k), h)))
 
         return F.array(*[seeded_min(k) for k in range(num_hashes)])
 
-    return F.element_at(F.transform(F.array(shingles), body), 1)
+    hashed = F.transform(shingles, lambda s: F.hash(s))
+    return F.element_at(F.transform(F.array(hashed), body), 1)
 
 
 def minhash_lsh_pairs(
@@ -190,9 +192,13 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("s"),
     )
-    sigs = shingled.groupBy("doc_id").agg(
+    # Seeded hash = murmur3 over (seed, token-hash) int columns — no
+    # per-seed string concat (hashing ints is ~5× cheaper than building
+    # and hashing a prefixed copy of every shingle, × 32 seeds).
+    sh_hashed = shingled.select("doc_id", F.hash("s").alias("sh"))
+    sigs = sh_hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.hash(F.concat(F.lit(f"{k}:"), F.col("s")))).alias(f"h{k}")
+            F.min(F.hash(F.lit(k), F.col("sh"))).alias(f"h{k}")
             for k in range(num_hashes)
         ]
     )
@@ -203,11 +209,9 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
+                        # band key: murmur3 over the band's signature ints
                         F.hash(
-                            F.concat_ws(
-                                ",",
-                                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
-                            )
+                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
                         ).alias("band_hash"),
                     )
                     for b in range(bands)

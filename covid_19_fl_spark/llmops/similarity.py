@@ -43,25 +43,57 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force cosine top-k neighbors for each query id.
 
+    The query matrix (|queries|×dims — a handful of rows by contract)
+    is collected once and shipped into an Arrow-batched ``mapInPandas``
+    scoring pass: each corpus batch computes ``M @ Q.T`` with numpy and
+    emits only its LOCAL top-k per query, so the per-partition stage is
+    a vectorized matmul and at most |queries|·k rows per batch reach
+    the final global top-k (a window over a tiny intermediate). The
+    corpus itself never shuffles.
+
     Deterministic ranking: (rounded cosine desc, neighbor id asc) —
     rounding first makes the rank robust to last-ulp float noise.
     """
-    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
     )
-    pairs = emb.alias("c").crossJoin(F.broadcast(queries)).filter(
-        F.col(id_col) != F.col("query_id")
-    )
-    scored = pairs.select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("qvec"), F.col(vec_col)), 6).alias("cos_sim"),
+    q_ids = np.array([r[0] for r in q_rows])
+    Q = np.stack([np.asarray(r[1], dtype="float64") for r in q_rows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            M = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            C = Mn @ Qn.T  # corpus-batch × queries
+            out = {"query_id": [], "neighbor_id": [], "cos_sim": []}
+            for j, qid in enumerate(q_ids):
+                col = np.round(C[:, j], 6)
+                mask = ids != qid
+                cand_ids, cand = ids[mask], col[mask]
+                # local top-k (cos desc, id asc) — order=(-cos, id)
+                order = np.lexsort((cand_ids, -cand))[:k]
+                out["query_id"].extend([qid] * len(order))
+                out["neighbor_id"].extend(cand_ids[order])
+                out["cos_sim"].extend(cand[order])
+            yield pd.DataFrame(out)
+
+    local = emb.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
