@@ -109,6 +109,7 @@ class ParquetTable:
     # -- internals ---------------------------------------------------------------
     def _swap(self, df: DataFrame) -> None:
         parent = os.path.dirname(os.path.abspath(self.path)) or "."
+        os.makedirs(parent, exist_ok=True)
         staging = os.path.join(
             tempfile.mkdtemp(dir=parent), f".staging-{uuid.uuid4().hex[:8]}"
         )

@@ -477,3 +477,64 @@ def x_pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, types)
     )
+
+
+@query(
+    "x_range_frame",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT order_date, n,
+           SUM(n) OVER (ORDER BY order_date
+                        RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+             AS trailing_week
+    FROM daily
+    """,
+)
+def x_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) window frame: trailing 7 calendar days —
+    distinct from a 7-ROW frame when dates have gaps. Spark needs an
+    orderable numeric for range frames, so the date is ordered as a
+    day number (datediff from epoch) with a [-6, 0] value range."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("order_date")).agg(
+        F.count("*").alias("n")
+    )
+    day_num = F.datediff(F.col("order_date"), F.lit("1970-01-01"))
+    w = Window.orderBy(day_num).rangeBetween(-6, 0)
+    return daily.select(
+        "order_date", "n", F.sum("n").over(w).alias("trailing_week")
+    )
+
+
+@query(
+    "x_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) * 2
+             + CAST(GROUPING(o_orderstatus) AS INTEGER) AS grouping_id
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), ())
+    """,
+)
+def x_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping_id disambiguation (rollup over
+    priority → status plus the grand total; null group keys are
+    distinguishable from null data via GROUPING)."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("x_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+               CAST(GROUPING(o_orderpriority) AS INT) * 2
+                 + CAST(GROUPING(o_orderstatus) AS INT) AS grouping_id
+        FROM x_gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+        """
+    )
