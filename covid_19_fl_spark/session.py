@@ -36,6 +36,8 @@ def get_spark(app_name: str = "covid_19_fl_spark", cpus: str | None = None) -> S
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # Managed tables (bucketing) land outside the repo tree.
         .config("spark.sql.warehouse.dir", "/tmp/covid_19_fl_spark-warehouse")
+        # Python Data Source pushFilters (REST source F5 pushdown).
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

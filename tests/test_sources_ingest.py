@@ -186,3 +186,56 @@ def test_rest_paged_stream_incremental(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == 6000  # only the delta was ingested
     assert out.select("case_number").distinct().count() == 6000  # no re-reads
+
+
+def test_rest_pushdown_builds_where_clause():
+    """pushFilters translates Catalyst filters into the ArcGIS where
+    dialect (the reference's F5 pushdown, cv-api.py:77) and returns all
+    filters so Spark re-applies them (best-effort contract)."""
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThan, In, IsNotNull, Not, StringStartsWith,
+    )
+    from pyspark.sql.types import StructType
+
+    from covid_19_fl_spark.sources.rest import RestPagedReader
+
+    reader = RestPagedReader(StructType([]), {"transport": "fixture"})
+    filters = [
+        EqualTo(("county",), "Dade"),
+        GreaterThan(("age",), 30),
+        Not(StringStartsWith(("case_label",), "NA")),
+        In(("sex",), ("Male", "Female")),
+        IsNotNull(("travel",)),
+        EqualTo(("location", "type"), "Point"),  # nested → not pushed
+    ]
+    remaining = list(reader.pushFilters(filters))
+    assert remaining == filters  # conservative re-application
+    w = reader.pushed_where
+    assert "county = 'Dade'" in w
+    assert "age > 30" in w
+    assert "case_label NOT LIKE 'NA%'" in w
+    assert "sex IN ('Male', 'Female')" in w
+    assert "travel IS NOT NULL" in w
+    assert "location" not in w  # nested attribute stays Spark-side
+
+
+def test_rest_pushdown_end_to_end_correct(spark, fixture_pages):
+    """Filters still evaluate correctly when the transport ignores the
+    pushed where-clause (fixtures replay everything)."""
+    from covid_19_fl_spark.sources import rest
+
+    rest.register(spark)
+    df = (
+        spark.read.format("rest_paged")
+        .schema("case_number BIGINT, county STRING, age INT")
+        .option("transport", "fixture")
+        .option("fixture_dir", fixture_pages)
+        .option("page_size", "2000")
+        .load()
+        .filter((F.col("age") > 50) & (F.col("county") == "C3"))
+    )
+    rows = df.collect()
+    assert all(r.age > 50 and r.county == "C3" for r in rows)
+    assert len(rows) == sum(
+        1 for i in range(4500) if i % 90 > 50 and i % 7 == 3
+    )
