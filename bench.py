@@ -26,6 +26,8 @@ HEADLINE = [
     "q4_priority_with_exists",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
     "q10_returned_items",
     "q14_promo_effect",
     "q18_large_volume_customers",
