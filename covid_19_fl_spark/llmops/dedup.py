@@ -219,9 +219,17 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
+    # Verify-side shingle sets carry murmur3 hashes, not strings: the
+    # candidate joins shuffle 4-byte ints instead of ~20-char strings
+    # and array_intersect compares ints. Jaccard over hashed sets equals
+    # Jaccard over the sets themselves barring a 32-bit collision
+    # between two distinct shingles of the same pair (~1e-7 per pair) —
+    # irrelevant for near-dup detection thresholds.
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col), n).alias("shingles"),
+        F.transform(
+            word_shingles(F.col(text_col), n), lambda s: F.hash(s)
+        ).alias("shingles"),
     )
 
     a = banded.select(F.col("doc_id").alias("id_a"), "band_idx", "band_hash")

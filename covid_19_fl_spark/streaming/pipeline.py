@@ -57,6 +57,46 @@ def daily_counts_stream(
     )
 
 
+def attribute_purchases(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "1 hour",
+    late_threshold: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase attributed to the
+    same user's clicks within the preceding ``attribution_window``.
+
+    Both sides carry watermarks so the join state is bounded: a click
+    can be dropped from state once no purchase within the window can
+    still arrive. The interval condition keeps it a state-store lookup
+    per key — no unbounded buffering.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", late_threshold)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", late_threshold)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}"))
+    )
+    return c.join(p, cond, "inner").select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+        "purchase_ts",
+    )
+
+
 def session_counts_stream(
     stream: DataFrame,
     key_col: str,

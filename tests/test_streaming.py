@@ -106,3 +106,37 @@ def test_daily_counts_window(spark, tmp_path, input_dir):
     # 5 rows, one duplicate resend of case 2 → it IS counted twice here
     # (windowed count has no key-dedup; pair with dedup_incremental for that)
     assert got == {"2020-03-13": 1, "2020-03-14": 3, "2020-03-15": 1}
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Stream-stream interval join: purchases attribute to same-user
+    clicks within the preceding hour; out-of-window clicks don't."""
+    import json as _json
+
+    clicks_dir = tmp_path / "clicks"
+    purch_dir = tmp_path / "purchases"
+    clicks_dir.mkdir(); purch_dir.mkdir()
+    (clicks_dir / "c.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"event_id": 1, "user_id": 7, "ts": "2024-01-01T10:00:00"},
+        {"event_id": 2, "user_id": 7, "ts": "2024-01-01T10:30:00"},
+        {"event_id": 3, "user_id": 7, "ts": "2024-01-01T08:00:00"},  # too old
+        {"event_id": 4, "user_id": 8, "ts": "2024-01-01T10:45:00"},  # other user
+    ]))
+    (purch_dir / "p.json").write_text(_json.dumps(
+        {"event_id": 100, "user_id": 7, "value": 9.99, "ts": "2024-01-01T11:00:00"}
+    ))
+    sch_c = "event_id LONG, user_id LONG, ts TIMESTAMP"
+    sch_p = "event_id LONG, user_id LONG, value DOUBLE, ts TIMESTAMP"
+    clicks = spark.readStream.schema(sch_c).json(str(clicks_dir))
+    purchases = spark.readStream.schema(sch_p).json(str(purch_dir))
+    joined = pipeline.attribute_purchases(clicks, purchases, "1 hour")
+    out = ParquetTable(spark, str(tmp_path / "out"))
+    q = (
+        joined.writeStream.foreachBatch(lambda b, _: out.append(b) if not b.isEmpty() else None)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.click_id for r in out.read().collect())
+    assert got == [1, 2]  # in-window same-user clicks only
