@@ -438,3 +438,93 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = multimodal.to_media(docs)
     return multimodal.sample_frames(media, 4).select("doc_id", "frame_idx", "frame_bytes")
+
+
+@query(
+    "ss_dim_stats",
+    oracle="""
+    SELECT CAST(pos - 1 AS INTEGER) AS dim,
+           ROUND(AVG(CAST(v AS DOUBLE)), 6) AS mean_v,
+           ROUND(stddev_samp(CAST(v AS DOUBLE)), 6) AS sd_v,
+           ROUND(MIN(CAST(v AS DOUBLE)), 6) AS min_v,
+           ROUND(MAX(CAST(v AS DOUBLE)), 6) AS max_v
+    FROM (SELECT unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY 1
+    """,
+)
+def ss_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (the whitening/normalization
+    pre-pass of a vector pipeline): posexplode → per-dim agg. The
+    shuffle carries dims × partial-agg rows, not vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("dim", "v"))
+    return ex.groupBy("dim").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v"),
+        F.round(F.stddev_samp(F.col("v").cast("double")), 6).alias("sd_v"),
+        F.round(F.min(F.col("v").cast("double")), 6).alias("min_v"),
+        F.round(F.max(F.col("v").cast("double")), 6).alias("max_v"),
+    )
+
+
+@query(
+    "tx_bigram_freq",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    bigrams AS (
+      SELECT unnest([ ws[i] || ' ' || ws[i+1]
+                      for i in generate_series(1, greatest(len(ws) - 1, 0)) ]) AS bigram
+      FROM w
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bigrams GROUP BY 1
+    ORDER BY n DESC, bigram ASC LIMIT 20
+    """,
+)
+def tx_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams: per-row bigram arrays (let-bound
+    tokens, no re-split), explode, count, TakeOrderedAndProject.
+    Deterministic tie-break (count desc, bigram asc)."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def bigrams(w):
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        )
+
+    arr = F.element_at(F.transform(F.array(text.words(F.col("text"))), bigrams), 1)
+    ex = docs.select(F.explode(arr).alias("bigram"))
+    return (
+        ex.groupBy("bigram").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "tx_len_histogram",
+    oracle=f"""
+    SELECT CAST(least(floor(len({_WORDS_SQL}) / 10), 10) AS INTEGER) AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(len({_WORDS_SQL})) AS min_tokens,
+           MAX(len({_WORDS_SQL})) AS max_tokens
+    FROM documents GROUP BY 1
+    """,
+)
+def tx_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (fixed-width buckets of 10, capped) —
+    the length-distribution snapshot every curation pass starts with."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = text.token_count(F.col("text"))
+    bucket = F.least(F.floor(n_tokens / 10), F.lit(10)).cast("int")
+    return (
+        docs.select(bucket.alias("bucket"), n_tokens.alias("nt"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("nt").alias("min_tokens"),
+            F.max("nt").alias("max_tokens"),
+        )
+    )
