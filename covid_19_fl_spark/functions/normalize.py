@@ -68,10 +68,16 @@ def epoch_ms_to_day(col: Column | str) -> Column:
     return F.date_trunc("DAY", F.timestamp_millis(c.cast("long")))
 
 
-def parse_date(col: Column | str, fmt: str = "M/d/yy") -> Column:
-    """P6 — string → date with explicit pattern (cv-csv.py:57,89; cv-api.py:156)."""
+def parse_date(col: Column | str, fmt: str = "M/d/yy", strict: bool = False) -> Column:
+    """P6 — string → date with explicit pattern (cv-csv.py:57,89; cv-api.py:156).
+
+    Default is TOLERANT (``try_to_date``): malformed input → null, to be
+    quarantined downstream (ingest.split_valid) — one bad row must not
+    abort a 100 TB ingest, which is exactly what ``to_date`` does under
+    Spark 4's default ANSI mode. ``strict=True`` restores the raising
+    behavior (the reference's strptime also raised)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.to_date(c, fmt)
+    return F.to_date(c, fmt) if strict else F.try_to_date(c, fmt)
 
 
 def guarded_ratio(num: Column, den: Column) -> Column:

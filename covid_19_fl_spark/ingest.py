@@ -58,6 +58,21 @@ def normalize_daily_stats(raw: DataFrame) -> DataFrame:
     )
 
 
+def split_valid(df: DataFrame, *required_cols: str) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split: rows where every ``required_col`` parsed
+    non-null vs. the quarantine remainder. The tolerant parse functions
+    (normalize.parse_date, digits_to_int) turn malformed input into
+    nulls; this routes those rows to a reject sink instead of silently
+    keeping (or fatally raising on) them."""
+    import functools
+    import operator
+
+    ok = functools.reduce(
+        operator.and_, [F.col(c).isNotNull() for c in required_cols]
+    )
+    return df.filter(ok), df.filter(~ok)
+
+
 def attach_location(cases: DataFrame, counties: DataFrame) -> DataFrame:
     """J1 — broadcast left-outer lookup join: county → GeoJSON location
     (the reference's ``locations.get(county, None)`` probe, cv-api.py:117;
