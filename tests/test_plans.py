@@ -106,3 +106,22 @@ def test_growth_sim_no_driver_loop(spark, sf_dir):
     # single job.
     plan = _plan(suite.QUERIES["g1_growth_sim"](spark, sf_dir))
     assert "Generate" in plan
+
+
+def test_q4_exists_compiles_to_semi_join(spark, sf_dir):
+    plan = _plan(suite.QUERIES["q4_priority_with_exists"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_q22_not_exists_compiles_to_anti_join(spark, sf_dir):
+    plan = _plan(suite.QUERIES["q22_dormant_customers"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    # the scalar threshold rides a broadcast, not a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_pivot_single_aggregation_pass(spark, sf_dir):
+    plan = _plan(suite.QUERIES["x_pivot_daily_types"](spark, sf_dir))
+    # declared pivot values → conditional aggs, one partial+final pair,
+    # NOT one aggregation per pivot value
+    assert plan.count("Exchange") <= 2
