@@ -31,6 +31,10 @@ HEADLINE = [
     "q10_returned_items",
     "q14_promo_effect",
     "q18_large_volume_customers",
+    "q9_product_profit",
+    "q13_customer_order_distribution",
+    "q19_disjunctive_revenue",
+    "q21_sole_blame_suppliers",
     "w1_cumulative_daily",
     "w2_cumulative_by_group",
     "w3_growth_rates",

@@ -560,3 +560,491 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(F.round(_dsum(share_num) / _dsum(volume), 6).alias("mkt_share"))
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    ), eur AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), eur_cost AS (
+      SELECT c.*, e.s_name, e.s_acctbal, e.n_name
+      FROM cost c JOIN eur e ON c.l_suppkey = e.s_suppkey
+    ), best AS (
+      SELECT l_partkey, MIN(unit_cost) AS min_cost
+      FROM eur_cost GROUP BY 1
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, min_cost
+    FROM eur_cost
+    JOIN best ON eur_cost.l_partkey = best.l_partkey
+             AND eur_cost.unit_cost = best.min_cost
+    JOIN part ON p_partkey = eur_cost.l_partkey
+    WHERE p_type = 'STANDARD' AND p_size = 15
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — min-cost supplier per part. The corpus has no
+    partsupp, so supply cost is derived: per (part, supplier) the MIN
+    observed unit price in lineitem (exact double MIN — no accumulation
+    order issues). The correlated MIN subquery decorrelates to a
+    per-part aggregate joined back on cost equality; supplier/nation/
+    region are broadcast dimensions. At 100 TB the cost derivation is
+    one partial+final agg over lineitem keyed by (partkey, suppkey) —
+    the same shuffle key as the join that follows, so AQE reuses the
+    partitioning."""
+    li = _t(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    eur = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eur_cost = cost.join(F.broadcast(eur), cost.l_suppkey == eur.s_suppkey)
+    best = eur_cost.groupBy(F.col("l_partkey").alias("bp_key")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") == 15)
+    )
+    return (
+        eur_cost.join(
+            best,
+            (eur_cost.l_partkey == best.bp_key)
+            & (eur_cost.unit_cost == best.min_cost),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "min_cost")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - 0.6 * p_retailprice * l_quantity
+                         AS DECIMAL(28,4))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-type profit by supplier nation and
+    year. No partsupp in the corpus, so cost is modeled as 60%% of
+    retail price × quantity (the per-row expression is exact at 4dp, so
+    the DECIMAL accumulation is order-independent). part filters on a
+    contains-pattern (no prefix → NOT pushable — the scan must still
+    prune columns); part joins by partkey (too big to broadcast at
+    100 TB), supplier/nation broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    supplier = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(_dsum(profit).alias("profit"))
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH eur_lines AS (
+      SELECT l_partkey, l_extendedprice, l_discount
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))
+                  AS DOUBLE) AS value
+      FROM eur_lines GROUP BY 1
+    ), total AS (
+      SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))
+                  AS DOUBLE) AS grand_total
+      FROM eur_lines
+    )
+    SELECT l_partkey, value
+    FROM per_part, total
+    WHERE value > 0.001 * grand_total
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — parts representing a significant share of a
+    region's traded value (no partsupp: value is discounted revenue of
+    lines sold by EUROPE suppliers). The HAVING-vs-global-fraction
+    scalar subquery becomes a 1-row broadcast; both the per-part and
+    grand totals accumulate in DECIMAL so the > comparison is
+    deterministic at any partition count. The grand total re-reads the
+    per-part aggregate's exchange (ReusedExchange), not the fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    eur_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    eur_lines = li.join(
+        F.broadcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    per_part = eur_lines.groupBy("l_partkey").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value")
+    )
+    total = per_part.agg(
+        F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("grand_total")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.lit(0.001) * F.col("grand_total"))
+        .select("l_partkey", "value")
+    )
+
+
+@query(
+    "q12_priority_by_returnflag",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — order-priority class counts per shipping
+    class (adapted: l_returnflag stands in for the missing l_shipmode;
+    quantity/ship-date window replaces the commit/receipt-date checks).
+    Both conditional counts share one aggregation pass over the join;
+    the returnflag and date filters push to the parquet scan."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_customer_order_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '5-LOW'
+      GROUP BY 1
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY 1
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — customer order-count distribution. LEFT OUTER
+    join keeps zero-order customers (COUNT of the null-extended key is
+    0); the '5-LOW' exclusion rides the join condition, not a WHERE
+    (a WHERE would turn the outer join inner — the classic Q13 trap).
+    Two-level aggregation: per-customer count shuffles on custkey, the
+    histogram shuffles |distinct counts| rows."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = customer.join(
+        orders,
+        (customer.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "5-LOW"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q16_supplier_count_by_part",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'LARGE'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — distinct supplier counts per part attribute
+    (lineitem is the part↔supplier bridge in lieu of partsupp; negative
+    account balance stands in for the complaints filter). NOT IN over a
+    non-null key set is a left-anti join; the distinct count is a
+    two-phase aggregate (dedup on the full key, then count) so no
+    single reducer sees all suppliers of a hot part."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "LARGE")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    complained = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(complained, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — three OR'd bracket predicates spanning both
+    join sides. Catalyst extracts the common single-side conjuncts
+    (l_quantity <= 30, p_size >= 1) below the join and keeps the cross-
+    side disjunction as the join residual — the classic test that OR
+    predicates don't block pushdown entirely."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30)
+        )
+    )
+    return joined.filter(bracket).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+@query(
+    "q21_sole_blame_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND r_name = 'EUROPE'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers solely responsible for returned
+    lines in finalized multi-supplier orders (l_returnflag='R' stands
+    in for the missing receipt-after-commit predicate). EXISTS/NOT
+    EXISTS over the same fact become a left-semi and a left-anti
+    self-join, both hash-partitioned on l_orderkey with the suppkey
+    inequality as residual — three scans of lineitem share one shuffle
+    key, so AQE reuses the exchange rather than reshuffling."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    eur = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey")
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o1_key"), F.col("l_suppkey").alias("s1_key")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key")
+    )
+    return (
+        l1.join(orders, F.col("o1_key") == F.col("o_orderkey"), "left_semi")
+        .join(
+            l2,
+            (F.col("o1_key") == F.col("o2_key")) & (F.col("s1_key") != F.col("s2_key")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("o1_key") == F.col("o3_key")) & (F.col("s1_key") != F.col("s3_key")),
+            "left_anti",
+        )
+        .join(F.broadcast(supplier), F.col("s1_key") == F.col("s_suppkey"))
+        .join(F.broadcast(eur), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "q20_excess_stock_suppliers",
+    oracle="""
+    WITH sold AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS supp_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    ), part_total AS (
+      SELECT l_partkey AS tp_key,
+             CAST(SUM(CAST(supp_qty AS DECIMAL(28,2))) AS DOUBLE) AS total_qty
+      FROM sold GROUP BY 1
+    ), dominant AS (
+      SELECT DISTINCT l_suppkey
+      FROM sold
+      JOIN part_total ON l_partkey = tp_key
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%' AND supp_qty > 0.5 * total_qty
+    )
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+    ORDER BY s_name
+    """,
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — suppliers dominating the supply of some part
+    family (no partsupp: a supplier qualifies when its shipped quantity
+    of a 'small%'-named part exceeds half the part's total shipped
+    quantity in the year). The nested IN chain is two stacked semi
+    joins; the per-(supp,part) and per-part aggregates share the
+    l_partkey shuffle key. Quantity sums accumulate in DECIMAL so the
+    >50% comparison is deterministic."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    sold = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(28,2)")).cast("double").alias("supp_qty")
+    )
+    part_total = sold.groupBy(F.col("l_partkey").alias("tp_key")).agg(
+        F.sum(F.col("supp_qty").cast("decimal(28,2)")).cast("double").alias("total_qty")
+    )
+    small_parts = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("small")
+    ).select("p_partkey")
+    dominant = (
+        sold.join(part_total, F.col("l_partkey") == F.col("tp_key"))
+        .join(F.broadcast(small_parts), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .filter(F.col("supp_qty") > F.lit(0.5) * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    asia_nations = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        supplier.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

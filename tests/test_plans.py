@@ -125,3 +125,35 @@ def test_pivot_single_aggregation_pass(spark, sf_dir):
     # declared pivot values → conditional aggs, one partial+final pair,
     # NOT one aggregation per pivot value
     assert plan.count("Exchange") <= 2
+
+
+def test_q19_disjunction_pushes_per_side_conjuncts(spark, sf_dir):
+    plan = _plan(suite.QUERIES["q19_disjunctive_revenue"](spark, sf_dir))
+    # the OR of brackets must not block pushdown: each scan gets the
+    # side-local disjunction, the cross-side residual rides the join
+    assert re.search(r"PushedFilters: \[.*Or\(.*l_quantity", plan)
+    assert re.search(r"PushedFilters: \[.*Or\(.*p_brand|PushedFilters: \[.*Or\(.*p_size", plan)
+
+
+def test_q13_left_outer_survives_join_condition_filter(spark, sf_dir):
+    plan = _plan(suite.QUERIES["q13_customer_order_distribution"](spark, sf_dir))
+    # the '5-LOW' exclusion lives in the join condition; it must push to
+    # the orders scan WITHOUT turning the outer join inner
+    assert "LeftOuter" in plan
+    assert "5-LOW" in plan and re.search(r"PushedFilters: \[.*5-LOW", plan)
+
+
+def test_q16_distinct_count_is_two_phase(spark, sf_dir):
+    plan = _plan(suite.QUERIES["q16_supplier_count_by_part"](spark, sf_dir))
+    # dedup on (group keys, suppkey) before the distinct count — no
+    # single reducer materializes all suppliers of a hot part
+    assert "LeftAnti" in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_q21_self_joins_and_topk(spark, sf_dir):
+    plan = _plan(suite.QUERIES["q21_sole_blame_suppliers"](spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+    # the l1 scan must push the returnflag filter
+    assert re.search(r"PushedFilters: \[.*EqualTo\(l_returnflag,R\)", plan)
