@@ -451,3 +451,49 @@ def simhash_pairs(
     return cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination (benchmark n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Training-set decontamination: corpus documents sharing any word
+    n-gram with a benchmark/holdout document, with the count of
+    distinct leaked shingles per document.
+
+    Both sides explode to distinct shingles; the equi-join on the
+    shingle key is the only shuffle, and the benchmark side (eval sets
+    are small — thousands of docs) broadcasts, so at 100 TB the corpus
+    side never reshuffles at all: scan → explode → broadcast-probe →
+    partial-agg. Swap the raw shingle string for xxhash64(shingle) to
+    shrink the build side when benchmark shingle mass grows; the string
+    form is kept here for oracle parity.
+    """
+    def shingles(df: DataFrame) -> DataFrame:
+        w = words(F.col(text_col))
+        sh = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - n + 1),
+                lambda i: F.array_join(F.slice(w, i, n), " "),
+            )
+        )
+        return (
+            df.filter(F.size(w) >= n)
+            .select(F.col(id_col), F.explode(sh).alias("shingle"))
+        )
+
+    bench_sh = shingles(benchmark).select("shingle").distinct()
+    return (
+        shingles(corpus)
+        .join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("n_leaked_shingles"))
+    )

@@ -63,3 +63,38 @@ def curation_filter(
         & lang.isin(*langs)
         & n_tokens.between(min_tokens, max_tokens)
     )
+
+
+def source_mix_weights(
+    df: DataFrame, group_col: str, size_col: Column
+) -> DataFrame:
+    """Static data-mixing weights per group (source/domain): each
+    group's token share and the up/down-sampling multiplier that would
+    equalize shares to the uniform target.
+
+    Two tiny aggregates: per-group integer token sums (exact — no
+    float accumulation), then a 1-row broadcast of (total, n_groups).
+    The fact table is scanned once; the output is |groups| rows, so
+    this is a scan-bound pass at any scale. Generalizes the reference's
+    per-capita normalization J2+P9 (cv-county-stats.py:57-66) from
+    population to token mass.
+    """
+    per = df.groupBy(group_col).agg(F.sum(size_col).alias("group_tokens"))
+    totals = per.agg(
+        F.sum("group_tokens").alias("_total"), F.count("*").alias("_n_groups")
+    )
+    return (
+        per.join(F.broadcast(totals))
+        .select(
+            group_col,
+            "group_tokens",
+            F.round(F.col("group_tokens").cast("double") / F.col("_total"), 6).alias(
+                "token_share"
+            ),
+            F.round(
+                (F.col("_total").cast("double") / F.col("_n_groups"))
+                / F.col("group_tokens"),
+                6,
+            ).alias("mix_weight"),
+        )
+    )

@@ -89,3 +89,42 @@ def fingerprint(col: Column) -> Column:
     """Canonical document fingerprint: md5 of the whitespace-collapsed,
     lower-cased text — the exact-dedup key."""
     return F.md5(F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")))
+
+
+def chunk_spans(
+    df, text_col: str, id_col: str, size: int = 32, stride: int = 24
+):
+    """Fixed-size token chunking with overlap — the pretraining
+    chunker. Emits one row per (doc, chunk): chunk index, 1-based
+    start-token position, actual token count (final chunk may be
+    short), and the chunk text.
+
+    Pure per-row higher-order expressions: sequence → transform →
+    explode, all inside the scan stage (the explode fans rows out
+    ~n_tokens/stride× but never shuffles). ``stride < size`` gives
+    overlapping chunks; the chunk count is 1 + ceil((n-size)/stride)
+    clamped at 1, which covers every token and never emits an empty
+    trailing chunk.
+    """
+    w = words(F.col(text_col))
+    n = F.size(w)
+    n_chunks = F.lit(1) + F.greatest(
+        F.ceil((n - F.lit(size)) / F.lit(float(stride))), F.lit(0)
+    )
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            (i * stride + 1).alias("start_tok"),
+            F.size(F.slice(w, i * stride + 1, size)).alias("n_tok"),
+            F.array_join(F.slice(w, i * stride + 1, size), " ").alias("chunk_text"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col,
+        F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.start_tok").cast("int").alias("start_tok"),
+        F.col("c.n_tok").alias("n_tok"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )

@@ -528,3 +528,87 @@ def tx_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nt").alias("max_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data mixing / chunking / decontamination
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sp_source_mix_weights",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, SUM(len({_WORDS_SQL})) AS group_tokens
+      FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT SUM(group_tokens) AS total, COUNT(*) AS n_groups FROM per
+    )
+    SELECT source, group_tokens,
+           ROUND(CAST(group_tokens AS DOUBLE) / total, 6) AS token_share,
+           ROUND((CAST(total AS DOUBLE) / n_groups) / group_tokens, 6) AS mix_weight
+    FROM per, tot
+    """,
+)
+def sp_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights: per-source token mass and the multiplier
+    that equalizes source shares to uniform — the static reweighting
+    pass of a corpus-mixing pipeline. Integer token sums are exact; the
+    totals ride a 1-row broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.source_mix_weights(docs, "source", text.token_count(F.col("text")))
+
+
+@query(
+    "tx_chunk_spans",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_idx,
+           CAST(i * 24 + 1 AS INTEGER) AS start_tok,
+           len(w[(i*24 + 1):(i*24 + 32)]) AS n_tok,
+           array_to_string(w[(i*24 + 1):(i*24 + 32)], ' ') AS chunk_text
+    FROM tok,
+         UNNEST(range(0, 1 + greatest(CAST(ceil((len(w) - 32) / 24.0) AS BIGINT), 0)))
+           AS t(i)
+    """,
+)
+def tx_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining chunker: 32-token chunks, stride 24 (8-token
+    overlap), final short chunk kept. sequence→transform→explode runs
+    inside the scan stage — the fan-out never crosses a shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.chunk_spans(docs, "text", "doc_id", size=32, stride=24)
+
+
+@query(
+    "dd_decontamination",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (SELECT doc_id, array_to_string(w[i:(i+4)], ' ') AS shingle
+            FROM tok, UNNEST(range(1, len(w) - 3)) AS t(i)
+            WHERE len(w) >= 5)
+    ), bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+    )
+    SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_leaked_shingles
+    FROM sh s JOIN bench b ON s.shingle = b.shingle
+    WHERE s.doc_id % 50 <> 0
+    GROUP BY 1
+    """,
+)
+def dd_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: corpus docs leaking any 5-gram into the
+    benchmark holdout (doc_id % 50 = 0 stands in for the eval set),
+    with distinct-leak counts. The benchmark shingle set broadcasts, so
+    the corpus side is scan → explode → broadcast-probe → agg with no
+    fact shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return dedup.decontaminate(corpus, bench, "text", "doc_id", n=5)

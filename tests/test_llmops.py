@@ -110,3 +110,55 @@ def test_multimodal_batch_plumbing(spark):
 def test_multimodal_decode_stub_raises(spark):
     with pytest.raises(NotImplementedError):
         multimodal._decode_payload(b"\x89PNG", "image/png")
+
+
+def test_chunk_spans_cover_every_token_exactly(spark):
+    from covid_19_fl_spark.llmops import text as tx
+
+    docs = tables.load(spark, "/root/testdata/sf0.001", "documents").limit(30)
+    n_tokens = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", tx.token_count(F.col("text")).alias("n")).collect()
+    }
+    chunks = tx.chunk_spans(docs, "text", "doc_id", size=32, stride=24).collect()
+    by_doc: dict[int, list] = {}
+    for c in chunks:
+        by_doc.setdefault(c.doc_id, []).append(c)
+    assert set(by_doc) == set(n_tokens)
+    for doc_id, cs in by_doc.items():
+        cs.sort(key=lambda c: c.chunk_idx)
+        covered = set()
+        for c in cs:
+            assert c.start_tok == c.chunk_idx * 24 + 1
+            assert len(c.chunk_text.split(" ")) == c.n_tok
+            covered.update(range(c.start_tok, c.start_tok + c.n_tok))
+        # every token covered, nothing past the end, no empty chunks
+        assert covered == set(range(1, n_tokens[doc_id] + 1)), doc_id
+        assert all(c.n_tok > 0 for c in cs)
+
+
+def test_decontaminate_flags_planted_leak_only(spark):
+    docs = tables.load(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    bench = docs.filter(F.col("doc_id") < 3)
+    base = docs.filter(F.col("doc_id") == 1).first()
+    leak = " ".join(base.text.split(" ")[:5])  # one benchmark 5-gram
+    corpus = docs.filter(F.col("doc_id") >= 3).select(
+        "doc_id",
+        F.when(F.col("doc_id") == 10, F.concat(F.lit("x y z w v u t s "), F.lit(leak)))
+        .otherwise(F.lit("totally unrelated words only aaa bbb ccc ddd eee fff"))
+        .alias("text"),
+    )
+    out = dedup.decontaminate(corpus, bench, "text", "doc_id", n=5).collect()
+    assert [(r.doc_id, r.n_leaked_shingles) for r in out] == [(10, 1)]
+
+
+def test_source_mix_weights_form_a_proper_distribution(spark):
+    from covid_19_fl_spark.llmops import sampling, text as tx
+
+    docs = tables.load(spark, "/root/testdata/sf0.001", "documents")
+    out = sampling.source_mix_weights(docs, "source", tx.token_count(F.col("text"))).collect()
+    assert abs(sum(r.token_share for r in out) - 1.0) < 1e-4
+    # weight × share == 1/n_groups for every group (up to rounding)
+    n = len(out)
+    for r in out:
+        assert abs(r.mix_weight * r.group_tokens / sum(x.group_tokens for x in out) - 1.0 / n) < 1e-6
