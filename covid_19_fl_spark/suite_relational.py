@@ -538,3 +538,126 @@ def x_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderpriority), ())
         """
     )
+
+
+@query(
+    "x_sessionization",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), marked AS (
+      SELECT user_id, ts, value,
+             SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM seq
+    )
+    SELECT user_id, session_seq, MIN(ts) AS session_start,
+           MAX(ts) AS session_end, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS session_value
+    FROM marked GROUP BY 1, 2
+    """,
+)
+def x_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: per-user sessions split at >30-minute
+    gaps — lag to measure the gap, then a running sum of session-start
+    markers numbers the sessions (the standard gaps-and-islands plan).
+    Both windows partition by user_id, so the whole query is one
+    shuffle on the user key followed by in-partition window + agg —
+    the batch twin of streaming/pipeline.py's session windows. Gap
+    arithmetic is integer microseconds (exact on both engines; float
+    epoch seconds would drift)."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        events.withColumn("session_seq", F.sum(is_new).over(wrun))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("session_value"),
+        )
+    )
+
+
+@query(
+    "x_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+      FROM events GROUP BY 1
+    )
+    SELECT cohort_date,
+           CAST(CAST(ts AS DATE) - cohort_date AS INTEGER) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen date, then
+    distinct-active counts per (cohort, day offset). The first-seen
+    aggregate and the join both key on user_id — one shuffle, reused;
+    the distinct count is two-phase. The classic product-analytics
+    rollup the reference's county cumulative curves approximate."""
+    events = _t(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_date")
+    )
+    return (
+        events.join(firsts, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_date")).alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@query(
+    "x_topk_per_group",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS event_date,
+             CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS day_value
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY day_value DESC, event_date) AS rk
+      FROM daily
+    )
+    SELECT event_type, event_date, day_value, rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def x_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group (K=3 best days per event type): rank window
+    over the pre-aggregated daily series, deterministic tie-break by
+    date. Unlike global top-k (TakeOrderedAndProject), per-group top-k
+    is a partitioned window — no single reducer sees all groups; the
+    DECIMAL-exact day values make the ranking order engine-portable."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("event_date")
+    ).agg(F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("day_value"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("day_value").desc(), F.col("event_date")
+    )
+    return daily.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
