@@ -85,6 +85,38 @@ def quality_score(col: Column) -> Column:
     )
 
 
+# PII scrub patterns, applied in order (email before phone before bare
+# digit runs, so an email's digits are consumed by the email rule).
+# RE2-compatible (no backrefs/lookarounds) so the same pattern strings
+# run verbatim on Spark (Java regex) and DuckDB (RE2) for the oracle.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+    (r"[0-9]+", "<NUM>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Chained regexp_replace PII scrub (emails, phone-shaped runs,
+    bare digit runs). Pure codegen'd string expressions — at 100 TB
+    this runs inside the scan stage; no UDF, no shuffle."""
+    out = col
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_hit_count(col: Column) -> Column:
+    """Count of PII matches the scrub would redact, same rule order
+    (each rule counts on the text left by the previous rules)."""
+    total = F.lit(0)
+    cur = col
+    for pat, token in PII_PATTERNS:
+        total = total + F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, token)
+    return total
+
+
 def fingerprint(col: Column) -> Column:
     """Canonical document fingerprint: md5 of the whitespace-collapsed,
     lower-cased text — the exact-dedup key."""

@@ -612,3 +612,101 @@ def dd_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     return dedup.decontaminate(corpus, bench, "text", "doc_id", n=5)
+
+
+_PII_ORACLE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_ORACLE_PHONE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+_PII_ORACLE_NUM = r"[0-9]+"
+
+
+@query(
+    "tx_pii_redaction",
+    oracle=f"""
+    WITH r1 AS (
+      SELECT event_id, props AS t0,
+             regexp_replace(props, '{_PII_ORACLE_EMAIL}', '<EMAIL>', 'g') AS t1
+      FROM events
+    ), r2 AS (
+      SELECT event_id, t0, t1,
+             regexp_replace(t1, '{_PII_ORACLE_PHONE}', '<PHONE>', 'g') AS t2
+      FROM r1
+    )
+    SELECT event_id,
+           regexp_replace(t2, '{_PII_ORACLE_NUM}', '<NUM>', 'g') AS redacted,
+           len(regexp_extract_all(t0, '{_PII_ORACLE_EMAIL}'))
+             + len(regexp_extract_all(t1, '{_PII_ORACLE_PHONE}'))
+             + len(regexp_extract_all(t2, '{_PII_ORACLE_NUM}')) AS n_redacted
+    FROM r2
+    """,
+)
+def tx_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the raw event payload: chained email → phone →
+    digit-run redaction plus a per-row hit count (here the synthetic
+    payloads only carry digit runs; the email/phone rules exercise the
+    same plumbing and match nothing). All codegen'd regexp_replace /
+    regexp_count inside the scan stage — the shape a 100 TB
+    pre-training scrub pass needs: no UDF, no shuffle, rule order
+    fixed so an email's digits never double-count as <NUM>."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        text.redact_pii(F.col("props")).alias("redacted"),
+        text.pii_hit_count(F.col("props")).cast("long").alias("n_redacted"),
+    )
+
+
+@query(
+    "ss_scalar_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, ve,
+             list_aggregate(list_transform(ve, x -> abs(x)), 'max') / 127.0 AS scale
+      FROM v
+    )
+    SELECT vec_id,
+           ROUND(scale, 12) AS scale,
+           CAST(list_aggregate(
+             list_transform(ve, x -> CAST(floor(x / scale + 0.5) AS BIGINT)),
+             'sum') AS BIGINT) AS qsum,
+           ROUND(list_aggregate(
+             list_transform(ve, x -> power(x - floor(x / scale + 0.5) * scale, 2)),
+             'sum') / len(ve), 12) AS mse
+    FROM s
+    """,
+)
+def ss_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the standard
+    4× ANN-index compression step: per-vector symmetric scale
+    max|x|/127, round-half-up quantize, and reconstruction MSE. All
+    higher-order array expressions (transform/aggregate) over the
+    float vector cast to double, folded left-to-right in array order
+    so the double sums are bit-identical on any engine; per-row math
+    inside the scan stage, no shuffle, no UDF. qsum is the checksum
+    of the quantized codes (what an index build would persist)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    emb = emb.select("vec_id", ve.alias("ve"))
+    scale = F.array_max(F.transform(F.col("ve"), lambda x: F.abs(x))) / F.lit(127.0)
+    emb = emb.select("vec_id", "ve", scale.alias("scale"))
+    qsum = F.aggregate(
+        F.transform(F.col("ve"), lambda x: F.floor(x / F.col("scale") + 0.5)),
+        F.lit(0).cast("long"),
+        lambda acc, q: acc + q,
+    )
+    sqerr = F.aggregate(
+        F.transform(
+            F.col("ve"),
+            lambda x: F.pow(x - F.floor(x / F.col("scale") + 0.5) * F.col("scale"), 2),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    return emb.select(
+        "vec_id",
+        F.round(F.col("scale"), 12).alias("scale"),
+        qsum.alias("qsum"),
+        F.round(sqerr / F.size(F.col("ve")), 12).alias("mse"),
+    )

@@ -661,3 +661,261 @@ def x_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day_value").desc(), F.col("event_date")
     )
     return daily.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+
+
+@query(
+    "x_gap_fill_ffill",
+    oracle="""
+    WITH span AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), spine AS (
+      SELECT event_type, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS event_date
+      FROM types, span
+    ), daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS event_date,
+             CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS day_value
+      FROM events WHERE value > 250 GROUP BY 1, 2
+    )
+    SELECT s.event_type, s.event_date, d.day_value,
+           LAST_VALUE(d.day_value IGNORE NULLS)
+             OVER (PARTITION BY s.event_type ORDER BY s.event_date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM spine s LEFT JOIN daily d
+      ON s.event_type = d.event_type AND s.event_date = d.event_date
+    """,
+)
+def x_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densify + forward fill: build the full
+    (type × day) date spine with sequence/explode, left-join the
+    sparse daily aggregate (high-value events only, so real gaps
+    exist at every SF), then carry the last observation forward with
+    last(ignorenulls) over a partitioned running frame. The spine is
+    |types|×|days| — tiny next to the facts — so it broadcasts; the
+    fact side is one shuffle into the (type) window. The standard
+    sensor/market-data gap-fill the reference's daily series never
+    needed because Mongo re-scanned the world each run."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    span = events.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    types = events.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(span)).select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("event_date")
+    )
+    daily = (
+        events.filter(F.col("value") > 250)
+        .groupBy("event_type", F.col("ts").cast("date").alias("event_date"))
+        .agg(F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("day_value"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["event_type", "event_date"], "left")
+        .withColumn("filled_value", F.last("day_value", ignorenulls=True).over(w))
+    )
+
+
+@query(
+    "x_scd2_build",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_id, ts, event_type
+      FROM seq WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type AS status, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+    FROM changes
+    """,
+)
+def x_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from a change-event stream:
+    consecutive-duplicate elimination (lag over user history), then
+    validity intervals via lead — open interval (null valid_to) marks
+    the current row. Both windows partition on user_id with the same
+    ordering, so the second window reuses the first's shuffle and
+    sort (one Exchange total): the scale-critical property, since at
+    100 TB the user history shuffle is the whole cost. This is the
+    distributed twin of the reference's per-case status refresh
+    (cv.py:127-132) which re-sent one Mongo update per changed row."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "x_range_join",
+    oracle="""
+    WITH buckets AS (
+      SELECT CAST(i AS INTEGER) AS bucket_id, i * 50.0 AS lo, (i + 1) * 50.0 AS hi
+      FROM (SELECT UNNEST(generate_series(0, 9)) AS i)
+    )
+    SELECT bucket_id, lo, hi, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS bucket_value
+    FROM events e JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY 1, 2, 3
+    """,
+)
+def x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: facts against interval buckets on a pure
+    inequality predicate — Spark's plan is BroadcastNestedLoopJoin,
+    correct whenever one side is small (here 10 rows; dims like tax
+    brackets, SLA tiers, date ranges). The docstring caveat IS the
+    scale design: a band join against a LARGE interval table must be
+    rewritten as an equi-join on a computed bin key (floor(value/w)),
+    which this query's fixed-width buckets make possible — the
+    inequality form is kept deliberately to exercise the operator."""
+    events = _t(spark, sf_dir, "events")
+    buckets = spark.range(10).select(
+        F.col("id").cast("int").alias("bucket_id"),
+        (F.col("id") * 50.0).alias("lo"),
+        ((F.col("id") + 1) * 50.0).alias("hi"),
+    )
+    return (
+        events.join(
+            F.broadcast(buckets),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("bucket_id", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("bucket_value"),
+        )
+    )
+
+
+@query(
+    "x_window_distribution",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(o_orderkey) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT order_date, n_orders,
+           NTILE(4)      OVER (ORDER BY n_orders, order_date) AS quartile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY n_orders, order_date), 12) AS pct_rank,
+           ROUND(CUME_DIST()    OVER (ORDER BY n_orders, order_date), 12) AS cume_dist,
+           FIRST_VALUE(n_orders) OVER (ORDER BY order_date
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_day_n,
+           LAST_VALUE(n_orders)  OVER (ORDER BY order_date
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_day_n
+    FROM daily
+    """,
+)
+def x_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile, percent_rank, cume_dist
+    plus first/last value over an unbounded frame — on the
+    post-aggregation daily series, with a deterministic tie-break
+    (count, then date) so ranks are engine-portable. Unpartitioned
+    windows are safe here by the §4.3 rule: they run on ≤ one row per
+    date, never on raw facts."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("order_date")).agg(
+        F.count("o_orderkey").alias("n_orders")
+    )
+    w_rank = Window.orderBy("n_orders", "order_date")
+    w_span = Window.orderBy("order_date").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return daily.select(
+        "order_date",
+        "n_orders",
+        F.ntile(4).over(w_rank).alias("quartile"),
+        F.round(F.percent_rank().over(w_rank), 12).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_rank), 12).alias("cume_dist"),
+        F.first("n_orders").over(w_span).alias("first_day_n"),
+        F.last("n_orders").over(w_span).alias("last_day_n"),
+    )
+
+
+@query(
+    "x_haversine_nearest",
+    oracle="""
+    WITH geo AS (
+      SELECT n_nationkey, n_name,
+             -60.0 + (n_nationkey % 13) * 9.5 AS lat,
+             -160.0 + ((n_nationkey * 27) % 73) * 4.0 AS lon
+      FROM nation
+    ), pairs AS (
+      SELECT a.n_name AS name, b.n_name AS other_name,
+             ROUND(2 * 6371.0088 * ASIN(SQRT(
+               POWER(SIN(RADIANS(b.lat - a.lat) / 2), 2)
+               + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                 * POWER(SIN(RADIANS(b.lon - a.lon) / 2), 2)
+             )), 6) AS dist_km
+      FROM geo a JOIN geo b ON a.n_nationkey <> b.n_nationkey
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY name
+                                   ORDER BY dist_km, other_name) AS rk
+      FROM pairs
+    )
+    SELECT name, other_name AS nearest, dist_km FROM ranked WHERE rk = 1
+    """,
+)
+def x_haversine_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo nearest-neighbor over the reference's GeoJSON data model
+    (county centroid points, florida_counties.json): deterministic
+    synthetic coordinates per nation, haversine distance in pure
+    column trig, then min-distance argmin per point via a ranked
+    window. Distances round to 6 dp (≈ 1 mm) before ranking so the
+    order is identical across libm implementations. The self-join is
+    broadcast (dims are tiny); a 100 TB point set would LSH/geohash-
+    bucket candidates first — same bucket-join shape as the near-dup
+    operators in llmops/dedup.py."""
+    from pyspark.sql import Window
+
+    nation = _t(spark, sf_dir, "nation")
+    geo = nation.select(
+        "n_nationkey",
+        "n_name",
+        (F.lit(-60.0) + (F.col("n_nationkey") % 13) * 9.5).alias("lat"),
+        (F.lit(-160.0) + ((F.col("n_nationkey") * 27) % 73) * 4.0).alias("lon"),
+    )
+    a, b = geo.alias("a"), geo.alias("b")
+    dlat = F.radians(F.col("b.lat") - F.col("a.lat"))
+    dlon = F.radians(F.col("b.lon") - F.col("a.lon"))
+    h = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(F.radians(F.col("a.lat"))) * F.cos(F.radians(F.col("b.lat")))
+        * F.pow(F.sin(dlon / 2), 2)
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.n_nationkey") != F.col("b.n_nationkey"))
+        .select(
+            F.col("a.n_name").alias("name"),
+            F.col("b.n_name").alias("other_name"),
+            F.round(2 * 6371.0088 * F.asin(F.sqrt(h)), 6).alias("dist_km"),
+        )
+    )
+    w = Window.partitionBy("name").orderBy("dist_km", "other_name")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("name", F.col("other_name").alias("nearest"), "dist_km")
+    )

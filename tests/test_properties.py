@@ -81,3 +81,93 @@ def test_stratified_take_exactly_k(spark):
     out = sampling.stratified_take(df, "lang", "doc_id", 10)
     counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert counts == {i: 10 for i in range(5)}
+
+
+def test_redact_pii_idempotent_and_order(spark):
+    """PII scrub: emails are consumed before the digit rule (no <NUM>
+    inside a redacted email), phone runs before bare digits, and
+    redacting twice equals redacting once (idempotence — the replace
+    tokens contain no redactable text)."""
+    from covid_19_fl_spark.llmops import text
+
+    rows = [
+        ("a@b.com wrote from +1 (555) 123-4567 at 12:30, id 987654",),
+        ("no pii here at all",),
+        ("edge 1 and user.name+tag@sub.domain.co and 42",),
+        ("",),
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    out = df.select(
+        F.col("t"),
+        text.redact_pii(F.col("t")).alias("r1"),
+        text.redact_pii(text.redact_pii(F.col("t"))).alias("r2"),
+        text.pii_hit_count(F.col("t")).alias("n"),
+    ).collect()
+    for row in out:
+        assert row.r1 == row.r2, row  # idempotent
+        if "@" in row.t:
+            assert "<EMAIL>" in row.r1 and "<EMAIL><NUM>" not in row.r1, row
+    by_t = {r.t: r for r in out}
+    assert by_t["no pii here at all"].n == 0
+    assert by_t[""].n == 0
+    first = by_t[rows[0][0]]
+    assert "<PHONE>" in first.r1 and "<EMAIL>" in first.r1
+
+
+def test_scd2_intervals_partition_history(spark, sf_dir):
+    """SCD2 build: per user, intervals are non-overlapping, ordered,
+    chain exactly (valid_to = next valid_from), and exactly one open
+    (is_current) row per user."""
+    from covid_19_fl_spark.suite_relational import x_scd2_build
+
+    rows = x_scd2_build(spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        opens = [r for r in ivs if r.is_current]
+        assert len(opens) == 1 and opens[0] is ivs[-1], user
+        for cur, nxt in zip(ivs, ivs[1:]):
+            assert cur.valid_to == nxt.valid_from, (user, cur, nxt)
+            assert cur.status != nxt.status, (user, cur, nxt)
+
+
+def test_gap_fill_dense_and_carries_forward(spark, sf_dir):
+    """Gap fill: output is a dense (type × day) grid; filled_value is
+    null only before the first observation and equals the most recent
+    non-null day_value everywhere else."""
+    from covid_19_fl_spark.suite_relational import x_gap_fill_ffill
+
+    rows = x_gap_fill_ffill(spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    n_days = {t: len(v) for t, v in by_type.items()}
+    assert len(set(n_days.values())) == 1  # same dense span per type
+    had_gap = False
+    for t, seq in by_type.items():
+        seq.sort(key=lambda r: r.event_date)
+        last = None
+        for r in seq:
+            if r.day_value is not None:
+                last = r.day_value
+            else:
+                had_gap = had_gap or last is not None
+            assert r.filled_value == last, (t, r)
+    assert had_gap  # the >250 filter must create real gaps at test SF
+
+
+def test_scalar_quantize_bounds(spark, sf_dir):
+    """Quantized codes fit int8 by construction (|q| ≤ 127) and the
+    reconstruction MSE is bounded by (scale/2)^2."""
+    from covid_19_fl_spark.suite_llmops import ss_scalar_quantize
+
+    rows = ss_scalar_quantize(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.scale > 0
+        assert r.mse <= (r.scale / 2) ** 2 + 1e-12, r
+        # qsum of 64 codes each in [-127,127]
+        assert abs(r.qsum) <= 127 * 64
