@@ -157,3 +157,47 @@ def test_q21_self_joins_and_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     # the l1 scan must push the returnflag filter
     assert re.search(r"PushedFilters: \[.*EqualTo\(l_returnflag,R\)", plan)
+
+
+def test_scd2_reuses_one_shuffle(spark, sf_dir):
+    """x_scd2_build: lag-dedup and lead-interval windows share the
+    (user_id) partitioning and (ts, event_id) ordering, so the whole
+    dimension build costs exactly ONE Exchange — the property that
+    makes it viable when the change stream is 100 TB."""
+    q = suite.QUERIES["x_scd2_build"](spark, sf_dir)
+    plan = _plan(q)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    # and both window operators are present over that one shuffle
+    assert len(re.findall(r"\bWindow\b|RunningWindowFunction", plan)) >= 1, plan
+
+
+def test_gap_fill_spine_broadcasts(spark, sf_dir):
+    """x_gap_fill_ffill: the (type × day) date spine joins the sparse
+    daily aggregate without shuffling the spine-side rows as a
+    sort-merge — the small side broadcasts."""
+    plan = _plan(suite.QUERIES["x_gap_fill_ffill"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_range_join_broadcasts_buckets(spark, sf_dir):
+    """x_range_join: the inequality join must be a broadcast nested
+    loop against the 10-row bucket table, never a cartesian shuffle."""
+    plan = _plan(suite.QUERIES["x_range_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pii_redaction_is_scan_stage_only(spark, sf_dir):
+    """tx_pii_redaction: pure per-row string expressions — zero
+    exchanges, zero Python (BatchEvalPython/ArrowEvalPython) nodes."""
+    plan = _plan(suite.QUERIES["tx_pii_redaction"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_scalar_quantize_no_shuffle_no_python(spark, sf_dir):
+    """ss_scalar_quantize: per-vector array HOFs stay in the scan
+    stage — no exchange, no Python eval."""
+    plan = _plan(suite.QUERIES["ss_scalar_quantize"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
