@@ -17,7 +17,7 @@ import zlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -146,3 +146,37 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def read_binary_media(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    mime: str = "application/octet-stream",
+) -> DataFrame:
+    """Object-store media ingest via Spark's native ``binaryFile``
+    source: one row per file with (path, modificationTime, length,
+    content) — the real entry point the `to_media` documents stand-in
+    mimics. The source parallelizes by file (each file one task,
+    bin-packed by size), pushes `pathGlobFilter` down so non-matching
+    objects are never opened, and never materializes a file list on
+    the driver — at 100 TB of media this is a listing-parallel scan,
+    with per-file rows feeding straight into extract_features /
+    sample_frames' mapInPandas stages.
+
+    Emits the MEDIA schema: payload + typed metadata struct, doc_id
+    from a content-independent hash of the path (stable across
+    re-listing)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    return raw.select(
+        F.xxhash64(F.col("path")).alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.col("path").alias("source"),
+            F.col("length").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )

@@ -919,3 +919,41 @@ def x_haversine_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("name", F.col("other_name").alias("nearest"), "dist_km")
     )
+
+
+@query("x_approx_distinct")  # rows-only: HLL++ estimates are engine-specific
+def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counting (HyperLogLog++), per event type
+    and exact-vs-approx side by side. At 100 TB, exact COUNT(DISTINCT)
+    shuffles every distinct key; the sketch is a few KB per group and
+    combines map-side like any partial agg — the only viable form for
+    high-cardinality rollups. rsd=0.01 → ~1% expected error (pytest
+    asserts the tolerance against the exact count; no cross-engine
+    oracle since estimates are implementation-defined)."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+    )
+
+
+@query("x_hll_sketch_rollup")  # rows-only: sketch bytes are engine-specific
+def x_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable cardinality sketches (Apache DataSketches HLL via
+    hll_sketch_agg): per-type user sketches, then hll_union_agg rolls
+    the partials up to a grand total WITHOUT rescanning the facts —
+    the pre-aggregation pattern that turns a 100 TB distinct-users
+    dashboard into a sketch-table union. The per-type and rolled-up
+    estimates are returned together (union of two one-level plans);
+    pytest bounds both against exact."""
+    events = _t(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    by_type = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("est_users")
+    )
+    total = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    ).select(F.lit("__all__").alias("event_type"), "est_users")
+    return by_type.unionByName(total)

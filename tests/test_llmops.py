@@ -162,3 +162,33 @@ def test_source_mix_weights_form_a_proper_distribution(spark):
     n = len(out)
     for r in out:
         assert abs(r.mix_weight * r.group_tokens / sum(x.group_tokens for x in out) - 1.0 / n) < 1e-6
+
+
+def test_binary_file_source_end_to_end(spark, tmp_path):
+    """binaryFile ingest: glob pushdown opens only matching files, the
+    MEDIA schema comes out typed, doc_id is stable across re-listing,
+    and the rows feed extract_features unchanged."""
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.img").write_bytes(b"\x89PNGfakepayload-a")
+    (d / "b.img").write_bytes(b"\x89PNGfakepayload-bb")
+    (d / "skip.txt").write_bytes(b"not media")
+
+    media = multimodal.read_binary_media(
+        spark, str(d), glob="*.img", mime="image/png"
+    )
+    rows = {r.meta.source.rsplit("/", 1)[-1]: r for r in media.collect()}
+    assert set(rows) == {"a.img", "b.img"}
+    assert rows["a.img"].meta.n_bytes == 17
+    assert rows["a.img"].meta.mime == "image/png"
+    assert bytes(rows["a.img"].payload) == b"\x89PNGfakepayload-a"
+
+    again = {r.meta.source.rsplit("/", 1)[-1]: r.doc_id
+             for r in multimodal.read_binary_media(spark, str(d), glob="*.img").collect()}
+    assert {k: v.doc_id for k, v in rows.items()} == again  # stable ids
+
+    # feature extraction consumes the same rows (text mime so the
+    # deterministic stand-in decode runs; image decode stays stubbed)
+    as_text = multimodal.read_binary_media(spark, str(d), glob="*.img", mime="text/plain")
+    feats = multimodal.extract_features(as_text).collect()
+    assert len(feats) == 2 and all(len(f.feature) == 8 for f in feats)

@@ -171,3 +171,34 @@ def test_scalar_quantize_bounds(spark, sf_dir):
         assert r.mse <= (r.scale / 2) ** 2 + 1e-12, r
         # qsum of 64 codes each in [-127,127]
         assert abs(r.qsum) <= 127 * 64
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    """HLL++ at rsd=0.01 must land within 5% of exact on every group
+    (generous vs the 1% target to keep the test unflaky across Spark
+    versions — estimates are deterministic for fixed data)."""
+    from covid_19_fl_spark.suite_relational import x_approx_distinct
+
+    for r in x_approx_distinct(spark, sf_dir).collect():
+        assert abs(r.approx_users - r.exact_users) <= max(2, 0.05 * r.exact_users), r
+
+
+def test_hll_sketch_union_matches_exact_total(spark, sf_dir):
+    """DataSketches HLL: per-type estimates and the union-rollup total
+    each within 5% of exact; the union must estimate the DISTINCT
+    union (≤ sum of parts), not the sum."""
+    from covid_19_fl_spark.suite_relational import x_hll_sketch_rollup
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact_by = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type").agg(
+            F.count_distinct("user_id").alias("n")
+        ).collect()
+    }
+    exact_total = events.select("user_id").distinct().count()
+    got = {r.event_type: r.est_users for r in x_hll_sketch_rollup(spark, sf_dir).collect()}
+    for t, exact in exact_by.items():
+        assert abs(got[t] - exact) <= max(2, 0.05 * exact), (t, got[t], exact)
+    assert abs(got["__all__"] - exact_total) <= max(2, 0.05 * exact_total)
+    assert got["__all__"] <= sum(exact_by.values()) + 2
