@@ -70,3 +70,48 @@ def running_totals(
         outputMode="update",
         timeoutConf=getattr(GroupStateTimeout, timeout),
     )
+
+
+def running_totals_tws(stream: DataFrame, key_col: str) -> DataFrame:
+    """`running_totals` on the Spark 4 arbitrary-state API
+    (``transformWithStateInPandas`` + ``StatefulProcessor``): typed
+    value state, explicit lifecycle, optional per-state TTL — the
+    successor to applyInPandasWithState's single blob state. State
+    lives in the state store keyed by the shuffle key, so at scale the
+    operator is bounded by distinct keys, not stream volume; both
+    variants are kept so the suite pins the old and new contracts.
+
+    Runtime note: the transformWithState worker protocol needs
+    ``protobuf`` on the Python workers; environments without it should
+    use ``running_totals`` (applyInPandasWithState) — same semantics.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotal(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._total = handle.getValueState("total", "total LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = 0
+            for pdf in rows:
+                n += len(pdf)
+            total = self._total.get()[0] if self._total.exists() else 0
+            total += n
+            self._total.update((total,))
+            yield pd.DataFrame(
+                {"key": [key[0]], "batch_rows": [n], "running_total": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    keyed = stream.selectExpr(f"CAST({key_col} AS STRING) AS key", "*")
+    return keyed.groupBy("key").transformWithStateInPandas(
+        RunningTotal(),
+        outputStructType=RUNNING_TOTAL_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from covid_19_fl_spark.sinks.batch import ParquetTable
 from covid_19_fl_spark.streaming.stateful import running_totals
 
@@ -55,3 +57,100 @@ def test_running_totals_across_batches(spark, tmp_path):
     assert per_key["Broward"] == [(1, 1)]
     assert per_key["Alachua"] == [(1, 1)]
     assert per_key["Dade"] == [(2, 2), (1, 3)]  # state carried: 2 then 2+1
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs protobuf on the Python "
+    "worker (absent in this container); the operator is exercised "
+    "wherever the runtime ships it",
+)
+def test_running_totals_tws_across_batches(spark, tmp_path):
+    """Same contract as running_totals, on the Spark 4
+    transformWithStateInPandas API: typed value state carries the
+    total across micro-batches."""
+    from covid_19_fl_spark.streaming.stateful import running_totals_tws
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "b1.json").write_text(
+        "\n".join(
+            json.dumps({"county": c, "case_number": i})
+            for i, c in enumerate(["Dade", "Dade", "Broward"])
+        )
+    )
+    (d / "b2.json").write_text(
+        "\n".join(
+            json.dumps({"county": c, "case_number": 10 + i})
+            for i, c in enumerate(["Dade", "Alachua"])
+        )
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(d))
+    )
+    out = ParquetTable(spark, str(tmp_path / "out"))
+    q = (
+        running_totals_tws(stream, "county")
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda b, _: out.append(b) if not b.isEmpty() else None)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    per_key = {}
+    for r in out.read().collect():
+        per_key.setdefault(r.key, []).append((r.batch_rows, r.running_total))
+    for k in per_key:
+        per_key[k].sort(key=lambda t: t[1])
+    assert per_key["Broward"] == [(1, 1)]
+    assert per_key["Alachua"] == [(1, 1)]
+    assert per_key["Dade"] == [(2, 2), (1, 3)]
+
+
+def test_dedup_bounded_state_drops_near_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: redelivered keys inside the
+    window are dropped; the first occurrence of each key survives."""
+    from covid_19_fl_spark.streaming.pipeline import dedup_bounded_state
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "b1.json").write_text(
+        "\n".join(
+            json.dumps({"k": k, "ts": f"2024-01-01T00:0{i}:00.000Z"})
+            for i, k in enumerate(["a", "a", "b"])
+        )
+    )
+    (d / "b2.json").write_text(
+        json.dumps({"k": "a", "ts": "2024-01-01T00:05:00.000Z"})  # redelivery
+        + "\n"
+        + json.dumps({"k": "c", "ts": "2024-01-01T00:06:00.000Z"})
+    )
+    stream = (
+        spark.readStream.schema("k STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(d))
+    )
+    out = ParquetTable(spark, str(tmp_path / "out"))
+    q = (
+        dedup_bounded_state(stream, ["k"], "ts", within="1 hour")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _: out.append(b) if not b.isEmpty() else None)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.k for r in out.read().collect())
+    assert got == ["a", "b", "c"]  # both in-batch and cross-batch dups dropped
