@@ -45,10 +45,15 @@ HEADLINE = [
     "j4_anti_join",
     "g1_growth_sim",
     "x_asof_join",
+    "x_sessionization",
+    "x_scd2_build",
+    "x_gap_fill_ffill",
     "dd_minhash_lsh_pairs",
     "dd_embedding_cosine",
     "ss_cosine_topk",
+    "ss_scalar_quantize",
     "tx_quality_scores",
+    "tx_pii_redaction",
 ]
 
 
