@@ -106,6 +106,21 @@ class ParquetTable:
             self.append(fresh)
         return n
 
+    def compact(self, rows_per_file: int = 1_000_000) -> int:
+        """Small-files compaction: rewrite the table into
+        ceil(rows / rows_per_file) files via an atomic staged swap.
+        Streaming foreachBatch appends and incremental append_new both
+        accrete one-file-per-batch — at 100 TB the resulting tiny-file
+        listing/open overhead dominates scan time, so compaction is a
+        first-class maintenance verb (OPTIMIZE in Delta terms). Uses
+        repartition (round-robin, no key) — size-balanced output files
+        regardless of data skew. Returns the output file count."""
+        df = self.read()
+        n = df.count()
+        n_files = max(1, -(-n // rows_per_file))
+        self._swap(df.repartition(n_files))
+        return n_files
+
     # -- internals ---------------------------------------------------------------
     def _swap(self, df: DataFrame) -> None:
         parent = os.path.dirname(os.path.abspath(self.path)) or "."

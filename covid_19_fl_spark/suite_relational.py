@@ -957,3 +957,45 @@ def x_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
     ).select(F.lit("__all__").alias("event_type"), "est_users")
     return by_type.unionByName(total)
+
+
+@query(
+    "x_unpivot",
+    oracle="""
+    WITH long AS (
+      SELECT l_returnflag, 'quantity' AS measure, CAST(l_quantity AS DECIMAL(28,4)) AS val
+      FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'extendedprice', CAST(l_extendedprice AS DECIMAL(28,4)) FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount', CAST(l_discount AS DECIMAL(28,4)) FROM lineitem
+    )
+    SELECT l_returnflag, measure,
+           COUNT(*) AS n, CAST(SUM(val) AS DOUBLE) AS total
+    FROM long GROUP BY 1, 2
+    """,
+)
+def x_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (the inverse of x_pivot_daily_types): three
+    measure columns melt into (measure, val) rows, then a keyed
+    aggregate. Spark's `unpivot` is a zero-shuffle projection — each
+    input row fans out to 3 in the scan stage, and the one exchange is
+    the 6-group aggregate (decimal-exact sums, so the melt order never
+    shows). The oracle spells the same melt as UNION ALL, the portable
+    form."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(28,4)").alias("quantity"),
+        F.col("l_extendedprice").cast("decimal(28,4)").alias("extendedprice"),
+        F.col("l_discount").cast("decimal(28,4)").alias("discount"),
+    ).unpivot(
+        ids=["l_returnflag"],
+        values=["quantity", "extendedprice", "discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count("*").alias("n"),
+        F.sum("val").cast("double").alias("total"),
+    )

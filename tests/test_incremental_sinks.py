@@ -112,3 +112,30 @@ def test_partitioned_table_prunes(spark, tmp_path):
     assert q.count() == 1
     # Partition filter must prune at scan time, not post-filter.
     assert "PartitionFilters: [isnotnull(series" in plan
+
+
+def test_compact_shrinks_files_preserves_rows(spark, tmp_path):
+    """compact(): many small append files collapse to the computed
+    file count; row set identical before/after; atomic swap leaves no
+    staging debris."""
+    import os
+
+    from covid_19_fl_spark.sinks.batch import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    for i in range(6):  # six tiny appends → ≥6 files
+        t.append(spark.range(i * 10, i * 10 + 10).toDF("id"))
+
+    def files():
+        return [
+            f for f in os.listdir(t.path)
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]
+
+    before = sorted(r.id for r in t.read().collect())
+    assert len(files()) >= 6
+    n_files = t.compact(rows_per_file=40)  # 60 rows → 2 files
+    assert n_files == 2
+    assert len(files()) == 2
+    assert sorted(r.id for r in t.read().collect()) == before
+    assert not [d for d in os.listdir(tmp_path) if d.startswith(".staging")]
