@@ -999,3 +999,214 @@ def x_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("val").cast("double").alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Completeness batch 2 — remaining "free via Spark" operators (SURVEY
+# §2.4/§2.5 "not present" rows: full-outer join, cube, conditional
+# aggregates, ordered string agg, lateral explode, arg-extremes,
+# unbounded value windows)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_cube_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def x_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate — all 2^2 grouping-set combinations in one pass.
+
+    Spark plans this as a single Expand + HashAggregate: each input row
+    fans out to 4 grouping-set rows map-side, partial aggregation
+    collapses them before the one exchange — no multi-pass union of
+    subtotal queries, which is what this replaces at 100 TB.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).cast("double").alias(
+            "total_price"
+        ),
+    )
+
+
+@query(
+    "x_full_outer_reconcile",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS n_shipments
+      FROM lineitem GROUP BY 1
+    )
+    SELECT COALESCE(o.d, s.d) AS d,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_shipments, 0) AS n_shipments
+    FROM o FULL JOIN s ON o.d = s.d
+    """,
+)
+def x_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation of two daily series (orders placed vs
+    lineitems shipped) — the audit-join the reference could not express
+    (SURVEY §2.4 "not present" row).
+
+    Both sides aggregate down to one row per day BEFORE the join, so
+    the full-outer join shuffles thousands of rows, not the fact
+    tables; at 100 TB the exchanges carry day-grain aggregates only.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count("*").alias("n_orders")
+    )
+    s = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.count("*").alias("n_shipments")
+    )
+    return o.join(s, "d", "full").select(
+        "d",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_shipments", F.lit(0)).alias("n_shipments"),
+    )
+
+
+@query(
+    "x_conditional_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) FILTER (c_acctbal > 0) AS n_positive,
+           bool_and(c_acctbal > -1000) AS all_above_floor,
+           bool_or(c_acctbal > 9000) AS any_premium,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) FILTER (c_acctbal > 0)
+                AS DOUBLE) AS positive_balance
+    FROM customer GROUP BY 1
+    """,
+)
+def x_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates (SQL FILTER clause family): count_if,
+    bool_and/bool_or, and a predicate-gated sum. All single-pass,
+    map-side-combined — the idiomatic replacement for N separate
+    filtered scans."""
+    customer = _t(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.count_if(F.col("c_acctbal") > 0).alias("n_positive"),
+        F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
+        F.bool_or(F.col("c_acctbal") > 9000).alias("any_premium"),
+        F.sum(
+            F.when(F.col("c_acctbal") > 0, F.col("c_acctbal").cast("decimal(28,2)"))
+        )
+        .cast("double")
+        .alias("positive_balance"),
+    )
+
+
+@query(
+    "x_string_agg",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n,
+           string_agg(c_name, ',' ORDER BY c_name) AS names
+    FROM customer GROUP BY 1
+    """,
+)
+def x_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg). collect_list order is
+    partition-dependent in a distributed run, so the engine always
+    sorts inside the aggregate (array_sort) before joining — the only
+    deterministic form at scale. Group cardinality is bounded (names
+    per nation), so the collected arrays stay small."""
+    customer = _t(spark, sf_dir, "customer")
+    return customer.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names"),
+    )
+
+
+@query(
+    "x_word_explode",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+    GROUP BY 1
+    """,
+)
+def x_word_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode (UNNEST) — split-to-rows then aggregate, the
+    word-count shape. explode runs inside the scan stage (generator in
+    whole-stage codegen, no shuffle); the only exchange is the word
+    aggregate with map-side partials."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "x_min_max_by",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_name,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey DESC) AS rmax,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal ASC, c_custkey ASC) AS rmin
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           MAX(CASE WHEN rmax = 1 THEN c_name END) AS richest,
+           MAX(CASE WHEN rmin = 1 THEN c_name END) AS poorest
+    FROM ranked GROUP BY 1
+    """,
+)
+def x_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregates (max_by/min_by) with a struct ordering
+    key for deterministic tie-breaks — one hash aggregate instead of
+    the sort-then-pick-first window the oracle spells out. At scale
+    this is the difference between a full sort and a single agg."""
+    customer = _t(spark, sf_dir, "customer")
+    key = F.struct("c_acctbal", "c_custkey")
+    return customer.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", key).alias("richest"),
+        F.min_by("c_name", key).alias("poorest"),
+    )
+
+
+@query(
+    "x_first_last_value",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def x_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over an unbounded frame with a unique sort
+    key (orderdate, orderkey) — every row annotated with its
+    partition's first/last/second price. One sort per partition,
+    distributed across priorities."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first_value("o_totalprice").over(w).alias("first_price"),
+        F.last_value("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
