@@ -98,3 +98,48 @@ def test_partitioned_write_prunes(spark, tmp_path, sf_dir):
     spark.conf.unset("spark.sql.maxMetadataStringLength")
     assert "PartitionFilters" in plan and "event_date" in plan.split("PartitionFilters")[1][:200]
     assert q.count() > 0
+
+def test_clustered_write_ranges_disjoint(spark, tmp_path, sf_dir):
+    """write_clustered must give each data file a disjoint key range
+    (the property min/max footer pruning depends on)."""
+    from covid_19_fl_spark import tables
+
+    path = str(tmp_path / "cl")
+    layout.write_clustered(
+        tables.load(spark, sf_dir, "lineitem"), path, ["l_shipdate"], files=6
+    )
+    ranges = layout.clustered_file_ranges(path, "l_shipdate")
+    assert len(ranges) >= 2
+    for (lo, hi), (nlo, nhi) in zip(ranges, ranges[1:]):
+        assert lo <= hi and nlo <= nhi
+    ordered = sorted(ranges)
+    assert all(b[0] >= a[1] for a, b in zip(ordered, ordered[1:]))
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """With runtime filters on and broadcast off (forcing a shuffle
+    join), Catalyst must inject a might_contain predicate on the fact
+    side — pre-shuffle row pruning by the dimension's selective
+    filter."""
+    from covid_19_fl_spark import tables
+
+    layout.with_runtime_filters(spark)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = tables.load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = tables.load(spark, sf_dir, "lineitem")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan.lower()
+        # and the filtered result still matches the plain join
+        assert j.count() == tables.load(spark, sf_dir, "lineitem").join(
+            tables.load(spark, sf_dir, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ).count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
