@@ -1210,3 +1210,47 @@ def x_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_value("o_totalprice").over(w).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+@query(
+    "x_dq_audit",
+    oracle="""
+    SELECT 'o_orderkey_unique' AS check_name,
+           COUNT(*) - COUNT(DISTINCT o_orderkey) AS violations FROM orders
+    UNION ALL
+    SELECT 'o_custkey_referential', COUNT(*) FROM orders
+    WHERE o_custkey IS NOT NULL
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'l_quantity_in_range',
+           COUNT(*) FILTER (NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE))
+    FROM lineitem
+    UNION ALL
+    SELECT 'o_orderstatus_accepted_values',
+           COUNT(*) FILTER (NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE))
+    FROM orders
+    UNION ALL
+    SELECT 'c_name_not_null', COUNT(*) FILTER (c_name IS NULL) FROM customer
+    """,
+)
+def x_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit over the corpus (quality.py): unique key,
+    referential integrity, range, domain, and not-null constraints —
+    each one distributed aggregate, the report a union of scalars.
+    The reference had zero validation (SURVEY §5.1); this is the
+    engine-native replacement."""
+    from . import quality as dq
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    report = dq.audit(
+        [
+            dq.unique_key(orders, ["o_orderkey"], name="o_orderkey_unique"),
+            dq.referential(orders, "o_custkey", customer, "c_custkey"),
+            dq.in_range(li, "l_quantity", 1, 50),
+            dq.accepted_values(orders, "o_orderstatus", ["O", "F", "P"]),
+            dq.not_null(customer, "c_name"),
+        ]
+    )
+    return report.withColumnRenamed("check", "check_name")
