@@ -42,3 +42,66 @@ def get_spark(app_name: str = "covid_19_fl_spark", cpus: str | None = None) -> S
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_conf(
+    executors: int = 1000,
+    executor_cores: int = 4,
+    target_partition_mb: int = 128,
+    input_tb: float = 100.0,
+) -> dict[str, str]:
+    """The engine's execution posture at real scale — the config set a
+    100 TB deployment submits with (spark-submit --conf / cluster
+    template), derived from first principles rather than copied
+    defaults. Returned as a dict so jobs can layer it onto any builder;
+    local test sessions intentionally do NOT apply it.
+
+    Sizing logic:
+    - shuffle.partitions ≈ input / target partition size, so a full
+      100 TB shuffle lands ~128 MB per task — big enough to amortize
+      task overhead, small enough to never spill with 4-8 GB executors.
+      AQE coalesces below this for smaller intermediate shuffles, and
+      splits skewed partitions above it; the static number is only the
+      pre-runtime upper bound.
+    - maxPartitionBytes 256 MB: scan tasks two row-groups wide, halves
+      the scheduling load of a million-file table vs the 128 MB default.
+    - broadcast threshold 64 MB: every dimension in this engine
+      (nation/region/counties/date spines/band buckets) is << 64 MB;
+      fact tables are >> 1 GB, so the planner can never mis-broadcast
+      a fact side.
+    - Kryo + registrationRequired=false: shuffle/broadcast serialization
+      of the engine's only custom payloads (arrays, structs) without a
+      registration maintenance burden.
+    - speculation on: at 4000 concurrent tasks a single slow node
+      otherwise sets the stage's wall-clock (straggler tail).
+    - dynamicAllocation bounded [executors/4, executors]: streaming and
+      interactive phases release slots; shuffle tracking keeps map
+      output alive without an external shuffle service.
+    """
+    total_cores = executors * executor_cores
+    shuffle_parts = max(
+        total_cores * 2,  # ≥2 waves even if the estimate is off
+        int(input_tb * 1024 * 1024 / target_partition_mb),
+    )
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.sql.files.maxPartitionBytes": "256m",
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.speculation": "true",
+        "spark.speculation.multiplier": "3",
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.minExecutors": str(executors // 4),
+        "spark.dynamicAllocation.maxExecutors": str(executors),
+        "spark.dynamicAllocation.shuffleTracking.enabled": "true",
+        "spark.executor.cores": str(executor_cores),
+        "spark.executor.memory": "8g",
+        "spark.executor.memoryOverhead": "2g",
+        "spark.sql.parquet.compression.codec": "zstd",
+    }

@@ -143,3 +143,20 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+
+
+def test_cluster_conf_sizing(spark):
+    """cluster_conf derives shuffle fan-out from data volume and keeps
+    the local-vs-cluster posture consistent (AQE/UTC/Arrow in both)."""
+    from covid_19_fl_spark.session import cluster_conf
+
+    conf = cluster_conf(executors=1000, executor_cores=4, input_tb=100.0)
+    # 100 TB / 128 MB ≈ 800k shuffle partitions (≈128 MB per task).
+    assert int(conf["spark.sql.shuffle.partitions"]) == 100 * 1024 * 1024 // 128
+    assert conf["spark.sql.adaptive.enabled"] == "true"
+    assert conf["spark.sql.session.timeZone"] == "UTC"
+    # tiny inputs still get ≥2 waves of tasks
+    small = cluster_conf(executors=10, executor_cores=4, input_tb=0.001)
+    assert int(small["spark.sql.shuffle.partitions"]) == 80
+    # every value is a string (spark-submit --conf compatible)
+    assert all(isinstance(v, str) for v in conf.values())
