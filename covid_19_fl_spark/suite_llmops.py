@@ -672,7 +672,8 @@ def tx_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(ve, x -> CAST(floor(x / scale + 0.5) AS BIGINT)),
              'sum') AS BIGINT) AS qsum,
            ROUND(list_aggregate(
-             list_transform(ve, x -> power(x - floor(x / scale + 0.5) * scale, 2)),
+             list_transform(ve, x -> (x - floor(x / scale + 0.5) * scale)
+                                   * (x - floor(x / scale + 0.5) * scale)),
              'sum') / len(ve), 12) AS mse
     FROM s
     """,
@@ -699,14 +700,30 @@ def ss_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqerr = F.aggregate(
         F.transform(
             F.col("ve"),
-            lambda x: F.pow(x - F.floor(x / F.col("scale") + 0.5) * F.col("scale"), 2),
+            # (e * e), not pow(e, 2): JVM Math.pow and libm pow can
+            # disagree by 1 ulp, which the fold exposes at 12dp
+            # rounding boundaries; multiplication is IEEE-exact.
+            lambda x: (x - F.floor(x / F.col("scale") + 0.5) * F.col("scale"))
+            * (x - F.floor(x / F.col("scale") + 0.5) * F.col("scale")),
         ),
         F.lit(0.0),
         lambda acc, e: acc + e,
     )
-    return emb.select(
+    # Two-step projection on purpose: aliasing round(scale, 12) back to
+    # the name "scale" in the SAME select that evaluates the qsum/sqerr
+    # lambdas makes Spark resolve the lambdas' col("scale") references
+    # against the ROUNDED output column, not the child's unrounded one
+    # (name-shadow rebind; observed: mse off by 1 ulp at 12dp). Rounding
+    # in a separate shadow-free select resolves by expression id.
+    base = emb.select(
+        "vec_id",
+        "scale",
+        qsum.alias("qsum"),
+        (sqerr / F.size(F.col("ve"))).alias("mse_raw"),
+    )
+    return base.select(
         "vec_id",
         F.round(F.col("scale"), 12).alias("scale"),
-        qsum.alias("qsum"),
-        F.round(sqerr / F.size(F.col("ve")), 12).alias("mse"),
+        "qsum",
+        F.round(F.col("mse_raw"), 12).alias("mse"),
     )

@@ -192,3 +192,30 @@ def test_binary_file_source_end_to_end(spark, tmp_path):
     as_text = multimodal.read_binary_media(spark, str(d), glob="*.img", mime="text/plain")
     feats = multimodal.extract_features(as_text).collect()
     assert len(feats) == 2 and all(len(f.feature) == 8 for f in feats)
+
+
+def test_hof_lambda_alias_shadowing_hazard_avoided(spark):
+    """Regression for ss_scalar_quantize's 1-ulp mse drift at sf0.1:
+    when a select aliases round(x, ...) back to the SAME name x that a
+    higher-order-function lambda in that select references, Spark
+    resolves the lambda against the rounded output column instead of
+    the child's unrounded one. The suite avoids the shape; this pins
+    the engine behavior so a regression (or an upstream fix) is loud.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, [10.0, 20.0], 3.456789)], "id long, v array<double>, s double")
+    folded = F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x / F.col("s"))
+
+    # shadow-free two-step projection: lambda sees the raw s
+    clean = (
+        df.select("id", "s", folded.alias("f"))
+        .select("id", F.round("s", 1).alias("s"), "f")
+        .collect()[0]
+    )
+    assert clean.f == 10.0 / 3.456789 + 20.0 / 3.456789
+
+    # single-select shadowing: documents the rebind (lambda sees
+    # round(s, 1) = 3.5); if Spark ever fixes this, flip the assert
+    shadowed = df.select("id", F.round("s", 1).alias("s"), folded.alias("f")).collect()[0]
+    assert shadowed.f == 10.0 / 3.5 + 20.0 / 3.5
