@@ -174,6 +174,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     n: int = 3,
     threshold: float = 0.5,
+    cache_base: bool = True,
 ) -> DataFrame:
     """MinHash LSH near-dup pairs: signature → band buckets →
     equi-join on (band_idx, band_hash) → verify with exact Jaccard.
@@ -182,20 +183,33 @@ def minhash_lsh_pairs(
     Jaccard s collides in ≥1 band with prob 1-(1-s^r)^bands.
     """
     rows_per_band = num_hashes // bands
+    # Hashed-shingle base (doc_id, array<int>) computed ONCE and shared
+    # by the signature and verify paths — shingling (tokenize + n-gram
+    # string build) is the dominant scalar cost, and without the shared
+    # base each path re-shingles the full corpus in its own scan.
+    # MEMORY_AND_DISK cache: the base is the classic "materialized
+    # signatures" stage of an LSH pipeline; at cluster scale it spills
+    # to local disk instead of recomputing, and LRU eviction frees it
+    # under pressure (callers needing tighter control can unpersist via
+    # the returned plan's source or run with cache_base=False).
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            word_shingles(F.col(text_col), n), lambda s: F.hash(s)
+        ).alias("shingles"),
+    )
+    if cache_base:
+        base = base.cache()
     # Signatures via explode → codegen'd hash → hash-agg, NOT a per-row
     # higher-order fold: HOF lambdas run on the interpreted expression
     # path (~2 ms/doc measured — 10× the whole rest of the query), while
     # explode+min-agg stays inside whole-stage codegen and the map-side
     # partial combine means one (id, 32 ints) row per doc crosses the
     # exchange — shuffle volume is O(docs), not O(shingles).
-    shingled = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
-    )
     # Seeded hash = murmur3 over (seed, token-hash) int columns — no
     # per-seed string concat (hashing ints is ~5× cheaper than building
     # and hashing a prefixed copy of every shingle, × 32 seeds).
-    sh_hashed = shingled.select("doc_id", F.hash("s").alias("sh"))
+    sh_hashed = base.select("doc_id", F.explode("shingles").alias("sh"))
     sigs = sh_hashed.groupBy("doc_id").agg(
         *[
             F.min(F.hash(F.lit(k), F.col("sh"))).alias(f"h{k}")
@@ -219,19 +233,12 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
-    # Verify-side shingle sets carry murmur3 hashes, not strings: the
-    # candidate joins shuffle 4-byte ints instead of ~20-char strings
-    # and array_intersect compares ints. Jaccard over hashed sets equals
-    # Jaccard over the sets themselves barring a 32-bit collision
-    # between two distinct shingles of the same pair (~1e-7 per pair) —
-    # irrelevant for near-dup detection thresholds.
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(
-            word_shingles(F.col(text_col), n), lambda s: F.hash(s)
-        ).alias("shingles"),
-    )
-
+    # Verify-side shingle sets carry murmur3 hashes, not strings (the
+    # shared base above): the candidate joins shuffle 4-byte ints
+    # instead of ~20-char strings and array_intersect compares ints.
+    # Jaccard over hashed sets equals Jaccard over the sets themselves
+    # barring a 32-bit collision between two distinct shingles of the
+    # same pair (~1e-7 per pair) — irrelevant for near-dup thresholds.
     a = banded.select(F.col("doc_id").alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col("doc_id").alias("id_b"), "band_idx", "band_hash")
     candidates = (
