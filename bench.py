@@ -54,6 +54,8 @@ HEADLINE = [
     "ss_scalar_quantize",
     "tx_quality_scores",
     "tx_pii_redaction",
+    "tx_tfidf_topterms",
+    "tx_token_entropy",
 ]
 
 

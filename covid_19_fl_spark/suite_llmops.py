@@ -9,7 +9,7 @@ everything md5/regex/list-arithmetic-based has a full SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .llmops import dedup, multimodal, similarity, text
@@ -527,6 +527,111 @@ def tx_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("nt").alias("min_tokens"),
             F.max("nt").alias("max_tokens"),
         )
+    )
+
+
+@query(
+    "tx_tfidf_topterms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC
+             ) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT doc_id, rank, term, tf, df, ROUND(score, 6) AS tfidf
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def tx_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic keyword/topic
+    signal a curation or near-dup-explanation pass wants per doc.
+
+    Plan shape at scale: explode → two hash aggs (tf, then df over the
+    already-deduped (doc, term) pairs — df never rescans the corpus),
+    a shuffle equi-join on term (both sides reduced aggregates, NOT raw
+    token rows), the corpus cardinality broadcast as a 1-row cross
+    join, and one window per doc partition. Ranking is integer-only
+    (tf desc, df asc, term asc) so the order is engine-exact; the
+    tf·ln(N/df) score is informational output, rounded to 6dp (a
+    1-ulp ln() difference sits ~8 orders of magnitude below the
+    rounding step).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(text.words(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df", F.round("score", 6).alias("tfidf"))
+    )
+
+
+@query(
+    "tx_token_entropy",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_terms,
+           ROUND(ln(CAST(SUM(tf) AS DOUBLE))
+                 - SUM(tf * ln(CAST(tf AS DOUBLE))) / SUM(tf), 6) AS entropy
+    FROM tf GROUP BY 1
+    """,
+)
+def tx_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats) —
+    a repetition/diversity quality signal: boilerplate and keyword-stuffed
+    docs score low, natural prose scores near ln(distinct terms).
+
+    Uses the identity H = ln(T) - (Σ tf·ln tf)/T (T = token count) so
+    one explode feeds two stacked hash aggs and per-term probabilities
+    are never materialized; no window, no second corpus scan. 6dp
+    rounding absorbs float-sum ordering differences across engines.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(text.words(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    return tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count("*").alias("n_terms"),
+        F.round(
+            F.log(F.sum("tf").cast("double"))
+            - F.sum(F.col("tf") * F.log(F.col("tf").cast("double"))) / F.sum("tf"),
+            6,
+        ).alias("entropy"),
     )
 
 
