@@ -72,6 +72,73 @@ def write_clustered(
     )
 
 
+def _morton_spread(col, bits: int = 16):
+    """Spread the low ``bits`` bits of an integer column so they occupy
+    even bit positions (b15..b0 → positions 30,28,…,0) — the standard
+    4-step mask-and-shift Morton expansion, as pure JVM bitwise column
+    expressions (codegen'd in the scan/project stage, no UDF)."""
+    from pyspark.sql import functions as F
+
+    x = col.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16):
+    """Morton (Z-order) interleave of two numeric columns, each min/max
+    scaled to ``bits`` bits. Returns the key Column.
+
+    The min/max pass is one tiny stats job (at 100 TB: a footer-only
+    scan for native parquet stats, or a sampled approxQuantile for
+    rank-scaling skewed columns — linear scaling is the simple default
+    and right for roughly uniform keys like ids/dates)."""
+    from pyspark.sql import functions as F
+
+    assert len(cols) == 2, "zorder_key interleaves exactly two columns"
+    stats = df.agg(
+        *[f(c).alias(f"{n}_{c}") for c in cols for n, f in (("mn", F.min), ("mx", F.max))]
+    ).first()
+    parts = []
+    for i, c in enumerate(cols):
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1
+        scaled = ((F.col(c) - F.lit(mn)) / F.lit(span) * F.lit((1 << bits) - 1)).cast(
+            "long"
+        )
+        parts.append(F.shiftleft(_morton_spread(scaled, bits), i))
+    return parts[0].bitwiseOR(parts[1])
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: Sequence[str], files: int = 16, bits: int = 16
+) -> None:
+    """Z-order-cluster data files on TWO columns (the multi-dimension
+    counterpart of ``write_clustered``): range-partition and sort by the
+    Morton interleave of both keys, so every output file covers a
+    compact tile in (col1, col2) space rather than a stripe along one
+    axis.
+
+    Why it matters at 100 TB: single-axis clustering makes footer-stat
+    pruning perfect on one column and useless on the other; Z-ordering
+    gives BOTH columns per-file min/max spans ~sqrt(files) narrower
+    than the global range, so selective predicates on either (or both)
+    skip most files. Verified in tests by reading written footers and
+    measuring per-file span on each dimension.
+    """
+    z = zorder_key(df, cols, bits).alias("_z")
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def clustered_file_ranges(path: str, column: str) -> list[tuple]:
     """Per-file (min, max) of ``column`` from parquet footer statistics
     — the metadata a clustered scan prunes against. Driver-side footer

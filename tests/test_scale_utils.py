@@ -160,3 +160,34 @@ def test_cluster_conf_sizing(spark):
     assert int(small["spark.sql.shuffle.partitions"]) == 80
     # every value is a string (spark-submit --conf compatible)
     assert all(isinstance(v, str) for v in conf.values())
+
+
+def test_zordered_write_tiles_both_dimensions(spark, tmp_path):
+    """write_zordered must give every file a compact tile in BOTH key
+    dimensions (vs single-axis clustering: perfect on one, useless on
+    the other). 64x64 uniform grid into 16 files → ideal tiles span
+    16/64 of each axis; assert the mean span stays well under half the
+    global range on both."""
+    from pyspark.sql import functions as F
+
+    from covid_19_fl_spark.plans import layout
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).cast("int").alias("x"),
+        (F.col("id") / 64).cast("int").alias("y"),
+    )
+    path = str(tmp_path / "zordered")
+    layout.write_zordered(grid, path, ("x", "y"), files=16)
+
+    for col in ("x", "y"):
+        ranges = layout.clustered_file_ranges(path, col)
+        assert len(ranges) >= 8  # repartitionByRange may merge a few
+        spans = [hi - lo for lo, hi in ranges]
+        mean_span = sum(spans) / len(spans)
+        # global span is 63; ideal Morton tiles span ~15-31 per dim
+        assert mean_span < 32, f"{col}: mean per-file span {mean_span}"
+
+    # round-trip integrity: clustering must not drop or mutate rows
+    back = spark.read.parquet(path)
+    assert back.count() == 64 * 64
+    assert back.select(F.sum("x"), F.sum("y")).first() == (64 * 63 * 32, 64 * 63 * 32)
