@@ -33,6 +33,12 @@ def main(argv: list[str] | None = None) -> None:
     cs.add_argument("--store", required=True)
     cs.add_argument("--top-k", type=int, default=5)
 
+    cu = sub.add_parser("curate", help="training-data curation: dedup -> filter -> decontaminate -> sample -> chunk")
+    cu.add_argument("--docs", required=True, help="documents parquet (doc_id, text)")
+    cu.add_argument("--benchmark", default=None, help="optional eval-set parquet to decontaminate against")
+    cu.add_argument("--out", required=True, help="output dir for chunk parquet")
+    cu.add_argument("--sample-pct", type=int, default=None)
+
     args = p.parse_args(argv)
     spark = get_spark("covid_19_fl_spark-cli")
     if args.cmd == "ingest":
@@ -44,6 +50,18 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "county-stats":
         pipelines.run_county_stats_pipeline(spark, args.counties_json, args.store, args.top_k)
         print("top_five_counties refreshed")
+    elif args.cmd == "curate":
+        from .llmops import curation
+
+        bench_df = spark.read.parquet(args.benchmark) if args.benchmark else None
+        stages = curation.curate(
+            spark.read.parquet(args.docs),
+            bench_df,
+            curation.CurationConfig(sample_pct=args.sample_pct),
+        )
+        stages["chunks"].write.mode("overwrite").parquet(args.out)
+        for r in curation.funnel_report(stages).orderBy("stage_order").collect():
+            print(f"{r.stage}: {r.n_docs}")
 
 
 if __name__ == "__main__":

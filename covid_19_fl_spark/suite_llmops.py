@@ -370,6 +370,20 @@ def cur_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("cur_funnel")  # MinHash stage inside — murmur3-based, rows-only
+def cur_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline (redact → exact dedup → LSH near-dup
+    → quality filter → chunk) run end-to-end over the corpus, returning
+    the per-stage survivor funnel. Exercises every llmops stage in one
+    composed lazy plan; unit semantics are covered per-stage by the
+    oracled dd_*/tx_*/cur_* queries and tests/test_curation.py."""
+    from .llmops import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    stages = curation.curate(docs, None, curation.CurationConfig())
+    return curation.funnel_report(stages).orderBy("stage_order")
+
+
 _JACCARD_PAIRS_SQL = """
     WITH sh AS (
       SELECT doc_id, lang,
