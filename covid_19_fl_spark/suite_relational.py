@@ -15,7 +15,7 @@ Join strategy notes for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .suite import _t, query
@@ -1254,3 +1254,103 @@ def x_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return report.withColumnRenamed("check", "check_name")
+
+
+@query(
+    "x_mode_per_group",
+    oracle="""
+    WITH counts AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+      FROM customer GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment ORDER BY n DESC, c_nationkey ASC
+             ) AS INTEGER) AS rk
+      FROM counts
+    )
+    SELECT c_mktsegment, c_nationkey AS mode_nationkey, n AS mode_count
+    FROM ranked WHERE rk = 1
+    """,
+)
+def x_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic statistical mode per group (most frequent nation
+    per market segment). Built as count-then-argmax — NOT the built-in
+    `mode()`, whose tie choice is engine/partition-order dependent; the
+    (count desc, key asc) window is reproducible on any engine at any
+    parallelism. Two stacked aggs + one window, all on reduced data."""
+    customer = _t(spark, sf_dir, "customer")
+    counts = customer.groupBy("c_mktsegment", "c_nationkey").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("n").desc(), F.col("c_nationkey").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").alias("mode_nationkey"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+@query(
+    "x_cumulative_distinct_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_date
+      FROM events GROUP BY 1
+    ), arrivals AS (
+      SELECT first_date AS event_date, COUNT(*) AS new_users
+      FROM firsts GROUP BY 1
+    )
+    SELECT event_date, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY event_date) AS BIGINT) AS cum_users
+    FROM arrivals
+    """,
+)
+def x_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the running `COUNT(DISTINCT)`
+    rewritten as first-seen arrivals + cumulative sum. The naive form
+    (distinct count over an expanding window) re-scans every prefix —
+    O(days x users) state; this form is two hash aggs plus a window
+    over ~one row per day. The global-order window is safe for the
+    same reason as W1: it runs on the tiny post-aggregate series."""
+    events = _t(spark, sf_dir, "events")
+    firsts = events.select(
+        "user_id", F.col("ts").cast("date").alias("event_date")
+    ).groupBy("user_id").agg(F.min("event_date").alias("first_date"))
+    arrivals = firsts.groupBy(F.col("first_date").alias("event_date")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("event_date").rowsBetween(Window.unboundedPreceding, 0)
+    return arrivals.select(
+        "event_date", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
+
+
+@query(
+    "x_year_over_year",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           ROUND(revenue - LAG(revenue, 12) OVER (ORDER BY month), 2) AS yoy_delta
+    FROM monthly
+    """,
+)
+def x_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with year-over-year delta: one agg to months,
+    lag(12) over the month series. Decimal-exact sums (order-independent
+    at any partitioning) rounded only at the edge."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(28,2)")), 2).cast("double").alias("revenue"))
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue", 12).over(w), 2).alias("yoy_delta"),
+    )
