@@ -62,6 +62,12 @@ def cosine_topk(
         .select(id_col, vec_col)
         .collect()
     )
+    if not q_rows:
+        # none of the query ids exist (e.g. empty corpus): an empty
+        # result with the contract schema, not an np.stack crash
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
     q_ids = np.array([r[0] for r in q_rows])
     Q = np.stack([np.asarray(r[1], dtype="float64") for r in q_rows])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)

@@ -119,8 +119,13 @@ def pii_hit_count(col: Column) -> Column:
 
 def fingerprint(col: Column) -> Column:
     """Canonical document fingerprint: md5 of the whitespace-collapsed,
-    lower-cased text — the exact-dedup key."""
-    return F.md5(F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")))
+    trimmed, lower-cased text — the exact-dedup key.
+
+    Collapse BEFORE trim: ``trim`` strips only ASCII spaces, so a
+    tab/newline-only document would otherwise canonicalize to " " and
+    fingerprint differently from the empty document (found by
+    tests/test_degenerate_inputs.py)."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))
 
 
 def chunk_spans(

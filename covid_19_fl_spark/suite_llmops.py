@@ -101,7 +101,7 @@ def tx_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tx_fingerprint",
     oracle="""
     SELECT doc_id,
-           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
     FROM documents
     """,
 )
@@ -119,7 +119,7 @@ def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dd_exact_dup_groups",
     oracle="""
-    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
            COUNT(doc_id) AS n_docs,
            MIN(doc_id) AS canonical_id
     FROM documents GROUP BY 1
@@ -137,7 +137,7 @@ def dd_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_chars FROM documents
     WHERE doc_id IN (
       SELECT MIN(doc_id) FROM documents
-      GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
+      GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
     """,
 )
 def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

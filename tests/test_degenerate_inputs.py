@@ -1,0 +1,116 @@
+"""Degenerate-input robustness: empty tables, single rows, and
+all-duplicate corpora must flow through every operator family without
+errors and with the boundary semantics the docstrings promise. At
+100 TB these shapes are routine (an empty partition after a selective
+filter, a source that returned nothing today), and operators that
+crash or mis-aggregate on them fail silently in a 1000-leg union."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from covid_19_fl_spark.llmops import curation, dedup, similarity, text
+from covid_19_fl_spark.operators import analytics
+
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], DOC_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def one_doc(spark):
+    return spark.createDataFrame(
+        [(7, "one single document with a handful of plain words inside")],
+        DOC_SCHEMA,
+    )
+
+
+def test_dedup_family_on_empty(empty_docs):
+    assert dedup.exact_dedup(empty_docs, "text", "doc_id").count() == 0
+    assert dedup.exact_dup_groups(empty_docs, "text", "doc_id").count() == 0
+    assert dedup.minhash_lsh_pairs(empty_docs, "text", "doc_id").count() == 0
+    assert dedup.simhash_pairs(empty_docs, "text", "doc_id").count() == 0
+
+
+def test_dedup_family_on_single_doc(one_doc):
+    assert dedup.exact_dedup(one_doc, "text", "doc_id").count() == 1
+    # no pair can exist with one document
+    assert dedup.minhash_lsh_pairs(one_doc, "text", "doc_id").count() == 0
+
+
+def test_all_duplicate_corpus_keeps_exactly_one(spark):
+    docs = spark.createDataFrame(
+        [(i, "identical text repeated across every row of the corpus")
+         for i in range(20)],
+        DOC_SCHEMA,
+    )
+    kept = dedup.exact_dedup(docs, "text", "doc_id")
+    assert [r.doc_id for r in kept.collect()] == [0]  # min-id canonical
+    groups = dedup.exact_dup_groups(docs, "text", "doc_id").collect()
+    assert len(groups) == 1 and groups[0].n_docs == 20
+
+
+def test_curation_pipeline_on_empty(spark, empty_docs):
+    stages = curation.curate(empty_docs, None, curation.CurationConfig())
+    assert stages["chunks"].count() == 0
+    funnel = {r.stage: r.n_docs for r in curation.funnel_report(stages).collect()}
+    assert set(funnel.values()) == {0}
+
+
+def test_text_features_on_empty_string(spark):
+    """Empty and whitespace-only text: token pipeline must not emit
+    nulls or negative counts (split of '' yields [''], documented)."""
+    docs = spark.createDataFrame([(0, ""), (1, "   "), (2, "\t\n")], DOC_SCHEMA)
+    rows = docs.select(
+        text.token_count(F.col("text")).alias("nt"),
+        text.quality_score(F.col("text")).alias("q"),
+        text.fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    assert all(r.nt >= 0 and r.fp is not None for r in rows)
+    # whitespace-only normalizes to the same fingerprint as empty
+    assert len({r.fp for r in rows}) == 1
+
+
+def test_chunking_on_empty_and_tiny(spark):
+    docs = spark.createDataFrame([(0, ""), (1, "two words")], DOC_SCHEMA)
+    chunks = text.chunk_spans(docs, "text", "doc_id", size=8, stride=6).collect()
+    by_doc = {}
+    for c in chunks:
+        by_doc.setdefault(c.doc_id, []).append(c)
+    # a doc shorter than one chunk still yields exactly one chunk
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_tok == 2
+
+
+def test_similarity_on_empty_embeddings(spark):
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk(emb, query_ids=[0], k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cos_sim", "rank"]
+    labeled = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert similarity.ivf_topk(labeled, query_ids=[0], k=3).count() == 0
+    assert similarity.lsh_bucketed_topk(emb, query_ids=[0], k=3).count() == 0
+
+
+def test_analytics_on_empty_series(spark):
+    empty = spark.createDataFrame([], "date_added date, case_number long")
+    counts = analytics.daily_counts(empty, "date_added", "case_number")
+    assert analytics.cumulative_sum(counts, "date_added").count() == 0
+    assert analytics.growth_rates(
+        analytics.cumulative_sum(counts, "date_added"), "date_added", "cum_count"
+    ).count() == 0
+
+
+def test_global_max_default_on_empty(spark):
+    """A1 semantics from the reference (cv.py:101-107): empty stored
+    table → watermark defaults to 0, not null/crash."""
+    empty = spark.createDataFrame([], "case_number long")
+    from covid_19_fl_spark import incremental
+
+    assert incremental.max_key(empty, "case_number") == 0
