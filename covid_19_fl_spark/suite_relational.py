@@ -1354,3 +1354,96 @@ def x_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.col("revenue") - F.lag("revenue", 12).over(w), 2).alias("yoy_delta"),
     )
+
+
+@query(
+    "x_fuzzy_pairs",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND b.p_partkey > a.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 12
+    """,
+)
+def x_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) near-match pairs over short strings — the
+    name/title dedup modality that complements shingle/MinHash dedup
+    for fields too short to shingle.
+
+    Scale shape: the O(n^2) levenshtein is tamed by BLOCKING — an
+    equi-self-join on (brand, size) bounds each block to a handful of
+    rows, the quadratic verify runs inside blocks only, and the block
+    join is an ordinary shuffle equi-join (AQE-skew-safe). Levenshtein
+    itself is a JVM builtin inside codegen; nothing leaves the JVM."""
+    part = _t(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        "p_brand",
+        "p_size",
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        "p_brand",
+        "p_size",
+    )
+    return (
+        a.join(b, ["p_brand", "p_size"])
+        .filter(F.col("key_b") > F.col("key_a"))
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 12)
+    )
+
+
+@query(
+    "x_event_funnel",
+    oracle="""
+    WITH stage_times AS (
+      SELECT user_id,
+             MIN(ts) FILTER (event_type = 'view') AS t_view,
+             MIN(ts) FILTER (event_type = 'click') AS t_click,
+             MIN(ts) FILTER (event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY 1
+    )
+    SELECT
+      COUNT(*) FILTER (t_view IS NOT NULL) AS n_view,
+      COUNT(*) FILTER (t_view IS NOT NULL AND t_click > t_view) AS n_view_click,
+      COUNT(*) FILTER (t_view IS NOT NULL AND t_click > t_view
+                       AND t_purchase > t_click) AS n_full_funnel
+    FROM stage_times
+    """,
+)
+def x_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view → click → purchase, in time
+    order) — the conversion query every event pipeline runs. One hash
+    agg computes each user's first time per stage (conditional MIN —
+    no self-joins, no window over raw events), then one scalar agg
+    counts ordered progressions. Two shuffles total, both on reduced
+    data; at 100 TB the raw events table is touched exactly once."""
+    events = _t(spark, sf_dir, "events")
+    stage = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return stage.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(
+            F.when(F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1)
+        ).alias("n_view_click"),
+        F.count(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
