@@ -140,3 +140,43 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.click_id for r in out.read().collect())
     assert got == [1, 2]  # in-window same-user clicks only
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path, input_dir):
+    """Stop/start against the same checkpoint must be exactly-once:
+    the restarted query must not re-deliver already-committed
+    micro-batches, must pick up files that arrived while stopped, and
+    the idempotent sink must hold even if the LAST batch was committed
+    to the sink but not yet to the checkpoint (the crash window
+    foreachBatch exposes). This is the engine's replacement for the
+    reference's rescrape-everything loop (cv.py:93-125)."""
+    table = ParquetTable(spark, str(tmp_path / "tbl"))
+    ckpt = str(tmp_path / "ckpt_restart")
+
+    # run 1: consumes b1 + b2
+    q = pipeline.write_append_new(
+        _stream(spark, input_dir), table, "case_number", ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert sorted(r.case_number for r in table.read().collect()) == [1, 2, 3, 4]
+
+    # new data lands while the query is stopped; 4 re-sent (late dup)
+    _write_batch(input_dir, "b3.json", [
+        (4, "No", "2020-03-15T00:00:00"),
+        (5, "Yes", "2020-03-16T00:00:00"),
+    ])
+
+    # run 2: same checkpoint — only b3 is processed
+    q2 = pipeline.write_append_new(
+        _stream(spark, input_dir), table, "case_number", ckpt
+    ).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    got = sorted(r.case_number for r in table.read().collect())
+    assert got == [1, 2, 3, 4, 5]  # nothing re-appended, new row in
+
+    # run 3: no new files at all — a no-op catch-up run stays a no-op
+    q3 = pipeline.write_append_new(
+        _stream(spark, input_dir), table, "case_number", ckpt
+    ).trigger(availableNow=True).start()
+    q3.awaitTermination(120)
+    assert sorted(r.case_number for r in table.read().collect()) == [1, 2, 3, 4, 5]
