@@ -106,6 +106,34 @@ class ParquetTable:
             self.append(fresh)
         return n
 
+    # -- schema evolution ------------------------------------------------------
+    def evolved_read(self) -> DataFrame:
+        """Read across files written with different (widening) schemas —
+        ``mergeSchema`` unions the per-file footers so columns added by
+        later appends surface as nullable for old rows. Plain parquet
+        has no transaction-log schema, so evolution is footer-merge at
+        read time; ``append_evolved`` is the write-side verb."""
+        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
+
+    def append_evolved(self, df: DataFrame) -> None:
+        """Append a batch whose schema is a SUPERSET of the stored one
+        (new columns allowed; drops/renames rejected). New columns
+        arrive as nulls for pre-existing rows via ``evolved_read`` —
+        Delta's mergeSchema append without the log. Readers using plain
+        ``read()`` keep seeing the first-writer schema until they opt
+        into ``evolved_read``; nothing is rewritten.
+        """
+        if self.exists():
+            stored = set(self.read().columns)
+            incoming = set(df.columns)
+            missing = stored - incoming
+            if missing:
+                raise ValueError(
+                    f"append_evolved only widens schemas; batch is missing "
+                    f"stored columns {sorted(missing)}"
+                )
+        self.append(df)
+
     def compact(self, rows_per_file: int = 1_000_000) -> int:
         """Small-files compaction: rewrite the table into
         ceil(rows / rows_per_file) files via an atomic staged swap.

@@ -139,3 +139,27 @@ def test_compact_shrinks_files_preserves_rows(spark, tmp_path):
     assert len(files()) == 2
     assert sorted(r.id for r in t.read().collect()) == before
     assert not [d for d in os.listdir(tmp_path) if d.startswith(".staging")]
+
+
+def test_schema_evolution_append_and_read(spark, tmp_path):
+    """append_evolved widens the table schema; evolved_read surfaces
+    the new column as null for old rows; narrowing batches are
+    rejected before any write happens."""
+    from covid_19_fl_spark.sinks.batch import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "evo"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.append_evolved(
+        spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double")
+    )
+
+    rows = {r.id: r for r in t.evolved_read().collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].score is None and rows[2].score == 9.5
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing stored columns"):
+        t.append_evolved(spark.createDataFrame([(3,)], "id long"))
+    # the rejected batch must not have landed
+    assert set(r.id for r in t.evolved_read().collect()) == {1, 2}
