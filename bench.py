@@ -69,15 +69,21 @@ def main() -> None:
 
     # One untimed pass first: JIT/codegen compilation, parquet footer
     # caches, and Python-worker startup all land here, so the timed
-    # pass measures steady-state plan execution (JMH-style warmup).
+    # passes measure steady-state plan execution (JMH-style warmup).
     for name in names:
         suite.QUERIES[name](spark, sf_dir).count()
 
+    # Two timed passes, keep the per-query MINIMUM: the min of repeated
+    # steady-state runs estimates plan cost with the machine-load noise
+    # floor removed (a co-tenant burst inflates one pass, never both).
     timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        suite.QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    for _ in range(2):
+        for name in names:
+            t0 = time.perf_counter()
+            suite.QUERIES[name](spark, sf_dir).count()
+            t = round(time.perf_counter() - t0, 4)
+            if name not in timings or t < timings[name]:
+                timings[name] = t
 
     total = round(sum(timings.values()), 4)
     print(
