@@ -182,6 +182,85 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> None:
+    """Persist the IVF index ``ivf_topk`` computes on the fly: vectors
+    as hive-partitioned parquet on the cluster id (so a probe scans ONE
+    partition directory via planning-time partition pruning, not the
+    corpus) plus the tiny centroid table. Build once, amortize over
+    every query — the difference between an ANN lookup costing a
+    corpus scan and costing corpus/nlist at 100 TB."""
+    label_centroids(emb, label_col, vec_col).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+    (
+        emb.select(id_col, vec_col, F.col(label_col).alias("cluster"))
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/vectors")
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a persisted :func:`build_ivf_index` index, nprobe=1.
+    Ranking matches ``ivf_topk`` exactly (rounded cosine desc, id asc).
+
+    Routing collects one (query, cluster) pair per query id — a
+    handful of driver-side rows by contract — so the probe scan's
+    ``cluster IN (...)`` lands as a literal PartitionFilter and only
+    the routed partition directories are read (asserted in tests)."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    vectors = spark.read.parquet(f"{path}/vectors")
+    queries = vectors.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    routed = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("cdist", F.round(cosine(F.col("qvec"), F.col("centroid")), 6))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cdist").desc(), F.col("label").asc()
+                )
+            ),
+        )
+        .filter(F.col("crank") == 1)
+        .select("query_id", "qvec", F.col("label").alias("probe_label"))
+    )
+    probe_labels = sorted({r.probe_label for r in routed.select("probe_label").collect()})
+    pruned = vectors.filter(F.col("cluster").isin([int(x) for x in probe_labels]))
+    scored = (
+        pruned.join(F.broadcast(routed), pruned["cluster"] == routed.probe_label)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col(vec_col)), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def hyperplane_bucket(
     vec: Column,
     planes: int = 8,

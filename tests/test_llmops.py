@@ -219,3 +219,25 @@ def test_hof_lambda_alias_shadowing_hazard_avoided(spark):
     # round(s, 1) = 3.5); if Spark ever fixes this, flip the assert
     shadowed = df.select("id", F.round("s", 1).alias("s"), folded.alias("f")).collect()[0]
     assert shadowed.f == 10.0 / 3.5 + 20.0 / 3.5
+
+
+def test_ivf_index_persisted_matches_inline_and_prunes(spark, tmp_path, sf_dir):
+    """The persisted IVF index must return exactly what the inline
+    ivf_topk computes, and its probe scan must read only the routed
+    cluster partitions (planning-time partition pruning)."""
+    from covid_19_fl_spark.llmops import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, path)
+
+    qids = [0, 1, 2, 3]
+    inline = similarity.ivf_topk(emb, qids, k=5).collect()
+    indexed = similarity.ivf_topk_indexed(spark, path, qids, k=5)
+    assert sorted(map(tuple, indexed.collect())) == sorted(map(tuple, inline))
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster" in m.group(1), plan[:800]
