@@ -1447,3 +1447,77 @@ def x_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_full_funnel"),
     )
+
+
+@query(
+    "x_skew_salted_distinct",
+    oracle="""
+    SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_distinct
+    FROM lineitem GROUP BY 1
+    """,
+)
+def x_skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant COUNT(DISTINCT) via deterministic salting
+    (operators/skew.py): l_returnflag has only 3 values, so a naive
+    distinct-agg funnels every distinct orderkey of a hot flag through
+    one reducer's state. Phase 1 de-dupes within (group, salt) —
+    exact, because the salt is a pure hash of the value — phase 2 sums
+    the per-salt partials. A hot group's distinct state is split 8
+    ways; the oracle is the plain COUNT(DISTINCT) it must equal.
+    (AQE splits skewed *joins*, not skewed agg state — this is the
+    case SURVEY §4.3 calls out that needs explicit salting.)"""
+    from .operators.skew import salted_distinct_agg
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+    return salted_distinct_agg(li, "l_returnflag", "l_orderkey")
+
+
+@query(
+    "x_ewma",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority, o_orderdate, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, o_orderdate,
+           ROUND(list_reduce(
+             list(n) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             (acc, v) -> 0.7::DOUBLE * acc + 0.3::DOUBLE * v
+           ), 6) AS ewma
+    FROM daily
+    """,
+)
+def x_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.3) of the daily
+    order count per priority — the classic smoothing the reference's
+    growth-factor mean (cv-stats.py:107) approximates crudely. EWMA is
+    an inherently sequential fold, so it runs AFTER the groupBy(date)
+    aggregate on the bounded per-group series (SURVEY §4.3's rule for
+    ordered ops: never on raw facts): collect_list over a running
+    window builds each row's prefix, and a codegen'd `aggregate` HOF
+    folds it left-to-right seeded with the first element. Raw facts
+    are touched once; the quadratic prefix lists are bounded by the
+    date range (~2.4K), not the data. The oracle spells the identical
+    left fold with DuckDB's list_reduce, so the doubles agree
+    bit-for-bit before the 6dp round."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy("o_orderpriority", "o_orderdate").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.withColumn("xs", F.collect_list("n").over(w)).select(
+        "o_orderpriority",
+        "o_orderdate",
+        F.round(
+            F.expr(
+                "aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1),"
+                " (acc, v) -> CAST(0.7 AS DOUBLE) * acc + CAST(0.3 AS DOUBLE) * v)"
+            ),
+            6,
+        ).alias("ewma"),
+    )
