@@ -48,6 +48,9 @@ HEADLINE = [
     "x_sessionization",
     "x_scd2_build",
     "x_gap_fill_ffill",
+    "x_cdc_snapshot",
+    "x_skew_salted_distinct",
+    "x_ewma",
     "dd_minhash_lsh_pairs",
     "dd_embedding_cosine",
     "ss_cosine_topk",

@@ -1521,3 +1521,50 @@ def x_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ewma"),
     )
+
+
+@query(
+    "x_cdc_snapshot",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, o_orderstatus,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey AS last_orderkey, o_orderdate AS last_date,
+           o_totalprice AS last_price
+    FROM ranked WHERE rk = 1 AND o_orderstatus <> 'F'
+    """,
+)
+def x_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog → snapshot apply: orders is read as an upsert/
+    delete log keyed by o_custkey, sequenced by (o_orderdate,
+    o_orderkey), with status 'F' as a delete tombstone. The snapshot is
+    argmax-per-key then tombstone filter — the batch twin of the
+    streaming foreachBatch MERGE (SURVEY §2.11) and the generalization
+    of the reference's per-row status refresh (cv.py:127-132).
+
+    Scale shape: ONE map-side-combinable hash aggregate (`max_by` of
+    the row struct keyed by the sequence struct) — each mapper keeps
+    one candidate row per key before the shuffle, so the exchange
+    carries ≤ |keys| rows per mapper, not the log. The equivalent
+    row_number-over-window plan (what the oracle spells, for
+    portability) would sort the full 100 TB log inside each key
+    partition first; max_by never sorts."""
+    orders = _t(spark, sf_dir, "orders")
+    last = orders.groupBy("o_custkey").agg(
+        F.max_by(
+            F.struct("o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus"),
+            F.struct("o_orderdate", "o_orderkey"),
+        ).alias("last")
+    )
+    return (
+        last.filter(F.col("last.o_orderstatus") != "F")
+        .select(
+            "o_custkey",
+            F.col("last.o_orderkey").alias("last_orderkey"),
+            F.col("last.o_orderdate").alias("last_date"),
+            F.col("last.o_totalprice").alias("last_price"),
+        )
+    )
