@@ -46,6 +46,7 @@ HEADLINE = [
     "g1_growth_sim",
     "x_asof_join",
     "x_sessionization",
+    "x_interval_overlap",
     "x_scd2_build",
     "x_gap_fill_ffill",
     "x_cdc_snapshot",

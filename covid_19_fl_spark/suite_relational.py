@@ -1568,3 +1568,79 @@ def x_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last.o_totalprice").alias("last_price"),
         )
     )
+
+
+@query(
+    "x_interval_overlap",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), marked AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM seq
+    ), sessions AS (
+      SELECT user_id, session_seq, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 1 SECOND AS s_end, COUNT(*) AS n_events
+      FROM marked GROUP BY 1, 2
+    ), wins AS (
+      SELECT day, CAST(day AS TIMESTAMP) + INTERVAL 10 HOUR AS w_start,
+             CAST(day AS TIMESTAMP) + INTERVAL 14 HOUR AS w_end
+      FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    )
+    SELECT day, COUNT(*) AS n_sessions,
+           COUNT(DISTINCT user_id) AS n_users,
+           SUM(n_events) AS total_events
+    FROM sessions s JOIN wins w
+      ON s.session_start < w.w_end AND w.w_start < s.s_end
+    GROUP BY 1
+    """,
+)
+def x_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join at scale (operators/rangejoin.py): user
+    sessions (gaps-and-islands intervals, padded half-open) against
+    daily 10:00-14:00 analysis windows. Unlike x_range_join's
+    broadcast NLJ — fine for 10 buckets, fatal for two large sides —
+    this runs the binned rewrite: both interval sets explode into the
+    hour bins they span and equi-join on the bin, with each pair
+    emitted ONLY in the bin containing greatest(start, start), so the
+    join is exactly-once without a dedup shuffle. The oracle spells
+    the naive inequality join; the aggregate totals would expose any
+    duplicate or missed pair."""
+    from .operators.rangejoin import interval_overlap_join
+
+    sessions = (
+        x_sessionization(spark, sf_dir)
+        .select(
+            "user_id",
+            "session_seq",
+            "session_start",
+            (F.col("session_end") + F.expr("INTERVAL 1 SECOND")).alias("s_end"),
+            "n_events",
+        )
+    )
+    events = _t(spark, sf_dir, "events")
+    wins = (
+        events.select(F.to_date("ts").alias("day"))
+        .distinct()
+        .select(
+            "day",
+            (F.col("day").cast("timestamp") + F.expr("INTERVAL 10 HOURS")).alias("w_start"),
+            (F.col("day").cast("timestamp") + F.expr("INTERVAL 14 HOURS")).alias("w_end"),
+        )
+    )
+    joined = interval_overlap_join(
+        sessions, wins, "session_start", "s_end", "w_start", "w_end", bin_width_sec=3600
+    )
+    return joined.groupBy("day").agg(
+        F.count("*").alias("n_sessions"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum("n_events").alias("total_events"),
+    )
