@@ -65,6 +65,60 @@ def curation_filter(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: Column,
+    budget: int,
+    shards: int = 16,
+) -> DataFrame:
+    """Concat-and-chop sequence packing: assign every document to the
+    fixed-token-budget training sequence ("pack") in which its first
+    token lands, LM-pretraining style — documents are laid out as one
+    concatenated token stream per shard and the stream is chopped every
+    ``budget`` tokens.
+
+    Distribution strategy: the stream order must be deterministic and
+    reproducible under any partitioning, so the layout key is
+    ``id % shards`` (engine-portable, unlike seed-based shuffles) and
+    the intra-shard order is the id itself. One shuffle on the shard
+    key; each shard's running token offset is a partitioned window
+    cumsum, so shards scale out independently — at 100 TB you raise
+    ``shards`` to O(cluster cores) and no single ordered stream becomes
+    a bottleneck (a single global order would serialize the window).
+
+    Returns one row per pack: ``(shard, pack_seq, n_docs, pack_tokens,
+    first_doc, last_doc)``. ``pack_tokens`` can exceed ``budget`` by at
+    most the straddling tail document, which a downstream tokenizer
+    chops at the boundary (the next pack starts at the chop point —
+    offsets, not documents, define pack boundaries).
+
+    No reference analogue (the reference never batches; closest is the
+    2000-row page chunking, cv-api.py:68-88) — this is the engine-added
+    training-data operator.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.pmod(F.col(id_col), F.lit(shards)).alias("shard"),
+        tokens_col.cast("long").alias("_n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = toks.withColumn(
+        "pack_seq",
+        F.floor((F.sum("_n_tokens").over(w) - F.col("_n_tokens")) / F.lit(budget)),
+    )
+    return placed.groupBy("shard", "pack_seq").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_n_tokens").alias("pack_tokens"),
+        F.min("_id").alias("first_doc"),
+        F.max("_id").alias("last_doc"),
+    )
+
+
 def source_mix_weights(
     df: DataFrame, group_col: str, size_col: Column
 ) -> DataFrame:

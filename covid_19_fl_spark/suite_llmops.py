@@ -679,6 +679,37 @@ def sp_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sp_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), placed AS (
+      SELECT shard, doc_id, n_tokens,
+             CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tokens) / 512.0) AS BIGINT) AS pack_seq
+      FROM toks
+    )
+    SELECT shard, pack_seq, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM placed GROUP BY 1, 2
+    """,
+)
+def sp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing (llmops/sampling.py): docs laid
+    out as 8 deterministic id-mod token streams, chopped into 512-token
+    training packs; each doc lands in the pack holding its first token.
+    Shard-partitioned window cumsum — no global order, shards scale
+    with the cluster."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.pack_sequences(
+        docs, "doc_id", text.token_count(F.col("text")), budget=512, shards=8
+    )
+
+
+@query(
     "tx_chunk_spans",
     oracle=f"""
     WITH tok AS (

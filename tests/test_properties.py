@@ -83,6 +83,47 @@ def test_stratified_take_exactly_k(spark):
     assert counts == {i: 10 for i in range(5)}
 
 
+def test_pack_sequences_invariants(spark):
+    """Packing invariants: every doc lands in exactly one pack, packs
+    within a shard are contiguous from 0, the running token stream
+    through any non-final pack crosses that pack's chop boundary
+    (cumsum through pack k ≥ (k+1)·budget — the chop only ends a pack
+    once the stream passes it), and a single pack overflows the budget
+    by less than one max-size doc (start-offset assignment)."""
+    df = spark.range(0, 2_000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37, F.lit(90)) + 10).alias("n_tokens"),
+    )
+    out = sampling.pack_sequences(
+        df, "doc_id", F.col("n_tokens"), budget=500, shards=4
+    ).collect()
+    assert sum(r.n_docs for r in out) == 2_000
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, packs in by_shard.items():
+        packs.sort(key=lambda r: r.pack_seq)
+        assert [p.pack_seq for p in packs] == list(range(len(packs)))
+        cum = 0
+        for k, p in enumerate(packs):
+            cum += p.pack_tokens
+            if k < len(packs) - 1:
+                assert cum >= (k + 1) * 500  # stream crossed the chop point
+        for p in packs:
+            assert p.pack_tokens < 500 + 100  # overflow < max doc size
+            assert p.first_doc <= p.last_doc
+
+
+def test_pack_sequences_stable_under_repartition(spark):
+    df = spark.range(0, 1_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 40 + 5).alias("n_tokens")
+    )
+    a = sorted(map(tuple, sampling.pack_sequences(df, "doc_id", F.col("n_tokens"), 256, 4).collect()))
+    b = sorted(map(tuple, sampling.pack_sequences(df.repartition(17), "doc_id", F.col("n_tokens"), 256, 4).collect()))
+    assert a == b
+
+
 def test_redact_pii_idempotent_and_order(spark):
     """PII scrub: emails are consumed before the digit rule (no <NUM>
     inside a redacted email), phone runs before bare digits, and
