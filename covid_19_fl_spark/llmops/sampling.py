@@ -152,3 +152,35 @@ def source_mix_weights(
             ).alias("mix_weight"),
         )
     )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    splits: Sequence[tuple[str, int]] = (("train", 98), ("val", 1), ("test", 1)),
+    buckets: int = 100,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the id's bucket
+    (``id % buckets``) is matched against cumulative split weights, so
+    membership is a pure function of the row — stable across reruns,
+    partitionings, and engines (the property seed-based randomSplit
+    lacks, and the one that matters for decontamination audits: a doc
+    can never silently migrate between train and test).
+
+    A single CASE expression — no shuffle, evaluates inside the scan
+    stage and pushes down when filtered to one split. Weights must sum
+    to ``buckets``.
+    """
+    total = sum(w for _, w in splits)
+    if total != buckets:
+        raise ValueError(f"split weights sum to {total}, expected {buckets}")
+    bucket = F.pmod(F.col(id_col), F.lit(buckets))
+    expr: Column | None = None
+    upper = 0
+    for name, _weight in splits[:-1]:
+        upper += _weight
+        cond = bucket < upper
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(splits[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

@@ -165,3 +165,37 @@ def chunk_spans(
         F.col("c.n_tok").alias("n_tok"),
         F.col("c.chunk_text").alias("chunk_text"),
     )
+
+
+def inverted_index(
+    df,
+    text_col: str,
+    id_col: str,
+    min_df: int = 1,
+    max_postings: int | None = None,
+) -> "DataFrame":
+    """Build an inverted index: one row per distinct lowercased term
+    with its document frequency and the sorted posting list of doc
+    ids — the retrieval-side twin of the TF-IDF pass.
+
+    Plan shape: tokenize → ``array_distinct`` (per-doc dedup before the
+    fan-out, so a term never leaves the scan stage more than once per
+    doc) → explode → one shuffle on the term for the groupBy. At 100 TB
+    the hazard is the head of the Zipf curve: a stopword's posting list
+    is O(corpus) and would OOM a single reducer, so ``max_postings``
+    truncates each list to the smallest-id prefix while ``doc_freq``
+    stays exact — the standard impact-ordered-index compromise; a full
+    index would instead range-bucket (term, doc_id) into segment files.
+    ``min_df`` drops hapax terms post-agg (HAVING, not a second pass).
+    """
+    postings = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.array_distinct(words(F.lower(F.col(text_col))))).alias("term"),
+    )
+    agg = postings.groupBy("term").agg(
+        F.count("*").alias("doc_freq"),
+        F.sort_array(F.collect_list("_doc")).alias("postings"),
+    )
+    if max_postings is not None:
+        agg = agg.withColumn("postings", F.slice("postings", 1, max_postings))
+    return agg.filter(F.col("doc_freq") >= min_df)

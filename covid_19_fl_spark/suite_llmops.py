@@ -679,6 +679,51 @@ def sp_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sp_split_assign",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 100 < 96 THEN 'train'
+                WHEN doc_id % 100 < 98 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def sp_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 96/2/2 train-val-test assignment by id bucket
+    (llmops/sampling.py split_assign) — membership is a pure row
+    function, so no doc migrates between splits across reruns or
+    repartitions. Zero-shuffle CASE in the scan stage."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.split_assign(
+        docs, "doc_id", splits=(("train", 96), ("val", 2), ("test", 2))
+    ).select("doc_id", "lang", "split")
+
+
+@query(
+    "tx_inverted_index",
+    oracle="""
+    WITH post AS (
+      SELECT DISTINCT doc_id, w AS term
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents)
+    )
+    SELECT term, COUNT(*) AS doc_freq,
+           list_sort(list(doc_id))[1:24] AS postings
+    FROM post GROUP BY term HAVING COUNT(*) >= 3
+    """,
+)
+def tx_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index (llmops/text.py inverted_index): per lowercased
+    term, exact document frequency + the smallest-24-id posting-list
+    prefix (truncation guards the Zipf head — a stopword's full list is
+    O(corpus) and would OOM one reducer). Per-doc array_distinct before
+    the explode, one shuffle on term."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.inverted_index(docs, "text", "doc_id", min_df=3, max_postings=24)
+
+
+@query(
     "sp_pack_sequences",
     oracle=f"""
     WITH toks AS (

@@ -241,3 +241,50 @@ def test_ivf_index_persisted_matches_inline_and_prunes(spark, tmp_path, sf_dir):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cluster" in m.group(1), plan[:800]
+
+
+def test_inverted_index_semantics(spark):
+    from covid_19_fl_spark.llmops import text
+
+    rows = [
+        (1, "the cat sat"),
+        (2, "The cat ran"),
+        (3, "a dog ran"),
+        (4, "THE the the"),  # repeated term counts once per doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.term: r for r in text.inverted_index(df, "text", "doc_id").collect()}
+    assert out["the"].doc_freq == 3 and out["the"].postings == [1, 2, 4]
+    assert out["cat"].postings == [1, 2]
+    assert out["ran"].postings == [2, 3]
+    assert out["sat"].doc_freq == 1
+
+    # min_df drops hapax terms; truncation keeps smallest-id prefix
+    # while doc_freq stays exact
+    trunc = {
+        r.term: r
+        for r in text.inverted_index(
+            df, "text", "doc_id", min_df=2, max_postings=2
+        ).collect()
+    }
+    assert set(trunc) == {"the", "cat", "ran"}
+    assert trunc["the"].doc_freq == 3 and trunc["the"].postings == [1, 2]
+
+
+def test_split_assign_partition_and_determinism(spark):
+    from covid_19_fl_spark.llmops import sampling
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    out = sampling.split_assign(df, "doc_id")  # 98/1/1
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"train": 9_800, "val": 100, "test": 100}
+
+    a = sorted((r.doc_id, r.split) for r in out.collect())
+    b = sorted(
+        (r.doc_id, r.split)
+        for r in sampling.split_assign(df.repartition(13), "doc_id").collect()
+    )
+    assert a == b
+
+    with pytest.raises(ValueError):
+        sampling.split_assign(df, "doc_id", splits=(("train", 50), ("test", 20)))
