@@ -199,3 +199,69 @@ def inverted_index(
     if max_postings is not None:
         agg = agg.withColumn("postings", F.slice("postings", 1, max_postings))
     return agg.filter(F.col("doc_freq") >= min_df)
+
+
+def bm25_topk(
+    df,
+    text_col: str,
+    id_col: str,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "DataFrame":
+    """BM25 retrieval: score every document against a bag of query
+    terms and return the global top-k — the lexical ranker that pairs
+    with the embedding-cosine ANN path (hybrid retrieval).
+
+    Scale shape: per-term tf and the doc length are per-row
+    higher-order expressions (no tokenize-explode shuffle over the
+    corpus — only docs matching ≥1 query term leave the scan stage,
+    and at most |q| rows each). Per-term document frequencies reduce
+    to |q| rows and broadcast back; corpus totals (N, avgdl) ride a
+    1-row broadcast. The final top-k is orderBy+limit on a strict
+    total order (score rounded to 6dp, doc_id tiebreak), which
+    Catalyst compiles to TakeOrderedAndProject — per-partition heaps
+    + driver merge, never a global sort.
+    """
+    q = F.array(*[F.lit(t) for t in query_terms])
+    w = words(F.lower(F.col(text_col)))
+    per_term = F.filter(
+        F.transform(
+            q,
+            lambda t: F.struct(
+                t.alias("term"),
+                F.size(F.filter(w, lambda x: x == t)).alias("tf"),
+            ),
+        ),
+        lambda s: s["tf"] > 0,
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(w).alias("dl"),
+        F.explode(per_term).alias("m"),
+    ).select("doc_id", "dl", F.col("m.term").alias("term"), F.col("m.tf").alias("tf"))
+
+    stats = base.groupBy("term").agg(F.count("*").alias("df_t"))
+    totals = df.select(F.size(words(F.lower(F.col(text_col)))).alias("_dl")).agg(
+        F.count("*").alias("n_docs"), F.avg("_dl").alias("avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
+    )
+    term_score = idf * (
+        F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        base.join(F.broadcast(stats), "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(term_score), 6).alias("bm25"),
+            F.count("*").alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(k)

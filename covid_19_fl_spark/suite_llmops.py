@@ -610,6 +610,46 @@ def tx_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tx_bm25_topk",
+    oracle="""
+    WITH q AS (SELECT unnest(['spark', 'vector', 'merge']) AS term),
+    docs_t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), base AS (
+      SELECT doc_id, term, len(list_filter(w, x -> x = term)) AS tf, len(w) AS dl
+      FROM docs_t CROSS JOIN q
+      WHERE len(list_filter(w, x -> x = term)) > 0
+    ), stats AS (
+      SELECT term, COUNT(*) AS df_t FROM base GROUP BY 1
+    ), tot AS (
+      SELECT COUNT(*) AS n_docs,
+             AVG(len(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS avgdl
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(SUM(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                     * tf * 2.2
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25,
+           COUNT(*) AS n_terms_hit
+    FROM base JOIN stats USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def tx_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 (llmops/text.py bm25_topk) for a 3-term query —
+    lexical ranking beside the ss_* embedding retrievers. Per-term tf
+    and doc length are scan-stage higher-order expressions (only
+    matching docs shuffle, ≤|q| rows each); df/N/avgdl ride
+    broadcasts; the top-k is TakeOrderedAndProject on a strict
+    (rounded score, doc_id) order."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bm25_topk(docs, "text", "doc_id", ("spark", "vector", "merge"), k=10)
+
+
+@query(
     "tx_token_entropy",
     oracle=f"""
     WITH toks AS (

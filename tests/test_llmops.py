@@ -288,3 +288,31 @@ def test_split_assign_partition_and_determinism(spark):
 
     with pytest.raises(ValueError):
         sampling.split_assign(df, "doc_id", splits=(("train", 50), ("test", 20)))
+
+
+def test_bm25_semantics_and_plan(spark):
+    import math
+
+    from covid_19_fl_spark.llmops import text
+
+    rows = [
+        (1, "spark spark spark joins data"),   # tf(spark)=3, dl=5
+        (2, "spark is fast"),                  # tf(spark)=1, dl=3
+        (3, "duck pond"),                      # no hit
+        (4, "data data data"),                 # tf(data)=3, dl=3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.bm25_topk(df, "text", "doc_id", ("spark", "data"), k=10)
+    got = {r.doc_id: r for r in out.collect()}
+    assert 3 not in got and set(got) == {1, 2, 4}
+    assert got[1].n_terms_hit == 2 and got[2].n_terms_hit == 1
+
+    def bm25(tf, dl, df_t, n=4, avgdl=13 / 4, k1=1.2, b=0.75):
+        idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert got[2].bm25 == round(bm25(1, 3, 2), 6)
+    assert got[1].bm25 == round(bm25(3, 5, 2) + bm25(1, 5, 2), 6)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # distributed top-k, no global sort
