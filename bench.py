@@ -74,15 +74,24 @@ def main() -> None:
     # One untimed pass first: JIT/codegen compilation, parquet footer
     # caches, and Python-worker startup all land here, so the timed
     # passes measure steady-state plan execution (JMH-style warmup).
+    # A query that fails is dropped from the timed set (and reported)
+    # instead of sinking the whole harness — one bad plan must not
+    # zero out the entire round's numbers.
+    errors: dict[str, str] = {}
+    ok_names = []
     for name in names:
-        suite.QUERIES[name](spark, sf_dir).count()
+        try:
+            suite.QUERIES[name](spark, sf_dir).count()
+            ok_names.append(name)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     # Two timed passes, keep the per-query MINIMUM: the min of repeated
     # steady-state runs estimates plan cost with the machine-load noise
     # floor removed (a co-tenant burst inflates one pass, never both).
     timings: dict[str, float] = {}
     for _ in range(2):
-        for name in names:
+        for name in ok_names:
             t0 = time.perf_counter()
             suite.QUERIES[name](spark, sf_dir).count()
             t = round(time.perf_counter() - t0, 4)
@@ -90,17 +99,16 @@ def main() -> None:
                 timings[name] = t
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

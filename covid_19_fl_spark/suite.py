@@ -184,8 +184,9 @@ _CUM_SQL = """
       FROM orders GROUP BY 1
     )
     SELECT order_date, n_orders,
-           SUM(n_orders) OVER (ORDER BY order_date
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_orders
+           CAST(SUM(n_orders) OVER (ORDER BY order_date
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_orders
     FROM daily
 """
 
@@ -206,8 +207,9 @@ def w1_cumulative_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1, 2
     )
     SELECT o_orderpriority, order_date, n_orders,
-           SUM(n_orders) OVER (PARTITION BY o_orderpriority ORDER BY order_date
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_orders
+           CAST(SUM(n_orders) OVER (PARTITION BY o_orderpriority ORDER BY order_date
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_orders
     FROM daily
     """,
 )

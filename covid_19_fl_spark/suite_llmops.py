@@ -698,7 +698,7 @@ def tx_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sp_source_mix_weights",
     oracle=f"""
     WITH per AS (
-      SELECT source, SUM(len({_WORDS_SQL})) AS group_tokens
+      SELECT source, CAST(SUM(len({_WORDS_SQL})) AS BIGINT) AS group_tokens
       FROM documents GROUP BY 1
     ), tot AS (
       SELECT SUM(group_tokens) AS total, COUNT(*) AS n_groups FROM per
@@ -777,7 +777,8 @@ def tx_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                          - n_tokens) / 512.0) AS BIGINT) AS pack_seq
       FROM toks
     )
-    SELECT shard, pack_seq, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens,
+    SELECT shard, pack_seq, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM placed GROUP BY 1, 2
     """,

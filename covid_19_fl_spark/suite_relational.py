@@ -487,9 +487,9 @@ def x_pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1
     )
     SELECT order_date, n,
-           SUM(n) OVER (ORDER BY order_date
+           CAST(SUM(n) OVER (ORDER BY order_date
                         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
-             AS trailing_week
+                AS BIGINT) AS trailing_week
     FROM daily
     """,
 )
@@ -550,11 +550,11 @@ def x_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), marked AS (
       SELECT user_id, ts, value,
-             SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+             CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
                       THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_seq
+               AS BIGINT) AS session_seq
       FROM seq
     )
     SELECT user_id, session_seq, MIN(ts) AS session_start,
@@ -1597,7 +1597,7 @@ def x_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT day, COUNT(*) AS n_sessions,
            COUNT(DISTINCT user_id) AS n_users,
-           SUM(n_events) AS total_events
+           CAST(SUM(n_events) AS BIGINT) AS total_events
     FROM sessions s JOIN wins w
       ON s.session_start < w.w_end AND w.w_start < s.s_end
     GROUP BY 1

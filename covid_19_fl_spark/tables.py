@@ -47,7 +47,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # The corpus has shipped ts as TIMESTAMP(NANOS) (read as long via
+        # nanosAsLong) and as TIMESTAMP(MICROS) (read as timestamp_ntz).
+        # Normalize both to a session-TZ (UTC) timestamp so downstream
+        # date_trunc/window semantics are identical either way.
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type in ("bigint", "long"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

@@ -22,3 +22,32 @@ def test_every_query_runs(spark, sf_dir):
     for name, fn in suite.QUERIES.items():
         df = fn(spark, sf_dir)
         assert df.count() >= 0, name
+
+
+def test_no_oracle_emits_hugeint(sf_dir):
+    """DuckDB SUM over integers yields HUGEINT, which round-trips to
+    float64 through pandas/arrow on the driver side and hash-mismatches
+    Spark's bigint even when the values are identical. Every oracle
+    must CAST such sums so the result schema stays arrow-exact."""
+    import os
+
+    import duckdb
+
+    from covid_19_fl_spark.tables import TABLE_NAMES
+
+    con = duckdb.connect()
+    try:
+        for name in TABLE_NAMES:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+        offenders = []
+        for name, sql in suite.ORACLES.items():
+            rel = con.sql(sql)
+            for col, typ in zip(rel.columns, rel.types):
+                if "HUGEINT" in str(typ).upper():
+                    offenders.append((name, col, str(typ)))
+        assert not offenders, f"oracles with HUGEINT outputs: {offenders}"
+    finally:
+        con.close()
