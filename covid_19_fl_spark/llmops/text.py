@@ -117,6 +117,57 @@ def pii_hit_count(col: Column) -> Column:
     return total
 
 
+def bigrams(col: Column) -> Column:
+    """Adjacent word bigrams as ``"w1 w2"`` strings (empty array for
+    single-word docs). Pure array HOFs — ``zip_with`` over two shifted
+    slices — so the whole thing codegens inside the scan stage."""
+    ws = words(col)
+    n = F.size(ws)
+    return F.when(
+        n > 1,
+        F.zip_with(
+            F.slice(ws, F.lit(1), n - 1),
+            F.slice(ws, F.lit(2), n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_scores(col: Column) -> list[Column]:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1), the
+    standard filter for loop-generated / boilerplate text:
+
+    - ``dup_word_frac``: 1 − distinct/total words;
+    - ``dup_bigram_frac``: 1 − distinct/total adjacent bigrams;
+    - ``top_word_frac``: share of the single most frequent word.
+
+    All per-row array HOFs (no explode, no shuffle): at 100 TB these
+    are scan-stage expressions like quality_score, and the quadratic
+    top-word pass is bounded by document length, not corpus size."""
+    ws = words(col)
+    n = F.size(ws).cast("double")
+    bg = bigrams(col)
+    n_bg = F.size(bg).cast("double")
+    dup_word = F.round(F.lit(1.0) - F.size(F.array_distinct(ws)) / n, 6)
+    dup_bigram = F.round(
+        F.when(n_bg > 0, F.lit(1.0) - F.size(F.array_distinct(bg)) / n_bg).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(ws), lambda w: F.size(F.filter(ws, lambda x: x == w))
+        )
+    )
+    top_word = F.round(top_count / n, 6)
+    return [
+        dup_word.alias("dup_word_frac"),
+        dup_bigram.alias("dup_bigram_frac"),
+        top_word.alias("top_word_frac"),
+    ]
+
+
 def fingerprint(col: Column) -> Column:
     """Canonical document fingerprint: md5 of the whitespace-collapsed,
     trimmed, lower-cased text — the exact-dedup key.
@@ -199,6 +250,36 @@ def inverted_index(
     if max_postings is not None:
         agg = agg.withColumn("postings", F.slice("postings", 1, max_postings))
     return agg.filter(F.col("doc_freq") >= min_df)
+
+
+def unigram_logprob(df, text_col: str, id_col: str) -> "DataFrame":
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the KenLM-style perplexity-proxy quality
+    signal (low mean log-prob ⇒ unusual/garbled text), with the n-gram
+    LM swapped for its unigram reduction so the whole thing stays
+    relational and oracle-checkable.
+
+    Scale shape: tokenize-explode → groupBy(term) builds the vocab
+    counts (one shuffle, map-side partial agg carries the Zipf head);
+    the vocab is O(distinct terms) ≪ corpus, so it broadcasts back to
+    the exploded stream, and the per-doc AVG reduces with partial aggs
+    on doc_id (second shuffle). No Python, no driver materialization.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(F.lower(F.col(text_col)))).alias("term"),
+    )
+    vocab = toks.groupBy("term").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    return (
+        toks.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("t"))), 6).alias("avg_logprob"),
+        )
+    )
 
 
 def bm25_topk(

@@ -689,6 +689,68 @@ def tx_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tx_repetition_scores",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+    ), s AS (
+      SELECT doc_id, ws,
+             CASE WHEN len(ws) > 1
+                  THEN list_transform(range(1, len(ws)),
+                                      i -> ws[i] || ' ' || ws[i + 1])
+                  ELSE [] END AS bg
+      FROM w
+    )
+    SELECT doc_id,
+           ROUND(1 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
+             AS dup_word_frac,
+           ROUND(CASE WHEN len(bg) > 0
+                      THEN 1 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+                      ELSE 0.0 END, 6) AS dup_bigram_frac,
+           ROUND(CAST(list_max(list_transform(
+                        list_distinct(ws),
+                        x -> len(list_filter(ws, y -> y = x)))) AS DOUBLE)
+                 / len(ws), 6) AS top_word_frac
+    FROM s
+    """,
+)
+def tx_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (duplicate word / adjacent-bigram
+    fractions, top-word dominance) — scan-stage array HOFs, no shuffle;
+    see llmops/text.py repetition_scores for the scale argument."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", *text.repetition_scores(F.col("text")))
+
+
+@query(
+    "tx_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ), vocab AS (
+      SELECT term, COUNT(*) AS c FROM toks GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS t FROM vocab
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(ln(c / t)), 6) AS avg_logprob
+    FROM toks JOIN vocab USING (term), tot
+    GROUP BY 1
+    """,
+)
+def tx_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: per-doc mean log-prob under the
+    corpus unigram LM (llmops/text.py unigram_logprob) — broadcast vocab
+    join, two partial-agg shuffles, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.unigram_logprob(docs, "text", "doc_id").select(
+        "doc_id", "n_tokens", "avg_logprob"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Data mixing / chunking / decontamination
 # ---------------------------------------------------------------------------

@@ -316,3 +316,46 @@ def test_bm25_semantics_and_plan(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # distributed top-k, no global sort
+
+
+def test_repetition_scores_on_crafted_docs(spark):
+    import math
+
+    from covid_19_fl_spark.llmops import text
+
+    rows = [
+        (1, "a a a a"),            # 1 distinct word, 1 distinct bigram
+        (2, "a b c d"),            # all distinct
+        (3, "a b a b"),            # bigrams: "a b","b a","a b" → 2/3 distinct
+        (4, "solo"),               # single word → no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in df.select("doc_id", *text.repetition_scores(F.col("text"))).collect()
+    }
+    assert out[1].dup_word_frac == 0.75 and out[1].dup_bigram_frac == round(2 / 3, 6)
+    assert out[1].top_word_frac == 1.0
+    assert out[2].dup_word_frac == 0.0 and out[2].dup_bigram_frac == 0.0
+    assert out[2].top_word_frac == 0.25
+    assert out[3].dup_word_frac == 0.5
+    assert out[3].dup_bigram_frac == round(1 - 2 / 3, 6)
+    assert out[3].top_word_frac == 0.5
+    assert out[4].dup_word_frac == 0.0 and out[4].dup_bigram_frac == 0.0
+    assert out[4].top_word_frac == 1.0
+
+
+def test_unigram_logprob_matches_hand_computation(spark):
+    import math
+
+    from covid_19_fl_spark.llmops import text
+
+    # Corpus: "x x y" + "y z" → counts x=2 y=2 z=1, total=5.
+    rows = [(1, "x x y"), (2, "y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.unigram_logprob(df, "text", "doc_id").collect()}
+    lp = {"x": math.log(2 / 5), "y": math.log(2 / 5), "z": math.log(1 / 5)}
+    assert out[1].n_tokens == 3
+    assert out[1].avg_logprob == round((2 * lp["x"] + lp["y"]) / 3, 6)
+    assert out[2].n_tokens == 2
+    assert out[2].avg_logprob == round((lp["y"] + lp["z"]) / 2, 6)
