@@ -60,6 +60,10 @@ HEADLINE = [
     "tx_pii_redaction",
     "tx_tfidf_topterms",
     "tx_token_entropy",
+    "tx_repetition_scores",
+    "tx_unigram_logprob",
+    "x_correlation",
+    "x_histogram",
 ]
 
 

@@ -1644,3 +1644,89 @@ def x_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users"),
         F.sum("n_events").alias("total_events"),
     )
+
+
+@query(
+    "x_correlation",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(corr(o_totalprice,
+                      CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS DOUBLE)), 6)
+             AS price_date_corr,
+           ROUND(covar_samp(o_totalprice,
+                      CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS DOUBLE)), 4)
+             AS price_date_covar,
+           ROUND(regr_slope(o_totalprice,
+                      CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS DOUBLE)), 6)
+             AS price_per_day
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def x_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates per group: Pearson correlation,
+    sample covariance, and OLS slope of price vs order date (as an
+    epoch day number — the unit keeps magnitudes small enough that 4dp
+    rounding absorbs cross-engine partial-merge float noise; epoch
+    seconds at ~1e9 would not). All three are single-pass mergeable
+    aggregates (sum-of-products partials), so they partial-combine
+    map-side and shuffle one row per group — the same scale shape as
+    any hash agg."""
+    orders = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01")).cast(
+        "double"
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr(F.col("o_totalprice"), day), 6).alias("price_date_corr"),
+        F.round(F.covar_samp(F.col("o_totalprice"), day), 4).alias("price_date_covar"),
+        F.round(F.regr_slope(F.col("o_totalprice"), day), 6).alias("price_per_day"),
+    )
+
+
+@query(
+    "x_histogram",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    ), binned AS (
+      SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 10.0)) AS INTEGER), 9)
+               AS bin, lo, hi
+      FROM orders, bounds
+    )
+    SELECT bin,
+           ROUND(lo + bin * (hi - lo) / 10.0, 4) AS bin_lo,
+           ROUND(lo + (bin + 1) * (hi - lo) / 10.0, 4) AS bin_hi,
+           COUNT(*) AS n
+    FROM binned
+    GROUP BY bin, lo, hi
+    """,
+)
+def x_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 10-bin histogram of order totals. The min/max bounds
+    reduce to ONE row and ride a broadcast (cross) join back onto the
+    scan — no second shuffle of the fact table; the bin id is then a
+    scan-stage expression and the histogram itself is a 10-group hash
+    agg. The top value is clamped into the last bin (the standard
+    half-open-bins-except-last rule)."""
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(10.0)
+    bin_col = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("int"), F.lit(9)
+    )
+    return (
+        orders.join(F.broadcast(bounds))
+        .select(bin_col.alias("bin"), "lo", "hi")
+        .groupBy("bin", "lo", "hi")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            F.round(F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / 10.0, 4).alias("bin_lo"),
+            F.round(F.col("lo") + (F.col("bin") + 1) * (F.col("hi") - F.col("lo")) / 10.0, 4).alias("bin_hi"),
+            "n",
+        )
+    )
