@@ -771,7 +771,9 @@ def x_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_range_join",
     oracle="""
     WITH buckets AS (
-      SELECT CAST(i AS INTEGER) AS bucket_id, i * 50.0 AS lo, (i + 1) * 50.0 AS hi
+      SELECT CAST(i AS INTEGER) AS bucket_id,
+             CAST(i * 50.0 AS DOUBLE) AS lo,
+             CAST((i + 1) * 50.0 AS DOUBLE) AS hi
       FROM (SELECT UNNEST(generate_series(0, 9)) AS i)
     )
     SELECT bucket_id, lo, hi, COUNT(*) AS n_events,

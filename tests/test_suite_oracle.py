@@ -25,10 +25,11 @@ def test_every_query_runs(spark, sf_dir):
 
 
 def test_no_oracle_emits_hugeint(sf_dir):
-    """DuckDB SUM over integers yields HUGEINT, which round-trips to
-    float64 through pandas/arrow on the driver side and hash-mismatches
-    Spark's bigint even when the values are identical. Every oracle
-    must CAST such sums so the result schema stays arrow-exact."""
+    """DuckDB SUM over integers yields HUGEINT (and numeric literals
+    DECIMAL), which round-trip to float64 through pandas/arrow on the
+    driver side and can hash-mismatch Spark's bigint/double even when
+    the values are identical. Every oracle must CAST such columns so
+    the result schema stays arrow-exact."""
     import os
 
     import duckdb
@@ -46,8 +47,9 @@ def test_no_oracle_emits_hugeint(sf_dir):
         for name, sql in suite.ORACLES.items():
             rel = con.sql(sql)
             for col, typ in zip(rel.columns, rel.types):
-                if "HUGEINT" in str(typ).upper():
+                t = str(typ).upper()
+                if "HUGEINT" in t or "DECIMAL" in t:
                     offenders.append((name, col, str(typ)))
-        assert not offenders, f"oracles with HUGEINT outputs: {offenders}"
+        assert not offenders, f"oracles with HUGEINT/DECIMAL outputs: {offenders}"
     finally:
         con.close()
