@@ -64,6 +64,7 @@ HEADLINE = [
     "tx_unigram_logprob",
     "x_correlation",
     "x_histogram",
+    "x_ohlc_bars",
 ]
 
 

@@ -1732,3 +1732,44 @@ def x_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "x_ohlc_bars",
+    oracle="""
+    SELECT time_bucket(INTERVAL 6 HOUR, ts) AS bucket_start,
+           arg_min(value, printf('%020d-%010d', epoch_us(ts), event_id)) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, printf('%020d-%010d', epoch_us(ts), event_id)) AS close,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS volume
+    FROM events
+    GROUP BY 1
+    """,
+)
+def x_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup: 6-hour OHLC bars over the
+    event stream. ``F.window`` tumbling buckets + min_by/max_by argmin
+    aggregates — ALL mergeable, so the whole rollup is one partial-agg
+    shuffle of one row per (bucket), exactly how a continuous aggregate
+    refreshes at 100 TB (and the batch twin of the streaming tumbling
+    window in streaming/pipeline.py). Open/close tiebreak on the
+    (epoch_us, event_id) zero-padded string key — total order, stable
+    across engines; a bare timestamp key would be nondeterministic on
+    equal timestamps. Decimal-then-double volume keeps the float sum
+    order-independent."""
+    events = _t(spark, sf_dir, "events")
+    key = F.format_string("%020d-%010d", F.unix_micros(F.col("ts")), F.col("event_id"))
+    return (
+        events.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("volume"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "open", "high", "low", "close", "n_events", "volume")
+    )
