@@ -148,6 +148,63 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("source", T.StringType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                    T.StructField("orig_bytes", T.LongType(), True),
+                    T.StructField("scale_num", T.IntegerType(), True),
+                    T.StructField("scale_den", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def resize_media(media: DataFrame, max_bytes: int = 64) -> DataFrame:
+    """Resize/downsample plumbing: payloads above ``max_bytes`` are
+    resampled to fit by deterministic byte striding (every k-th byte,
+    k = ceil(n/max_bytes)) — the stand-in for an image resize / audio
+    downsample, which needs codecs this container lacks. What IS real:
+    the mapInPandas binary→binary contract, the metadata struct carrying
+    the original size and the exact rational scale factor (num/den, no
+    float drift), and map-only partition-preserving execution. Small
+    payloads pass through untouched (scale 1/1), like a resize that
+    never upscales."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "payload": [], "meta": []}
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                n = len(payload)
+                k = max(1, -(-n // max_bytes))  # ceil(n / max_bytes)
+                resized = bytes(payload[::k])
+                out["doc_id"].append(doc_id)
+                out["payload"].append(resized)
+                out["meta"].append(
+                    {
+                        "mime": meta["mime"],
+                        "source": meta["source"],
+                        "n_bytes": len(resized),
+                        "orig_bytes": n,
+                        "scale_num": 1,
+                        "scale_den": k,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
 def read_binary_media(
     spark: SparkSession,
     path: str,

@@ -359,3 +359,27 @@ def test_unigram_logprob_matches_hand_computation(spark):
     assert out[1].avg_logprob == round((2 * lp["x"] + lp["y"]) / 3, 6)
     assert out[2].n_tokens == 2
     assert out[2].avg_logprob == round((lp["y"] + lp["z"]) / 2, 6)
+
+
+def test_resize_media_contract(spark, sf_dir):
+    from covid_19_fl_spark.llmops import multimodal
+
+    docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    media = multimodal.to_media(docs)
+    resized = multimodal.resize_media(media, max_bytes=64)
+    rows = resized.collect()
+    assert len(rows) == 50
+    orig = {r.doc_id: r for r in media.collect()}
+    for r in rows:
+        n_orig = len(orig[r.doc_id].payload)
+        assert r.meta.orig_bytes == n_orig
+        assert len(r.payload) <= 64
+        assert r.meta.n_bytes == len(r.payload)
+        k = r.meta.scale_den
+        # striding semantics: resized is every k-th byte of the original
+        assert bytes(orig[r.doc_id].payload[::k]) == bytes(r.payload)
+        if n_orig <= 64:
+            assert k == 1 and bytes(r.payload) == bytes(orig[r.doc_id].payload)
+    # map-only: no exchange in the plan
+    plan = resized._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
