@@ -23,10 +23,11 @@ from .suite import _RATES_SQL, _daily_cum, _growth_rate_series, _t, query
            NULLIF(lang, 'en') AS lang_non_en,
            COALESCE(NULLIF(lang, 'en'), 'english') AS lang_or_default,
            upper(substr(source, 1, 1)) || lower(substr(source, 2)) AS source_title,
-           list_transform(string_split(text, ' ')[1:5],
-                          x -> CASE WHEN len(trim(x)) > 4
-                                    THEN upper(substr(trim(x), 1, 1)) || lower(substr(trim(x), 2))
-                                    ELSE trim(x) END) AS tok5,
+           array_to_string(
+             list_transform(string_split(text, ' ')[1:5],
+                            x -> CASE WHEN len(trim(x)) > 4
+                                      THEN upper(substr(trim(x), 1, 1)) || lower(substr(trim(x), 2))
+                                      ELSE trim(x) END), '|') AS tok5,
            CASE WHEN doc_id % 7 > 0
                 THEN CAST(n_chars AS DOUBLE) / (doc_id % 7) ELSE 0.0 END AS guarded,
            ROUND(n_chars / (1000 / 1000.0), 2) AS per_k
@@ -51,11 +52,14 @@ def p_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_or_default"
         ),
         normalize.title_case(F.col("source")).alias("source_title"),
-        F.transform(
-            tok5,
-            lambda x: F.when(F.length(F.trim(x)) > 4, F.initcap(F.trim(x))).otherwise(
-                F.trim(x)
+        F.array_join(
+            F.transform(
+                tok5,
+                lambda x: F.when(
+                    F.length(F.trim(x)) > 4, F.initcap(F.trim(x))
+                ).otherwise(F.trim(x)),
             ),
+            "|",
         ).alias("tok5"),
         normalize.guarded_ratio(F.col("n_chars"), F.col("doc_id") % 7).alias("guarded"),
         normalize.per_capita(F.col("n_chars"), F.lit(1000)).alias("per_k"),

@@ -43,6 +43,9 @@ def test_no_oracle_emits_hugeint(sf_dir):
             con.execute(
                 f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
             )
+        import __spark_entry__ as entry
+
+        driver_window = set(list(entry.oracle_sql())[:50])
         offenders = []
         for name, sql in suite.ORACLES.items():
             rel = con.sql(sql)
@@ -50,6 +53,12 @@ def test_no_oracle_emits_hugeint(sf_dir):
                 t = str(typ).upper()
                 if "HUGEINT" in t or "DECIMAL" in t:
                     offenders.append((name, col, str(typ)))
-        assert not offenders, f"oracles with HUGEINT/DECIMAL outputs: {offenders}"
+                # Arrays/structs materialize as numpy arrays from DuckDB
+                # but lists from Spark — an untested representation in
+                # the driver's value hash. Keep them out of the window
+                # the driver actually checks (join to strings instead).
+                elif name in driver_window and ("[]" in t or "STRUCT" in t):
+                    offenders.append((name, col, str(typ)))
+        assert not offenders, f"oracles with risky output dtypes: {offenders}"
     finally:
         con.close()
