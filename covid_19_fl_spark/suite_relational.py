@@ -1773,3 +1773,39 @@ def x_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("bucket_start"), "open", "high", "low", "close", "n_events", "volume")
     )
+
+
+@query(
+    "x_asof_forward",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), clicks AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, p.purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.cts <= p.pts
+    """,
+)
+def x_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click gets the user's NEXT at-or-after
+    purchase value — the attribution-window direction (click → eventual
+    conversion), mirror of x_asof_join's backward lookup. Same
+    union+window plan, reversed in-partition sort; still one shuffle on
+    user_id (operators/asof.py direction='forward')."""
+    from .operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(clicks, purchases, on="ts", by="user_id", direction="forward")
+    return joined.select("event_id", "user_id", "purchase_value")

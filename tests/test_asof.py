@@ -79,3 +79,58 @@ def test_asof_plan_single_shuffle_no_rangejoin(spark):
     # BroadcastNestedLoop/range-join candidate explosion at scale).
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_asof_directions_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01T10:00:00")),  # b: 09:00, f: 10:30 → nearest f
+            (2, "u1", _ts("2024-01-01T09:01:00")),  # b: 09:00, f: 10:30 → nearest b
+            (3, "u1", _ts("2024-01-01T08:00:00")),  # b: none,  f: 09:00
+            (4, "u2", _ts("2024-01-01T12:00:00")),  # no right rows at all
+            (5, "u1", _ts("2024-01-01T10:30:00")),  # exact hit both directions
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01T09:00:00"), 9.0),
+            ("u1", _ts("2024-01-01T10:30:00"), 10.5),
+        ],
+        "user_id string, ts timestamp, val double",
+    )
+
+    def run(**kw):
+        return {
+            r.event_id: r.val
+            for r in asof_join(left, right, on="ts", by="user_id", **kw).collect()
+        }
+
+    assert run() == {1: 9.0, 2: 9.0, 3: None, 4: None, 5: 10.5}
+    assert run(direction="forward") == {1: 10.5, 2: 10.5, 3: 9.0, 4: None, 5: 10.5}
+    assert run(direction="nearest") == {1: 10.5, 2: 9.0, 3: 9.0, 4: None, 5: 10.5}
+    # 30-minute tolerance: row 1 backward match (60 min away) nulls out,
+    # forward match (30 min) survives the boundary exactly.
+    assert run(tolerance_sec=1800) == {1: None, 2: 9.0, 3: None, 4: None, 5: 10.5}
+    assert run(direction="forward", tolerance_sec=1800) == {
+        1: 10.5, 2: None, 3: None, 4: None, 5: 10.5,
+    }
+    assert run(direction="nearest", tolerance_sec=1800) == {
+        1: 10.5, 2: 9.0, 3: None, 4: None, 5: 10.5,
+    }
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01T10:00:00"))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01T09:00:00"), 9.0),
+            ("u1", _ts("2024-01-01T11:00:00"), 11.0),
+        ],
+        "user_id string, ts timestamp, val double",
+    )
+    got = asof_join(left, right, on="ts", by="user_id", direction="nearest").collect()
+    assert got[0].val == 9.0
