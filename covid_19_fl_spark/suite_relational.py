@@ -1809,3 +1809,54 @@ def x_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = asof_join(clicks, purchases, on="ts", by="user_id", direction="forward")
     return joined.select("event_id", "user_id", "purchase_value")
+
+
+@query(
+    "x_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT CAST(ts AS DATE) AS day, ts, value,
+             COALESCE(LEAD(ts) OVER (PARTITION BY CAST(ts AS DATE)
+                                     ORDER BY ts, event_id),
+                      CAST(CAST(ts AS DATE) + INTERVAL 1 DAY AS TIMESTAMP)) AS nxt
+      FROM events
+    ), weighted AS (
+      SELECT day,
+             epoch_us(nxt) - epoch_us(ts) AS dur_us,
+             CAST(value AS DECIMAL(18,4)) * (epoch_us(nxt) - epoch_us(ts)) AS vw
+      FROM seq
+    )
+    SELECT day, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(vw) AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE), 6)
+             AS time_weighted_avg
+    FROM weighted GROUP BY 1
+    """,
+)
+def x_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per day: each reading holds its value until
+    the next one (last-observation-carried-forward), weighted by that
+    holding duration, with the final reading carried to midnight — the
+    standard sensor/price TWA. One window and one agg, both partitioned
+    by day, so the whole query is a single shuffle. The value×duration
+    products accumulate in DECIMAL (exact integer micros × fixed-point
+    value) and divide once at the end — float sum order can't drift the
+    hash."""
+    events = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    w = Window.partitionBy(day).orderBy("ts", "event_id")
+    nxt = F.coalesce(
+        F.lead("ts").over(w),
+        (day + F.expr("INTERVAL 1 DAY")).cast("timestamp"),
+    )
+    seq = events.select(
+        day.alias("day"),
+        (F.unix_micros(nxt) - F.unix_micros(F.col("ts"))).alias("dur_us"),
+        (F.col("value").cast("decimal(18,4)")
+         * (F.unix_micros(nxt) - F.unix_micros(F.col("ts")))).alias("vw"),
+    )
+    return seq.groupBy("day").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum("vw").cast("double") / F.sum("dur_us").cast("double"), 6
+        ).alias("time_weighted_avg"),
+    )
