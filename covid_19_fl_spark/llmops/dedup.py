@@ -49,6 +49,25 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def dedup_keep_best(
+    df: DataFrame, text_col: str, id_col: str, score: Column
+) -> DataFrame:
+    """Exact dedup keeping the best-scoring duplicate (curation policy:
+    among identical texts, survive the one with the highest quality
+    signal; id ascending breaks ties deterministically). Same plan as
+    exact_dedup — one shuffle on the fingerprint, row_number, filter —
+    only the in-partition sort key changes. ``score`` should be rounded
+    (e.g. 6dp) so the ordering is stable across engines/runs."""
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(
+        score.desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shingles + Jaccard
 # ---------------------------------------------------------------------------

@@ -1025,3 +1025,40 @@ def ss_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qsum",
         F.round(F.col("mse_raw"), 12).alias("mse"),
     )
+
+
+@query(
+    "dd_dedup_keep_best",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+             ROUND(0.4 * ({_hits_sql('en')} / CAST(len({_WORDS_SQL}) AS DOUBLE))
+                   + 0.4 * least(len({_WORDS_SQL}) / 100.0, 1.0)
+                   + 0.2 * (1 - len(regexp_extract_all(text, '[,.!?;:]'))
+                                / CAST(len({_WORDS_SQL}) AS DOUBLE)), 6) AS quality
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, fp, quality,
+             ROW_NUMBER() OVER (PARTITION BY fp
+                                ORDER BY quality DESC, doc_id ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, quality FROM ranked WHERE rn = 1
+    """,
+)
+def dd_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a curation survivor policy: among identical
+    (fingerprint-equal) texts keep the highest-quality one, not the
+    lowest id (llmops/dedup.py dedup_keep_best) — one fingerprint
+    shuffle either way; only the in-partition sort key differs. The
+    6dp-rounded score makes the ordering engine-exact; doc_id breaks
+    the (always-tied, since texts are identical) remainder."""
+    docs = _t(spark, sf_dir, "documents")
+    best = dedup.dedup_keep_best(
+        docs.withColumn("quality", text.quality_score(F.col("text"))),
+        "text",
+        "doc_id",
+        F.col("quality"),
+    )
+    return best.select("doc_id", "quality")
