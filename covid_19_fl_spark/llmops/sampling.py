@@ -119,6 +119,62 @@ def pack_sequences(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: Column,
+    budget: int,
+) -> DataFrame:
+    """Fill a training-token budget: take documents in deterministic
+    md5-hash order (an unbiased, reproducible shuffle of the corpus)
+    until the running token total reaches ``budget`` — the "give me
+    exactly ~1B tokens of this corpus" curation step. A document is
+    kept iff the budget was not yet exhausted when its turn came, so
+    the result overshoots by at most the final straddling document.
+
+    A global ordered cumsum would serialize on one partition at 100 TB,
+    so it runs two-phase: shard on the hash's first hex digit (a PREFIX
+    of the global sort key, so shard order composes with in-shard
+    order), window-cumsum inside each shard, then add each shard's
+    starting offset — 16 totals reduced and broadcast back. Same
+    pattern as pack_sequences; no single ordered stream anywhere.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col.cast("long").alias("n_tokens"),
+        h.alias("_h"),
+        F.substring(h, 1, 1).alias("_shard"),
+    )
+    w_in = (
+        Window.partitionBy("_shard")
+        .orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_shard = base.withColumn("_cum_in", F.sum("n_tokens").over(w_in))
+    # 16 rows: running offset of every shard = sum of all prior shards.
+    w_off = (
+        Window.orderBy(F.col("_shard").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("_shard")
+        .agg(F.sum("n_tokens").alias("_tot"))
+        .select("_shard", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off"))
+    )
+    return (
+        in_shard.join(F.broadcast(offsets), "_shard")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("_off") + F.col("_cum_in")).alias("cum_tokens"),
+        )
+        # strictly-before test: the doc is taken iff the budget wasn't
+        # already met at its start (cum - n_tokens < budget)
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < F.lit(budget))
+    )
+
+
 def source_mix_weights(
     df: DataFrame, group_col: str, size_col: Column
 ) -> DataFrame:

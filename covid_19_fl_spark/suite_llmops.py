@@ -1062,3 +1062,36 @@ def dd_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality"),
     )
     return best.select("doc_id", "quality")
+
+
+@query(
+    "sp_token_budget_sample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, cum_tokens
+    FROM cum WHERE cum_tokens - n_tokens < 50000
+    """,
+)
+def sp_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation sample: documents in deterministic
+    md5-hash order until 50k tokens (llmops/sampling.py
+    token_budget_sample). The oracle spells the single global ordered
+    cumsum; the engine runs the sharded two-phase equivalent (hash-
+    prefix shards + broadcast offsets) that never serializes — results
+    are identical because the shard key is a prefix of the sort key."""
+    from .llmops import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.token_budget_sample(
+        docs, "doc_id", text.token_count(F.col("text")), budget=50_000
+    )

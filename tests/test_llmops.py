@@ -383,3 +383,27 @@ def test_resize_media_contract(spark, sf_dir):
     # map-only: no exchange in the plan
     plan = resized._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_token_budget_sample_boundary_and_partition_independence(spark, sf_dir):
+    from covid_19_fl_spark.llmops import sampling, text
+
+    docs = tables.load(spark, sf_dir, "documents")
+    budget = 3000
+    out = sampling.token_budget_sample(
+        docs, "doc_id", text.token_count(F.col("text")), budget=budget
+    )
+    rows = sorted(out.collect(), key=lambda r: r.cum_tokens)
+    assert rows, "budget sample must keep at least one doc"
+    # every kept doc started strictly under budget; only the last may overshoot
+    for r in rows:
+        assert r.cum_tokens - r.n_tokens < budget
+    for r in rows[:-1]:
+        assert r.cum_tokens < budget + rows[-1].n_tokens
+    total = rows[-1].cum_tokens
+    assert total >= min(budget, sum(r.n_tokens for r in rows))
+    # partitioning must not change membership (content-deterministic)
+    out2 = sampling.token_budget_sample(
+        docs.repartition(7), "doc_id", text.token_count(F.col("text")), budget=budget
+    )
+    assert {r.doc_id for r in out2.collect()} == {r.doc_id for r in rows}
