@@ -65,6 +65,9 @@ HEADLINE = [
     "x_correlation",
     "x_histogram",
     "x_ohlc_bars",
+    "x_time_weighted_avg",
+    "sp_token_budget_sample",
+    "dd_dedup_keep_best",
 ]
 
 

@@ -1860,3 +1860,51 @@ def x_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vw").cast("double") / F.sum("dur_us").cast("double"), 6
         ).alias("time_weighted_avg"),
     )
+
+
+@query(
+    "x_rolling_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT day, event_type, total,
+             AVG(total) OVER w AS mu,
+             STDDEV_SAMP(total) OVER w AS sigma,
+             COUNT(*) OVER w AS n_window
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, event_type, total,
+           CAST(n_window AS BIGINT) AS n_window,
+           ROUND(CASE WHEN sigma > 0 THEN (total - mu) / sigma END, 6) AS zscore
+    FROM stats
+    """,
+)
+def x_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly signal: each day's per-type total scored
+    against the TRAILING week's mean/stddev (frame ends at 1 PRECEDING —
+    the scored day never contaminates its own baseline, the standard
+    leak-free monitoring setup). Day totals pre-aggregate first, so the
+    window runs over ~365 rows per type partition, not raw events; one
+    shuffle on event_type. Null z where the trailing window is empty or
+    flat (first day / zero variance)."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("total")
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, -1)
+    mu = F.avg("total").over(w)
+    sigma = F.stddev_samp("total").over(w)
+    return daily.select(
+        "day",
+        "event_type",
+        "total",
+        F.count("*").over(w).alias("n_window"),
+        F.round(F.when(sigma > 0, (F.col("total") - mu) / sigma), 6).alias("zscore"),
+    )
