@@ -68,6 +68,7 @@ HEADLINE = [
     "x_time_weighted_avg",
     "sp_token_budget_sample",
     "dd_dedup_keep_best",
+    "x_rolling_zscore",
 ]
 
 
