@@ -57,6 +57,25 @@ def daily_counts_stream(
     )
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment — the streaming twin of the
+    J1 broadcast lookup join (cv-api.py:117's county→location probe).
+
+    The static side is re-evaluated every micro-batch, so slowly-
+    changing dimension updates are picked up without restarting the
+    query; the broadcast hint keeps it stateless (no join state store,
+    no watermark needed — only stream-stream joins buffer state). At
+    100 TB-of-stream scale this is the right shape for any dim that
+    fits an executor: the fact stream never shuffles for the join.
+    """
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def attribute_purchases(
     clicks: DataFrame,
     purchases: DataFrame,

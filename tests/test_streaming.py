@@ -180,3 +180,26 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path, input_dir):
     ).trigger(availableNow=True).start()
     q3.awaitTermination(120)
     assert sorted(r.case_number for r in table.read().collect()) == [1, 2, 3, 4, 5]
+
+
+def test_stream_static_enrichment_broadcast_stateless(spark, tmp_path, input_dir):
+    """Stream-static broadcast join: every micro-batch row is enriched
+    from the static dim, rows without a dim match survive (left join),
+    and the query needs no watermark/state (stateless join)."""
+    dim = spark.createDataFrame(
+        [("Yes", 1), ("No", 0)], "travel string, travel_flag int"
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt2")
+    enriched = pipeline.enrich_stream(_stream(spark, input_dir), dim, "travel")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.case_number: r.travel_flag for r in spark.read.parquet(out_dir).collect()}
+    # case 2 appears twice in the source (same values) — dict collapses it
+    assert got == {1: 0, 2: None, 3: 1, 4: 0}
+    assert q.lastProgress["stateOperators"] == []  # stateless: no join state
