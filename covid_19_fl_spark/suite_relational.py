@@ -1908,3 +1908,87 @@ def x_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_window"),
         F.round(F.when(sigma > 0, (F.col("total") - mu) / sigma), 6).alias("zscore"),
     )
+
+
+@query(
+    "x_multitouch_attribution",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ), pairs AS (
+      SELECT purchase_id, click_id, cts
+      FROM purchases p JOIN clicks c ON p.user_id = c.user_id
+        AND c.cts <= p.pts AND c.cts > p.pts - INTERVAL 1 HOUR
+    ), ranked AS (
+      SELECT purchase_id, click_id,
+             ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                ORDER BY cts ASC, click_id ASC) AS rn_first,
+             ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                ORDER BY cts DESC, click_id DESC) AS rn_last,
+             COUNT(*) OVER (PARTITION BY purchase_id) AS n
+      FROM pairs
+    )
+    SELECT purchase_id, click_id,
+           ROUND(CAST(CASE WHEN n = 1 THEN 1.0
+                           WHEN rn_first = 1 OR rn_last = 1
+                             THEN CASE WHEN n = 2 THEN 0.5 ELSE 0.4 END
+                           ELSE 0.2 / (n - 2) END AS DOUBLE), 6) AS credit
+    FROM ranked
+    """,
+)
+def x_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based multi-touch attribution (the U-shaped 40/20/40
+    model): every click in the hour before a purchase earns credit —
+    first and last touch 40% each, the middle splits the rest; solo
+    touches take 100%, two-touch journeys 50/50. Plan: the candidate
+    join blocks on user_id (a user's events are bounded, so the band
+    predicate prunes inside each key group — no quadratic blowup),
+    then both rank directions and the count ride ONE window shuffle on
+    purchase_id. Credit fractions computed in double with deterministic
+    (ts, id) tiebreaks; every purchase's credits sum to 1.0 by
+    construction (property-tested)."""
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+    )
+    pairs = purchases.join(clicks, "user_id").filter(
+        (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    w_first = Window.partitionBy("purchase_id").orderBy(
+        F.col("cts").asc(), F.col("click_id").asc()
+    )
+    w_last = Window.partitionBy("purchase_id").orderBy(
+        F.col("cts").desc(), F.col("click_id").desc()
+    )
+    w_n = Window.partitionBy("purchase_id")
+    ranked = pairs.select(
+        "purchase_id",
+        "click_id",
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"),
+        F.count("*").over(w_n).alias("n"),
+    )
+    n = F.col("n")
+    credit = (
+        F.when(n == 1, F.lit(1.0))
+        .when(
+            (F.col("rn_first") == 1) | (F.col("rn_last") == 1),
+            F.when(n == 2, F.lit(0.5)).otherwise(F.lit(0.4)),
+        )
+        .otherwise(F.lit(0.2) / (n - 2))
+    )
+    return ranked.select(
+        "purchase_id", "click_id", F.round(credit.cast("double"), 6).alias("credit")
+    )

@@ -243,3 +243,15 @@ def test_hll_sketch_union_matches_exact_total(spark, sf_dir):
         assert abs(got[t] - exact) <= max(2, 0.05 * exact), (t, got[t], exact)
     assert abs(got["__all__"] - exact_total) <= max(2, 0.05 * exact_total)
     assert got["__all__"] <= sum(exact_by.values()) + 2
+
+
+def test_multitouch_credits_sum_to_one_per_purchase(spark, sf_dir):
+    """Every attributed purchase's click credits must sum to 1.0 (up to
+    6dp rounding of the middle split)."""
+    from covid_19_fl_spark.suite_relational import x_multitouch_attribution
+
+    out = x_multitouch_attribution(spark, sf_dir)
+    sums = out.groupBy("purchase_id").agg(F.sum("credit").alias("s")).collect()
+    assert sums, "expected at least one attributed purchase"
+    for r in sums:
+        assert abs(r.s - 1.0) < 1e-4, (r.purchase_id, r.s)
