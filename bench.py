@@ -69,6 +69,8 @@ HEADLINE = [
     "sp_token_budget_sample",
     "dd_dedup_keep_best",
     "x_rolling_zscore",
+    "x_multitouch_attribution",
+    "x_decayed_popularity",
 ]
 
 

@@ -1992,3 +1992,41 @@ def x_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "purchase_id", "click_id", F.round(credit.cast("double"), 6).alias("credit")
     )
+
+
+@query(
+    "x_decayed_popularity",
+    oracle="""
+    WITH anchor AS (
+      SELECT MAX(ts) AS max_ts FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(exp(-(epoch_us(max_ts) - epoch_us(ts))
+                         / (30.0 * 86400.0 * 1000000.0))), 6) AS decayed_count
+    FROM events, anchor
+    GROUP BY 1
+    """,
+)
+def x_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay popularity (30-day half-life-style
+    weighting, the feature-store recency score): each event contributes
+    exp(-age/τ) toward its type's count, anchored at the corpus max
+    timestamp. The anchor reduces to one row and broadcasts back onto
+    the scan, so the whole query is a scan-stage expression plus one
+    5-group partial-agg shuffle — the same shape as any hash agg, and
+    the decay weights are pure codegen'd math (no window, no Python)."""
+    events = _t(spark, sf_dir, "events")
+    anchor = events.agg(F.max("ts").alias("max_ts"))
+    tau_us = F.lit(30.0 * 86400.0 * 1_000_000.0)
+    weight = F.exp(
+        -(F.unix_micros(F.col("max_ts")) - F.unix_micros(F.col("ts"))) / tau_us
+    )
+    return (
+        events.join(F.broadcast(anchor))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(weight), 6).alias("decayed_count"),
+        )
+    )
