@@ -157,11 +157,43 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+# Engine-portable hash family. Base hash: the first 60 bits of md5(s)
+# as a bigint, reduced mod the Mersenne prime 2^31-1; seeded family:
+# h_k = (a_k*h + b_k) mod P — the classic affine ("universal") MinHash
+# family. Every step is md5 + int64 arithmetic that DuckDB (and any
+# ANSI engine) evaluates to the SAME values as Spark, so dedup output
+# is bit-reproducible across engines — the correctness gate runs the
+# whole LSH pipeline as a DuckDB oracle, and a production pipeline can
+# spot-verify a Spark batch locally. a_k*h < 2^62 so the product never
+# overflows int64 in either engine (DuckDB raises on overflow rather
+# than wrapping — the modulus choice is load-bearing).
+PORTABLE_PRIME = 2147483647
+
+
+def portable_hash(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint (portable:
+    ``('0x' || substr(md5(s),1,15))::bigint`` in DuckDB)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def affine_consts(k: int) -> tuple[int, int]:
+    """Deterministic (a_k, b_k) for seed k — Knuth multiplicative
+    constants, shared verbatim by the Spark path and oracle SQL."""
+    a = (2654435761 * (k + 1)) % PORTABLE_PRIME or 1
+    b = (2654435789 * (k + 7) + 1) % PORTABLE_PRIME
+    return a, b
+
+
+def _seeded(h: Column, k: int) -> Column:
+    a, b = affine_consts(k)
+    return (F.lit(a) * h + F.lit(b)) % F.lit(PORTABLE_PRIME)
+
 
 def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
-    """MinHash signature as an int array: for seed k, min over shingles
-    of murmur3(k || shingle). Pure per-row expression — the signature
-    is computed in the scan stage; only (id, signature) ever shuffles.
+    """MinHash signature as a bigint array: for seed k, min over
+    shingles of (a_k*h(shingle)+b_k) mod P. Pure per-row expression —
+    the signature is computed in the scan stage; only (id, signature)
+    ever shuffles. Same values as minhash_lsh_pairs' agg path.
 
     The shingle array is bound ONCE via a single-element ``transform``
     (a let-expression): referencing ``word_shingles(...)`` directly in
@@ -174,14 +206,12 @@ def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
         def seeded_min(k: int):
             # closure factory, NOT a defaulted lambda param: PySpark
             # treats a 2-arg lambda as the (element, index) form and
-            # would silently shadow the seed. Seeded family murmur3(k,
-            # murmur3(s)) — same values as minhash_lsh_pairs' agg path.
-            # sh is the pre-hashed shingle array: h = murmur3(s)
-            return F.array_min(F.transform(sh, lambda h: F.hash(F.lit(k), h)))
+            # would silently shadow the seed.
+            return F.array_min(F.transform(sh, lambda h: _seeded(h, k)))
 
         return F.array(*[seeded_min(k) for k in range(num_hashes)])
 
-    hashed = F.transform(shingles, lambda s: F.hash(s))
+    hashed = F.transform(shingles, lambda s: portable_hash(s) % PORTABLE_PRIME)
     return F.element_at(F.transform(F.array(hashed), body), 1)
 
 
@@ -213,8 +243,11 @@ def minhash_lsh_pairs(
     # the returned plan's source or run with cache_base=False).
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        F.transform(
-            word_shingles(F.col(text_col), n), lambda s: F.hash(s)
+        F.array_distinct(
+            F.transform(
+                word_shingles(F.col(text_col), n),
+                lambda s: portable_hash(s) % PORTABLE_PRIME,
+            )
         ).alias("shingles"),
     )
     if cache_base:
@@ -225,13 +258,13 @@ def minhash_lsh_pairs(
     # explode+min-agg stays inside whole-stage codegen and the map-side
     # partial combine means one (id, 32 ints) row per doc crosses the
     # exchange — shuffle volume is O(docs), not O(shingles).
-    # Seeded hash = murmur3 over (seed, token-hash) int columns — no
-    # per-seed string concat (hashing ints is ~5× cheaper than building
-    # and hashing a prefixed copy of every shingle, × 32 seeds).
+    # Seeded hash = affine transform of the 31-bit base hash — pure
+    # int64 arithmetic, no per-seed string concat (md5 runs once per
+    # shingle in the scan; the 32 seeds each cost one multiply-add).
     sh_hashed = base.select("doc_id", F.explode("shingles").alias("sh"))
     sigs = sh_hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.hash(F.lit(k), F.col("sh"))).alias(f"h{k}")
+            F.min(_seeded(F.col("sh"), k)).alias(f"h{k}")
             for k in range(num_hashes)
         ]
     )
@@ -242,9 +275,16 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        # band key: murmur3 over the band's signature ints
-                        F.hash(
-                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        # band key: the band's signature values joined
+                        # as a string — portable (concat_ws in any
+                        # engine), and an equi-join key exactly like a
+                        # hashed bucket id
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col(f"h{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
                         ).alias("band_hash"),
                     )
                     for b in range(bands)
@@ -252,12 +292,13 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
-    # Verify-side shingle sets carry murmur3 hashes, not strings (the
-    # shared base above): the candidate joins shuffle 4-byte ints
-    # instead of ~20-char strings and array_intersect compares ints.
-    # Jaccard over hashed sets equals Jaccard over the sets themselves
-    # barring a 32-bit collision between two distinct shingles of the
-    # same pair (~1e-7 per pair) — irrelevant for near-dup thresholds.
+    # Verify-side shingle sets carry 31-bit base hashes, not strings
+    # (the shared base above): the candidate joins shuffle ints instead
+    # of ~20-char strings and array_intersect compares ints. Jaccard
+    # over hashed sets equals Jaccard over the sets themselves barring
+    # a 31-bit collision between two distinct shingles of the same pair
+    # (~1e-7 per pair) — irrelevant for near-dup thresholds, and the
+    # oracle computes the identical hashed-set Jaccard.
     a = banded.select(F.col("doc_id").alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col("doc_id").alias("id_b"), "band_idx", "band_hash")
     candidates = (
@@ -385,14 +426,16 @@ def embedding_cosine_pairs(
 def simhash32(col: Column) -> Column:
     """32-bit SimHash over whitespace tokens, as a long.
 
-    Per bit i: sum over tokens of ±1 by murmur3 bit i; signature bit is
-    the sign. Entirely per-row fold expressions — no shuffle, no UDF.
+    Per bit i: sum over tokens of ±1 by bit i of the portable 60-bit
+    md5 token hash; signature bit is the sign. Entirely per-row fold
+    expressions — no shuffle, no UDF — and engine-portable (same
+    values from DuckDB's md5 + bit ops; see PORTABLE_PRIME note).
 
     The token-hash array is let-bound once (single-element transform),
     not re-inlined into each of the 32 bit-balance folds — same
     expression-duplication trap as minhash_signature.
     """
-    hashes = F.transform(words(col), lambda t: F.hash(t))
+    hashes = F.transform(words(col), lambda t: portable_hash(t))
 
     def body(hs: Column) -> Column:
         def balance(i: int):
@@ -400,7 +443,7 @@ def simhash32(col: Column) -> Column:
             # bit index can't ride in as a defaulted third parameter
             return F.aggregate(
                 hs,
-                F.lit(0),
+                F.lit(0).cast("long"),  # long zero: the hash is bigint now
                 lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
             )
 
@@ -427,15 +470,16 @@ def simhash_pairs(
     as minhash_lsh_pairs: HOF folds are interpreted, 32 of them per row
     dominate wall-clock; the per-bit balance is an associative sum, so
     the map-side combine reduces the shuffle to one row per doc).
-    Per bit i: balance = 2·Σ bit_i(murmur3(token)) − n_tokens; sig bit
-    set iff balance > 0 — identical values to simhash32()."""
+    Per bit i: balance = 2·Σ bit_i(h(token)) − n_tokens with h the
+    portable md5-prefix hash; sig bit set iff balance > 0 — identical
+    values to simhash32(), and reproducible by the DuckDB oracle."""
     import functools
     import operator
 
     tokens = df.select(
         F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("t")
     )
-    h = F.hash(F.col("t"))
+    h = portable_hash(F.col("t"))
     sig_expr = functools.reduce(
         operator.add,
         [

@@ -2,9 +2,11 @@
 search, text analysis, multimodal plumbing — over the driver's
 ``documents`` and ``embeddings`` tables.
 
-Oracle notes: murmur3-based operators (MinHash/SimHash/hyperplane LSH)
-have no DuckDB equivalent → rows-only checks + pytest property tests;
-everything md5/regex/list-arithmetic-based has a full SQL oracle.
+Oracle notes: MinHash/SimHash run on an engine-portable hash family
+(md5 prefix + affine seeds, llmops.dedup.PORTABLE_PRIME) so even the
+full LSH pipelines have exact DuckDB oracles; only the sampled-query
+ANN variants (IVF/hyperplane-LSH, seeded floats) stay rows-only with
+pytest property tests.
 """
 
 from __future__ import annotations
@@ -174,19 +176,109 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dd_minhash_lsh_pairs")  # murmur3-based — no SQL oracle, rows-only
+def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.3) -> str:
+    """DuckDB replica of the FULL MinHash+LSH pipeline — possible
+    because the hash family is engine-portable (md5 prefix + affine
+    seeds mod 2^31-1, dedup.PORTABLE_PRIME): signatures, band buckets,
+    candidate join, and hashed-set Jaccard verify all produce the SAME
+    values in both engines. Constants come from dedup.affine_consts so
+    the Spark path and this SQL can never drift apart."""
+    P = dedup.PORTABLE_PRIME
+    r = num_hashes // bands
+    mins = ",\n             ".join(
+        f"MIN(({a}*h + {b}) % {P}) AS h{k}"
+        for k, (a, b) in ((k, dedup.affine_consts(k)) for k in range(num_hashes))
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, concat_ws('-', "
+        + ", ".join(f"h{b * r + i}::VARCHAR" for i in range(r))
+        + ") AS band_hash FROM sigs"
+        for b in range(bands)
+    )
+    jac = (
+        "CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(sa.hs, sb.hs)))"
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([ (('0x'||substr(md5(w[i]||' '||w[i+1]||' '||w[i+2]),1,15))::BIGINT) % {P}
+                             for i in generate_series(1, greatest(len(w)-2, 0)) ]) AS hs
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)
+    ),
+    ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+    sigs AS (SELECT doc_id,
+             {mins}
+             FROM ex GROUP BY doc_id),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND b.doc_id > a.doc_id
+    )
+    SELECT c.id_a, c.id_b, ROUND({jac}, 6) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE {jac} >= {threshold}
+    """
+
+
+@query("dd_minhash_lsh_pairs", oracle=_minhash_oracle())
 def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (signature → bands → bucket join →
-    exact-Jaccard verify). Property-tested in tests/test_llmops.py."""
+    exact-Jaccard verify), bit-reproducible by the DuckDB oracle via
+    the portable hash family. Property-tested in tests/test_llmops.py."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
         docs, "text", "doc_id", num_hashes=32, bands=8, threshold=0.3
     )
 
 
-@query("dd_simhash_pairs")  # murmur3-based — no SQL oracle, rows-only
+def _simhash_oracle(max_hamming: int = 8) -> str:
+    """DuckDB replica of the SimHash pipeline (portable md5-prefix
+    token hash → per-bit balance agg → chunk banding → hamming)."""
+    bits = "\n               + ".join(
+        f"(CASE WHEN 2*SUM((h>>{i})&1) - COUNT(*) > 0 THEN {2**i} ELSE 0 END)"
+        for i in range(32)
+    )
+    chunks = "\n      UNION ALL ".join(
+        f"SELECT doc_id, sig, {c} AS chunk_idx, (sig>>{c * 8})&255 AS chunk FROM sigs"
+        for c in range(4)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, ('0x'||substr(md5(t),1,15))::BIGINT AS h
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+            FROM documents)
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST({bits} AS BIGINT) AS sig
+      FROM tok GROUP BY doc_id
+    ),
+    chunks AS (
+      {chunks}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM chunks a JOIN chunks b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+       AND b.doc_id > a.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+    """
+
+
+@query("dd_simhash_pairs", oracle=_simhash_oracle())
 def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via chunk banding + hamming verify."""
+    """SimHash near-dup pairs via chunk banding + hamming verify,
+    bit-reproducible by the DuckDB oracle (portable hash family)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=8)
 

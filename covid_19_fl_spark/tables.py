@@ -57,7 +57,30 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif ts_type != "timestamp":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(path)
+    return _canonicalize(name, spark.read.parquet(path))
+
+
+# Canonical column types the suite's query code assumes. The corpus has
+# re-shipped columns with different-but-compatible types between rounds
+# (events.ts went TIMESTAMP(NANOS) → TIMESTAMP(MICROS)); pinning the
+# handful of type-sensitive columns here makes every query immune to the
+# next such drift. Casts are identity when the parquet already matches
+# (Catalyst folds them away), so pushdown/pruning are unaffected.
+_CANONICAL_TYPES: dict[str, dict[str, str]] = {
+    "orders": {"o_orderdate": "timestamp"},
+    "lineitem": {"l_shipdate": "timestamp"},
+    "embeddings": {"embedding": "array<float>"},
+}
+
+
+def _canonicalize(name: str, df: DataFrame) -> DataFrame:
+    want = _CANONICAL_TYPES.get(name)
+    if not want:
+        return df
+    for col, typ in want.items():
+        if col in df.columns and df.schema[col].dataType.simpleString() != typ:
+            df = df.withColumn(col, F.col(col).cast(typ))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
