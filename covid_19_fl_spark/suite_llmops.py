@@ -28,6 +28,10 @@ _STOP_SQL = {
 
 _WORDS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
 
+_PII_ORACLE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_ORACLE_PHONE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+_PII_ORACLE_NUM = r"[0-9]+"
+
 
 def _hits_sql(lang: str) -> str:
     return (
@@ -176,13 +180,20 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.3) -> str:
-    """DuckDB replica of the FULL MinHash+LSH pipeline — possible
-    because the hash family is engine-portable (md5 prefix + affine
-    seeds mod 2^31-1, dedup.PORTABLE_PRIME): signatures, band buckets,
-    candidate join, and hashed-set Jaccard verify all produce the SAME
+_MH_JAC = (
+    "CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)"
+    " / len(list_distinct(list_concat(sa.hs, sb.hs)))"
+)
+
+
+def _minhash_ctes(source: str, num_hashes: int = 32, bands: int = 8) -> str:
+    """CTE fragments replicating the MinHash+LSH candidate pipeline in
+    DuckDB — possible because the hash family is engine-portable (md5
+    prefix + affine seeds mod 2^31-1, dedup.PORTABLE_PRIME):
+    signatures, band buckets, and candidate join all produce the SAME
     values in both engines. Constants come from dedup.affine_consts so
-    the Spark path and this SQL can never drift apart."""
+    the Spark path and this SQL can never drift apart. ``source`` must
+    expose (doc_id, text); defines CTEs sh/ex/sigs/bands/cand."""
     P = dedup.PORTABLE_PRIME
     r = num_hashes // bands
     mins = ",\n             ".join(
@@ -195,16 +206,12 @@ def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.3
         + ") AS band_hash FROM sigs"
         for b in range(bands)
     )
-    jac = (
-        "CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)"
-        " / len(list_distinct(list_concat(sa.hs, sb.hs)))"
-    )
     return f"""
-    WITH sh AS (
+    sh AS (
       SELECT doc_id,
              list_distinct([ (('0x'||substr(md5(w[i]||' '||w[i+1]||' '||w[i+2]),1,15))::BIGINT) % {P}
                              for i in generate_series(1, greatest(len(w)-2, 0)) ]) AS hs
-      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM {source})
     ),
     ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
     sigs AS (SELECT doc_id,
@@ -218,12 +225,19 @@ def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.3
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        AND b.doc_id > a.doc_id
-    )
-    SELECT c.id_a, c.id_b, ROUND({jac}, 6) AS jaccard
+    )"""
+
+
+def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.3) -> str:
+    """DuckDB replica of the FULL MinHash+LSH pipeline: candidates from
+    _minhash_ctes + hashed-set Jaccard verify."""
+    return f"""
+    WITH {_minhash_ctes("documents", num_hashes, bands)}
+    SELECT c.id_a, c.id_b, ROUND({_MH_JAC}, 6) AS jaccard
     FROM cand c
     JOIN sh sa ON sa.doc_id = c.id_a
     JOIN sh sb ON sb.doc_id = c.id_b
-    WHERE {jac} >= {threshold}
+    WHERE {_MH_JAC} >= {threshold}
     """
 
 
@@ -462,13 +476,84 @@ def cur_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("cur_funnel")  # MinHash stage inside — murmur3-based, rows-only
+def _funnel_oracle() -> str:
+    """DuckDB replica of the ENTIRE curation pipeline (redact → exact
+    dedup → MinHash-LSH cluster dedup → quality/lang/length filter),
+    assembled from the per-stage oracle fragments — possible because
+    every stage, including LSH, is engine-portable. Mirrors
+    curation.curate's defaults: threshold 0.5, min_quality 0.4,
+    langs ('en',), tokens 5..100000, no benchmark, no sampling."""
+    redact = (
+        "regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{_PII_ORACLE_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{_PII_ORACLE_PHONE}', '<PHONE>', 'g'), "
+        f"'{_PII_ORACLE_NUM}', '<NUM>', 'g')"
+    )
+    quality = f"""ROUND(0.4 * ({_hits_sql('en')} / CAST(len({_WORDS_SQL}) AS DOUBLE))
+                 + 0.4 * least(len({_WORDS_SQL}) / 100.0, 1.0)
+                 + 0.2 * (1 - len(regexp_extract_all(text, '[,.!?;:]'))
+                              / CAST(len({_WORDS_SQL}) AS DOUBLE)), 6)"""
+    return f"""
+    WITH red AS (
+      SELECT doc_id, {redact} AS text FROM documents
+    ),
+    exact AS (
+      SELECT doc_id, text FROM red
+      WHERE doc_id IN (
+        SELECT MIN(doc_id) FROM red
+        GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+    ),
+    {_minhash_ctes("exact")},
+    mh_pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE {_MH_JAC} >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM mh_pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM mh_pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+      WITH RECURSIVE r(id, seen) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.src, r.seen FROM edges e JOIN r ON e.dst = r.id
+      ) SELECT * FROM r
+    ),
+    losers AS (
+      SELECT id AS doc_id FROM reach GROUP BY id HAVING id <> MIN(seen)
+    ),
+    near AS (
+      SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    ),
+    qual AS (
+      SELECT doc_id FROM near
+      WHERE {quality} >= 0.4
+        AND ({_LANG_CASE_SQL}) IN ('en')
+        AND len({_WORDS_SQL}) BETWEEN 5 AND 100000
+    )
+    SELECT 0 AS stage_order, 'redacted' AS stage, COUNT(*) AS n_docs FROM red
+    UNION ALL SELECT 1, 'exact_deduped', COUNT(*) FROM exact
+    UNION ALL SELECT 2, 'near_deduped', COUNT(*) FROM near
+    UNION ALL SELECT 3, 'quality_kept', COUNT(*) FROM qual
+    UNION ALL SELECT 4, 'clean', COUNT(*) FROM qual
+    UNION ALL SELECT 5, 'sampled', COUNT(*) FROM qual
+    """
+
+
+@query("cur_funnel", oracle=_funnel_oracle())
 def cur_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation pipeline (redact → exact dedup → LSH near-dup
     → quality filter → chunk) run end-to-end over the corpus, returning
     the per-stage survivor funnel. Exercises every llmops stage in one
-    composed lazy plan; unit semantics are covered per-stage by the
-    oracled dd_*/tx_*/cur_* queries and tests/test_curation.py."""
+    composed lazy plan; the portable hash family makes even this
+    composition exactly reproducible by the DuckDB oracle. Unit
+    semantics are covered per-stage by the oracled dd_*/tx_*/cur_*
+    queries and tests/test_curation.py."""
     from .llmops import curation
 
     docs = _t(spark, sf_dir, "documents")
@@ -1003,10 +1088,6 @@ def dd_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     return dedup.decontaminate(corpus, bench, "text", "doc_id", n=5)
 
-
-_PII_ORACLE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_ORACLE_PHONE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
-_PII_ORACLE_NUM = r"[0-9]+"
 
 
 @query(
