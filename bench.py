@@ -71,6 +71,7 @@ HEADLINE = [
     "x_rolling_zscore",
     "x_multitouch_attribution",
     "x_decayed_popularity",
+    "x_pagerank",
 ]
 
 

@@ -1,0 +1,95 @@
+"""Iterative graph analytics as distributed DataFrame plans.
+
+Companions to llmops.dedup.dup_clusters (min-label connected
+components): here the iteration carries *values* (PageRank mass), not
+just labels. Same scale posture — each round is one equi-join plus one
+partial-aggregated groupBy (both map-side combinable), and
+``localCheckpoint`` truncates lineage so round N never replays rounds
+1..N-1.
+
+Determinism design: the rank update runs in **integer fixed-point**
+(bigint millionths-of-millionths, scale 1e12) with floor division —
+no float summation anywhere. Floating-point Σ over incoming edges is
+order-dependent, so a distributed rerun (or a different engine) can
+drift in the last ulp and flip a rounding boundary; int64 arithmetic
+is associative, which makes the result bit-identical across partition
+counts, reruns, AND engines — the DuckDB oracle unrolls the same
+iterations and must match exactly. Same reproducibility contract as
+the portable MinHash family (llmops.dedup.PORTABLE_PRIME).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Fixed-point scale: ranks are bigint multiples of 1e-12. Total mass =
+# SCALE (±floor-division dust), so per-node ranks for graphs up to
+# ~1e6 nodes keep ≥6 significant digits; products stay < 2^62.
+PR_SCALE = 1_000_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Deterministic fixed-point PageRank → (node_id, pr) with pr an
+    exact bigint in units of 1/PR_SCALE.
+
+    ``edges`` must have (src, dst) bigint columns; nodes are the
+    distinct endpoint set. Simplified update (dangling mass is not
+    redistributed — dangling nodes only leak through the damping
+    term, the standard simplification):
+
+        pr_{t+1}(v) = teleport + damping_pct% * Σ_{u→v} pr_t(u) div out(u)
+
+    with teleport = (100-damping_pct)% of SCALE div N, all in floor
+    (integer) division. Each iteration: equi-join of the edge list
+    with the current rank vector on src, then a partial-agg sum on
+    dst. Unlike label propagation there is NO per-round driver
+    decision, so rounds chain as ONE lazy DAG — a single job at
+    action time, with AQE free to broadcast the (N-row) rank vector
+    into the edge join every round. ``checkpoint_every`` bounds plan
+    depth for high iteration counts (a lazy localCheckpoint truncates
+    lineage without forcing an extra job per round).
+    """
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out"))
+    # Edge list annotated with out-degree once, outside the loop — at
+    # scale this is the expensive self-sized join, paid a single time.
+    adj = edges.join(out_deg, "src").localCheckpoint(eager=False)
+
+    nodes = (
+        edges.select(F.col("src").alias("node_id"))
+        .union(edges.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    init = PR_SCALE // n
+    teleport = (PR_SCALE * (100 - damping_pct) // 100) // n
+
+    ranks = nodes.withColumn("pr", F.lit(init).cast("long"))
+    for i in range(iterations):
+        contrib = (
+            adj.join(ranks, adj.src == ranks.node_id)
+            # `div`, not `/`: float division + cast would round-trip
+            # through double (where e.g. X/100 of an exactly-divisible
+            # X can land at 123.999…) — `div` stays in int64
+            .select(F.col("dst"), F.expr("pr div out").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node_id == contrib.dst, "left")
+            .select(
+                "node_id",
+                F.expr(
+                    f"{teleport}L + ({damping_pct}L * coalesce(mass, 0L)) div 100"
+                ).alias("pr"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

@@ -2030,3 +2030,66 @@ def x_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(weight), 6).alias("decayed_count"),
         )
     )
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled-CTE DuckDB replica of operators.graph.pagerank over the
+    customer↔supplier interaction graph. Exact match is possible
+    because the rank update is integer fixed-point (bigint + floor
+    division, no float Σ) — see operators/graph.py. DuckDB SUM yields
+    HUGEINT internally; exactness is preserved and the final CAST
+    returns bigint."""
+    from .operators.graph import PR_SCALE
+
+    sql = f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT a AS src, b AS dst FROM pairs
+              UNION ALL SELECT b AS src, a AS dst FROM pairs),
+    outd AS (SELECT src, COUNT(*) AS out FROM edges GROUP BY src),
+    adj AS (SELECT e.src, e.dst, o.out FROM edges e JOIN outd o ON e.src = o.src),
+    nodes AS (SELECT src AS node_id FROM edges UNION SELECT dst FROM edges),
+    pr0 AS (SELECT node_id,
+            CAST({PR_SCALE} // (SELECT COUNT(*) FROM nodes) AS BIGINT) AS pr
+            FROM nodes)"""
+    for t in range(iters):
+        sql += f""",
+    c{t} AS (SELECT a.dst, SUM(p.pr // a.out) AS mass
+             FROM adj a JOIN pr{t} p ON a.src = p.node_id GROUP BY a.dst),
+    pr{t + 1} AS (SELECT n.node_id,
+                  CAST(({PR_SCALE} * 15 // 100) // (SELECT COUNT(*) FROM nodes)
+                       + (85 * COALESCE(c.mass, 0)) // 100 AS BIGINT) AS pr
+                  FROM nodes n LEFT JOIN c{t} c ON n.node_id = c.dst)"""
+    sql += f"""
+    SELECT node_id, pr FROM pr{iters}
+    """
+    return sql
+
+
+@query("x_pagerank", oracle=_pagerank_oracle())
+def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-point PageRank over the bipartite
+    customer↔supplier interaction graph (distinct trading pairs from
+    orders⋈lineitem, both directions; node ids 2·custkey / 2·suppkey+1
+    keep the key spaces disjoint). Iterative join+agg rounds with
+    lineage truncation — the value-propagating sibling of
+    dd_dup_clusters' label propagation — and bit-exact across
+    partitionings, reruns, and engines thanks to int64-only updates."""
+    from .operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return pagerank(edges, iterations=5)
