@@ -38,7 +38,6 @@ SHOWCASE = [
     "w2_cumulative_by_group",
     "w3_growth_rates",
     "w4_daily_delta",
-    "w5_tail_n",
     "w6_last_row",
     "j1_broadcast_left_join",
     "j2_per_capita_dim_join",
@@ -50,13 +49,11 @@ SHOWCASE = [
     "f_predicate_suite",
     "o4_pagination",
     "p_scalar_suite",
-    "p_date_parsing",
     "q1_pricing_summary",
     "q3_top_unshipped",
     "q5_local_supplier_volume",
     "q8_market_share",
     "q9_product_profit",
-    "q13_customer_order_distribution",
     "q18_large_volume_customers",
     "q21_sole_blame_suppliers",
     "x_sessionization",
@@ -69,16 +66,19 @@ SHOWCASE = [
     "x_grouping_sets",
     "x_percentiles",
     "x_window_ranks",
-    "x_topk_per_group",
     "x_ohlc_bars",
+    "x_pagerank",
     "dd_exact_dedup",
     "dd_ngram_jaccard_pairs",
+    "dd_minhash_lsh_pairs",
     "dd_embedding_cosine",
     "tx_quality_scores",
-    "tx_repetition_scores",
+    "cur_funnel",
     "tx_tfidf_topterms",
     "tx_bm25_topk",
     "ss_cosine_topk",
+    "ss_lsh_topk",
+    "tx_repetition_scores",
     "sp_pack_sequences",
 ]
 

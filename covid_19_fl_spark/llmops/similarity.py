@@ -261,6 +261,21 @@ def ivf_topk_indexed(
     )
 
 
+def plane_coeffs(seed: int, plane: int, dims: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane coefficients in [-1, 1]
+    (1e-6 granularity), derived from md5 in plain Python — the SAME
+    literal values are inlined into the Spark plan and the DuckDB
+    oracle SQL, so bucketing is engine-portable with zero runtime
+    hashing (the planes are plan-time constants either way)."""
+    import hashlib
+
+    out = []
+    for d in range(dims):
+        h = int(hashlib.md5(f"{seed}:{plane}:{d}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2000001) / 1000000.0 - 1.0)
+    return out
+
+
 def hyperplane_bucket(
     vec: Column,
     planes: int = 8,
@@ -268,18 +283,13 @@ def hyperplane_bucket(
     seed: int = 42,
 ) -> Column:
     """Random-hyperplane LSH bucket id: sign bits of dot products with
-    ``planes`` pseudo-random hyperplanes. Plane coefficients are
-    derived deterministically from murmur3(seed, plane, dim) scaled to
-    [-1, 1] — no stored model, reproducible across runs and engines
-    that share the hash."""
+    ``planes`` pseudo-random hyperplanes (plane_coeffs constants — no
+    stored model, reproducible across runs, partitionings, and
+    engines; the projection is the same sequential left-fold both
+    engines evaluate bit-identically)."""
     bucket = F.lit(0)
     for p in range(planes):
-        coeffs = F.array(
-            *[
-                (F.hash(F.lit(f"{seed}:{p}:{d}")).cast("double") / F.lit(2147483647.0))
-                for d in range(dims)
-            ]
-        )
+        coeffs = F.array(*[F.lit(c) for c in plane_coeffs(seed, p, dims)])
         proj = dot(vec, coeffs)
         bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
     return bucket

@@ -344,9 +344,50 @@ def ss_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, _QUERY_IDS, k=5)
 
 
-@query("ss_lsh_topk")  # murmur3 hyperplanes — rows-only
+def _lsh_oracle(planes: int = 6, dims: int = 64, seed: int = 42, k: int = 5) -> str:
+    """DuckDB replica of the hyperplane-LSH ANN: the plane coefficients
+    are plan-time constants (similarity.plane_coeffs, plain-Python md5)
+    inlined identically here and into the Spark plan, and the
+    projection/cosine folds are the same sequential left-folds both
+    engines evaluate bit-identically (as ss_cosine_topk established)."""
+    from .llmops.similarity import plane_coeffs
+
+    def proj(tbl: str, p: int) -> str:
+        arr = "[" + ", ".join(f"{c:.6f}" for c in plane_coeffs(seed, p, dims)) + "]"
+        return (
+            f"list_sum([CAST({tbl}.embedding[i] AS DOUBLE) * ({arr}::DOUBLE[])[i] "
+            f"for i in generate_series(1, len({tbl}.embedding))])"
+        )
+
+    bucket = lambda tbl: " + ".join(  # noqa: E731
+        f"(CASE WHEN {proj(tbl, p)} > 0 THEN {2**p} ELSE 0 END)" for p in range(planes)
+    )
+    ids = ", ".join(str(i) for i in _QUERY_IDS)
+    return f"""
+    WITH b AS (
+      SELECT e.vec_id, e.embedding, {bucket('e')} AS bucket
+      FROM embeddings e
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND({_COS_SQL}, 6) AS cos_sim
+      FROM b q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id IN ({ids})
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("ss_lsh_topk", oracle=_lsh_oracle())
 def ss_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN."""
+    """Hyperplane-LSH bucketed ANN — oracle-exact because the planes
+    are shared literal constants and the folds are engine-portable."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_bucketed_topk(emb, _QUERY_IDS, k=5, planes=6)
 
