@@ -105,19 +105,38 @@ def cosine_topk(
     )
 
 
+# Centroid quantization scale: 2^24 (float32 significand width). See
+# label_centroids.
+CENTROID_Q = 16777216.0
+
+
 def label_centroids(
     emb: DataFrame,
     label_col: str = "label",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Per-label mean vector (the IVF coarse quantizer, seeded from the
-    existing cluster labels). posexplode → per-dimension avg →
+    existing cluster labels). posexplode → per-dimension mean →
     re-assemble sorted by position; dims are small (64), labels few —
-    the shuffle carries |labels|×dims rows."""
+    the shuffle carries |labels|×dims rows.
+
+    The mean is computed EXACTLY: components quantize to bigints via
+    floor(v·2^24) (floor of an IEEE-exact product — no rounding-mode
+    ambiguity), sum in int64 (associative — partition-order-proof,
+    unlike a float Σ), then divide back in double (int/count and
+    ÷2^24 are correctly-rounded IEEE ops). Centroids are therefore
+    bit-identical across partitionings, reruns, and engines — same
+    reproducibility contract as the portable MinHash family — which is
+    what lets ivf_topk carry an exact DuckDB oracle."""
     exploded = emb.select(label_col, F.posexplode(vec_col).alias("pos", "val"))
-    per_dim = exploded.groupBy(label_col, "pos").agg(F.avg("val").alias("avg_val"))
+    q = F.floor(F.col("val").cast("double") * F.lit(CENTROID_Q)).cast("long")
+    per_dim = exploded.groupBy(label_col, "pos").agg(
+        F.sum(q).alias("sq"), F.count("*").alias("n")
+    )
+    avg_val = (F.col("sq").cast("double") / F.col("n")) / F.lit(CENTROID_Q)
     return (
-        per_dim.groupBy(label_col)
+        per_dim.select(label_col, "pos", avg_val.alias("avg_val"))
+        .groupBy(label_col)
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("pos"), F.col("avg_val")))

@@ -337,9 +337,72 @@ def ss_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, _QUERY_IDS, k=5)
 
 
-@query("ss_ivf_topk")  # two-stage routing — rows-only (tested vs brute force)
+def _cos_expr(a: str, b: str) -> str:
+    """Cosine between two named array expressions (sequential left-fold
+    sums — the order both engines evaluate bit-identically)."""
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_sum([CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE) "
+            f"for i in generate_series(1, len({x}))])"
+        )
+
+    return f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
+
+
+def _ivf_oracle(k: int = 5) -> str:
+    """DuckDB replica of the IVF ANN — exact because centroids are
+    computed with the quantize-sum-divide scheme (int64 accumulation,
+    similarity.label_centroids), not a float Σ whose partition order
+    the two engines could never agree on."""
+    ids = ", ".join(str(i) for i in _QUERY_IDS)
+    Q = int(similarity.CENTROID_Q)
+    return f"""
+    WITH cent_dims AS (
+      SELECT label, i AS pos,
+             SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {Q}) AS BIGINT)) AS sq,
+             COUNT(*) AS n
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+      GROUP BY label, i
+    ),
+    cent AS (
+      SELECT label,
+             list((CAST(sq AS DOUBLE) / n) / {Q} ORDER BY pos) AS centroid
+      FROM cent_dims GROUP BY label
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qvec
+      FROM embeddings WHERE vec_id IN ({ids})
+    ),
+    routed AS (
+      SELECT query_id, qvec, label AS probe_label FROM (
+        SELECT q.query_id, q.qvec, c.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND({_cos_expr("q.qvec", "c.centroid")}, 6) DESC,
+                          c.label ASC) AS crank
+        FROM q CROSS JOIN cent c)
+      WHERE crank = 1
+    ),
+    scored AS (
+      SELECT r.query_id, e.vec_id AS neighbor_id,
+             ROUND({_cos_expr("r.qvec", "e.embedding")}, 6) AS cos_sim
+      FROM embeddings e
+      JOIN routed r ON e.label = r.probe_label AND e.vec_id <> r.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("ss_ivf_topk", oracle=_ivf_oracle())
 def ss_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (label-seeded centroids, nprobe=1)."""
+    """IVF ANN (label-seeded centroids, nprobe=1) — oracle-exact via
+    deterministic integer-accumulated centroids."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, _QUERY_IDS, k=5)
 
