@@ -2093,3 +2093,57 @@ def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     return pagerank(edges, iterations=5)
+
+
+def _count_min_oracle(k: int = 20, depth: int = 4, width: int = 256) -> str:
+    """DuckDB replica of the count-min heavy-hitter sketch — exact,
+    collisions included, because the bucket hashes are the portable
+    md5-affine family (operators/sketch.py)."""
+    from .llmops.dedup import PORTABLE_PRIME as P, affine_consts
+
+    bcols = ", ".join(
+        f"(({a}*h + {b}) % {P}) % {width} AS b{j}"
+        for j, (a, b) in ((j, affine_consts(j)) for j in range(depth))
+    )
+    sketch = "\n      UNION ALL ".join(
+        f"SELECT {j} AS j, b{j} AS b, COUNT(*) AS c FROM buckets GROUP BY b{j}"
+        for j in range(depth)
+    )
+    cand = "\n        UNION ALL ".join(
+        f"SELECT key, {j} AS j, b{j} AS b FROM buckets" for j in range(depth)
+    )
+    return f"""
+    WITH keyed AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+    hashed AS (
+      SELECT key, (('0x'||substr(md5(key),1,15))::BIGINT) % {P} AS h FROM keyed
+    ),
+    buckets AS (SELECT key, {bcols} FROM hashed),
+    sketch AS (
+      {sketch}
+    ),
+    cand AS (
+      SELECT DISTINCT key, j, b FROM (
+        {cand}
+      )
+    ),
+    est AS (
+      SELECT key, MIN(c) AS est_count
+      FROM cand JOIN sketch USING (j, b) GROUP BY key
+    )
+    SELECT key, est_count FROM est
+    ORDER BY est_count DESC, key ASC LIMIT {k}
+    """
+
+
+@query("x_count_min_topk", oracle=_count_min_oracle())
+def x_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over the event stream's user ids via a count-min
+    sketch: constant-size mergeable state (depth×width cells built by
+    map-side-combined partial aggs — raw events never shuffle), probe
+    by distinct key, min-over-rows estimate. Deterministic portable
+    hashing makes even the sketch's collision over-estimates
+    bit-reproducible by the oracle."""
+    from .operators.sketch import count_min_topk
+
+    events = _t(spark, sf_dir, "events")
+    return count_min_topk(events, "user_id", k=20, depth=4, width=256)
