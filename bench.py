@@ -72,6 +72,7 @@ HEADLINE = [
     "x_multitouch_attribution",
     "x_decayed_popularity",
     "x_pagerank",
+    "x_count_min_topk",
 ]
 
 
