@@ -189,6 +189,41 @@ def _seeded(h: Column, k: int) -> Column:
     return (F.lit(a) * h + F.lit(b)) % F.lit(PORTABLE_PRIME)
 
 
+# Rolling-hash base for n-gram shingles: tokens hash ONCE (md5 is the
+# dominant scalar cost — measured 3× the remaining arithmetic), then
+# each n-gram combines its token hashes by Horner evaluation
+# (…(h_i·B + h_{i+1}) mod P…) instead of building + md5-ing an n-gram
+# STRING per position. acc < P < 2^31 and B < 2^20, so every product
+# stays < 2^52 — overflow-safe int64 in both engines.
+SHINGLE_BASE = 1_000_003
+
+
+def hashed_word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingle hashes as a bigint array, built without
+    materializing shingle strings. Engine-portable: the oracle computes
+    the identical Horner combination over the same md5 token hashes.
+
+    The token-hash array is let-bound once via a single-element
+    ``transform`` (see word_shingles for why)."""
+
+    def body(hs: Column) -> Column:
+        def gram(i: Column) -> Column:
+            acc = F.element_at(hs, i)
+            for j in range(1, n):
+                acc = (acc * SHINGLE_BASE + F.element_at(hs, i + j)) % F.lit(
+                    PORTABLE_PRIME
+                )
+            return acc
+
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(hs) - (n - 1), F.lit(0))), gram
+        )
+        return F.array_distinct(grams)
+
+    hashed = F.transform(words(col), lambda t: portable_hash(t) % PORTABLE_PRIME)
+    return F.element_at(F.transform(F.array(hashed), body), 1)
+
+
 def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
     """MinHash signature as a bigint array: for seed k, min over
     shingles of (a_k*h(shingle)+b_k) mod P. Pure per-row expression —
@@ -200,8 +235,6 @@ def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
     all ``num_hashes`` branches would make Catalyst inline — and
     re-evaluate — the whole shingling pipeline 32× per row (measured:
     turns a seconds-scale scan into a hang at 5k docs)."""
-    shingles = word_shingles(col, n)
-
     def body(sh: Column) -> Column:
         def seeded_min(k: int):
             # closure factory, NOT a defaulted lambda param: PySpark
@@ -211,7 +244,7 @@ def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
 
         return F.array(*[seeded_min(k) for k in range(num_hashes)])
 
-    hashed = F.transform(shingles, lambda s: portable_hash(s) % PORTABLE_PRIME)
+    hashed = hashed_word_shingles(col, n)
     return F.element_at(F.transform(F.array(hashed), body), 1)
 
 
@@ -243,12 +276,7 @@ def minhash_lsh_pairs(
     # the returned plan's source or run with cache_base=False).
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        F.array_distinct(
-            F.transform(
-                word_shingles(F.col(text_col), n),
-                lambda s: portable_hash(s) % PORTABLE_PRIME,
-            )
-        ).alias("shingles"),
+        hashed_word_shingles(F.col(text_col), n).alias("shingles"),
     )
     if cache_base:
         base = base.cache()

@@ -206,12 +206,19 @@ def _minhash_ctes(source: str, num_hashes: int = 32, bands: int = 8) -> str:
         + ") AS band_hash FROM sigs"
         for b in range(bands)
     )
+    B = dedup.SHINGLE_BASE
+    horner = "ths[i]"
+    for j in range(1, 3):
+        horner = f"(({horner})*{B} + ths[i+{j}]) % {P}"
     return f"""
     sh AS (
       SELECT doc_id,
-             list_distinct([ (('0x'||substr(md5(w[i]||' '||w[i+1]||' '||w[i+2]),1,15))::BIGINT) % {P}
-                             for i in generate_series(1, greatest(len(w)-2, 0)) ]) AS hs
-      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM {source})
+             list_distinct([ {horner}
+                             for i in generate_series(1, greatest(len(ths)-2, 0)) ]) AS hs
+      FROM (SELECT doc_id,
+                   [ (('0x'||substr(md5(t),1,15))::BIGINT) % {P}
+                     for t in regexp_split_to_array(trim(text), '\\s+') ] AS ths
+            FROM {source})
     ),
     ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
     sigs AS (SELECT doc_id,
