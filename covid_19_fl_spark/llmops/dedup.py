@@ -504,10 +504,15 @@ def simhash_pairs(
     import functools
     import operator
 
+    # Materialize the token hash as a projected column BEFORE the agg:
+    # referencing portable_hash(t) inside all 32 SUM expressions would
+    # inline — and evaluate — the md5 32× per token (aggregates get no
+    # common-subexpression elimination; measured 4× the whole query).
     tokens = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("t")
-    )
-    h = portable_hash(F.col("t"))
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(F.col(text_col))).alias("t"),
+    ).select("doc_id", portable_hash(F.col("t")).alias("h"))
+    h = F.col("h")
     sig_expr = functools.reduce(
         operator.add,
         [
