@@ -248,6 +248,52 @@ def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:
     return F.element_at(F.transform(F.array(hashed), body), 1)
 
 
+def minhash_bands(
+    base: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(doc_id, shingles bigint array) → LSH band rows (doc_id,
+    band_idx, band_hash).
+
+    Signatures via explode → codegen'd seeded hash → hash-agg, NOT a
+    per-row higher-order fold: HOF lambdas run on the interpreted
+    expression path, while explode+min-agg stays inside whole-stage
+    codegen and the map-side partial combine means one (id, 32 ints)
+    row per doc crosses the exchange — shuffle volume is O(docs), not
+    O(shingles). Band key: the band's signature values joined as a
+    string — portable (concat_ws in any engine), an equi-join key
+    exactly like a hashed bucket id."""
+    rows_per_band = num_hashes // bands
+    sh_hashed = base.select("doc_id", F.explode("shingles").alias("sh"))
+    sigs = sh_hashed.groupBy("doc_id").agg(
+        *[
+            F.min(_seeded(F.col("sh"), k)).alias(f"h{k}")
+            for k in range(num_hashes)
+        ]
+    )
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col(f"h{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -264,10 +310,9 @@ def minhash_lsh_pairs(
     Banding math: rows-per-band r = num_hashes/bands; a pair with true
     Jaccard s collides in ≥1 band with prob 1-(1-s^r)^bands.
     """
-    rows_per_band = num_hashes // bands
     # Hashed-shingle base (doc_id, array<int>) computed ONCE and shared
     # by the signature and verify paths — shingling (tokenize + n-gram
-    # string build) is the dominant scalar cost, and without the shared
+    # hashing) is the dominant scalar cost, and without the shared
     # base each path re-shingles the full corpus in its own scan.
     # MEMORY_AND_DISK cache: the base is the classic "materialized
     # signatures" stage of an LSH pipeline; at cluster scale it spills
@@ -280,46 +325,7 @@ def minhash_lsh_pairs(
     )
     if cache_base:
         base = base.cache()
-    # Signatures via explode → codegen'd hash → hash-agg, NOT a per-row
-    # higher-order fold: HOF lambdas run on the interpreted expression
-    # path (~2 ms/doc measured — 10× the whole rest of the query), while
-    # explode+min-agg stays inside whole-stage codegen and the map-side
-    # partial combine means one (id, 32 ints) row per doc crosses the
-    # exchange — shuffle volume is O(docs), not O(shingles).
-    # Seeded hash = affine transform of the 31-bit base hash — pure
-    # int64 arithmetic, no per-seed string concat (md5 runs once per
-    # shingle in the scan; the 32 seeds each cost one multiply-add).
-    sh_hashed = base.select("doc_id", F.explode("shingles").alias("sh"))
-    sigs = sh_hashed.groupBy("doc_id").agg(
-        *[
-            F.min(_seeded(F.col("sh"), k)).alias(f"h{k}")
-            for k in range(num_hashes)
-        ]
-    )
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        # band key: the band's signature values joined
-                        # as a string — portable (concat_ws in any
-                        # engine), and an equi-join key exactly like a
-                        # hashed bucket id
-                        F.concat_ws(
-                            "-",
-                            *[
-                                F.col(f"h{b * rows_per_band + r}").cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_hash")
+    banded = minhash_bands(base, num_hashes=num_hashes, bands=bands)
     # Verify-side shingle sets carry 31-bit base hashes, not strings
     # (the shared base above): the candidate joins shuffle ints instead
     # of ~20-char strings and array_intersect compares ints. Jaccard

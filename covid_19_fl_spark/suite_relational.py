@@ -2147,3 +2147,46 @@ def x_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _t(spark, sf_dir, "events")
     return count_min_topk(events, "user_id", k=20, depth=4, width=256)
+
+
+@query(
+    "x_winsorized_stats",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(LEAST(GREATEST(e.value, b.lo), b.hi)), 6) AS wins_mean,
+           ROUND(MIN(b.lo), 6) AS p05,
+           ROUND(MIN(b.hi), 6) AS p95
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def x_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics via winsorization: per-type exact p05/p95
+    bounds (one agg over the facts), broadcast back, clamp, re-agg.
+    Two shuffles total — the tiny bounds table broadcasts, so the fact
+    table is scanned twice but never reshuffled for the clip. The
+    outlier-robust twin of x_stats_moments."""
+    events = _t(spark, sf_dir, "events")
+    bounds = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = events.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("v"),
+        "lo",
+        "hi",
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("v"), 6).alias("wins_mean"),
+        F.round(F.min("lo"), 6).alias("p05"),
+        F.round(F.min("hi"), 6).alias("p95"),
+    )
