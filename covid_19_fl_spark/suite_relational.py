@@ -2190,3 +2190,50 @@ def x_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("lo"), 6).alias("p05"),
         F.round(F.min("hi"), 6).alias("p95"),
     )
+
+
+@query(
+    "x_null_semantics",
+    oracle="""
+    WITH j AS (
+      SELECT o.o_orderkey,
+             o.o_orderpriority,
+             e.props
+      FROM orders o
+      LEFT JOIN events e
+        ON o.o_orderkey = e.event_id AND e.event_type = 'view'
+    )
+    SELECT COALESCE(o_orderpriority, '<none>') AS priority,
+           COUNT(*) AS n_rows,
+           COUNT(props) AS n_nonnull_props,
+           CAST(SUM(CASE WHEN props IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_null,
+           CAST(SUM(CASE WHEN props IS DISTINCT FROM 'x' THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct_from_x
+    FROM j
+    GROUP BY 1
+    """,
+)
+def x_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic semantics surfaced deliberately: COUNT(col)
+    vs COUNT(*) under outer-join nulls, and null-safe comparison
+    (Spark <=> ≡ SQL IS NOT DISTINCT FROM) — the exact places naive
+    predicates silently drop rows. The reference's NA-sentinel handling
+    (SURVEY P2) is the informal version of this contract."""
+    orders = _t(spark, sf_dir, "orders")
+    events = _t(spark, sf_dir, "events")
+    j = orders.join(
+        events,
+        (orders.o_orderkey == events.event_id) & (events.event_type == "view"),
+        "left",
+    ).select("o_orderkey", "o_orderpriority", "props")
+    return j.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("<none>")).alias("priority")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.count("props").alias("n_nonnull_props"),
+        F.sum(
+            F.when(F.col("props").eqNullSafe(F.lit(None).cast("string")), 1).otherwise(0)
+        ).alias("n_null_safe_null"),
+        F.sum(
+            F.when(~F.col("props").eqNullSafe(F.lit("x")), 1).otherwise(0)
+        ).alias("n_distinct_from_x"),
+    )
