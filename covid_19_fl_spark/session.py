@@ -38,6 +38,10 @@ def get_spark(app_name: str = "covid_19_fl_spark", cpus: str | None = None) -> S
         .config("spark.sql.warehouse.dir", "/tmp/covid_19_fl_spark-warehouse")
         # Python Data Source pushFilters (REST source F5 pushdown).
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # LTZ timestamps as INT64 micros, not legacy INT96: INT96
+        # carries no parquet min/max statistics, which silently kills
+        # footer-stat/clustered-file pruning on any timestamp column.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -66,9 +66,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # handful of type-sensitive columns here makes every query immune to the
 # next such drift. Casts are identity when the parquet already matches
 # (Catalyst folds them away), so pushdown/pruning are unaffected.
+# timestamp_ntz, NOT timestamp: that's what the parquet carries today
+# (isAdjustedToUTC=false), and an LTZ cast would make re-writes of
+# these columns default to stat-less INT96 (see session.get_spark).
 _CANONICAL_TYPES: dict[str, dict[str, str]] = {
-    "orders": {"o_orderdate": "timestamp"},
-    "lineitem": {"l_shipdate": "timestamp"},
+    "orders": {"o_orderdate": "timestamp_ntz"},
+    "lineitem": {"l_shipdate": "timestamp_ntz"},
     "embeddings": {"embedding": "array<float>"},
 }
 
