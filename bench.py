@@ -105,8 +105,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for _ in range(2):
         for name in ok_names:
+            if name in errors:
+                continue  # failed a timed pass — drop, don't re-time
             t0 = time.perf_counter()
-            suite.QUERIES[name](spark, sf_dir).count()
+            try:
+                suite.QUERIES[name](spark, sf_dir).count()
+            except Exception as exc:  # noqa: BLE001
+                # Same isolation as warmup: a transient timed-pass
+                # failure must not sink the whole round's numbers.
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                timings.pop(name, None)
+                continue
             t = round(time.perf_counter() - t0, 4)
             if name not in timings or t < timings[name]:
                 timings[name] = t

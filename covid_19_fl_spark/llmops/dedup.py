@@ -85,12 +85,25 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 
     def body(w: Column) -> Column:
         grams = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
+            _gram_positions(w, n),
             lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
         )
         return F.array_distinct(grams)
 
     return F.element_at(F.transform(F.array(words(col)), body), 1)
+
+
+def _gram_positions(arr: Column, n: int) -> Column:
+    """1-based n-gram start positions for an array column — EMPTY when
+    the array has fewer than n elements. A bare ``sequence(1,
+    size-(n-1))`` is NOT empty in that case: Spark's sequence defaults
+    to step -1 when start > stop, yielding a DESCENDING [1, 0] whose
+    0 position makes element_at throw on any document shorter than the
+    shingle width (the oracle's generate_series(1,0) is empty, so the
+    engines would diverge even if the crash were tolerated)."""
+    return F.when(
+        F.size(arr) >= n, F.sequence(F.lit(1), F.size(arr) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -215,9 +228,7 @@ def hashed_word_shingles(col: Column, n: int = 3) -> Column:
                 )
             return acc
 
-        grams = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(hs) - (n - 1), F.lit(0))), gram
-        )
+        grams = F.transform(_gram_positions(hs, n), gram)
         return F.array_distinct(grams)
 
     hashed = F.transform(words(col), lambda t: portable_hash(t) % PORTABLE_PRIME)

@@ -111,9 +111,13 @@ def write_near_dedup(
         else:
             dropped = drop_in
 
+        # Materialize the survivor set ONCE: the three sinks below each
+        # execute their input plan twice (count/isEmpty + write), so an
+        # uncached `survivors` would re-run the band self-join, index
+        # probe, and Jaccard verify ~6× per batch.
         survivors = batch.join(
             dropped.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
-        )
+        ).cache()
         out.append_new(survivors, id_col, exact=True)
         surv_ids = survivors.select(F.col(id_col).alias("doc_id"))
         shingle_store.append_new(base.join(surv_ids, "doc_id"), "doc_id", exact=True)
@@ -125,6 +129,7 @@ def write_near_dedup(
             )
         if not fresh_bands.isEmpty():
             bands_index.append(fresh_bands)
+        survivors.unpersist()
         base.unpersist()
 
     return stream.writeStream.foreachBatch(_batch).option(

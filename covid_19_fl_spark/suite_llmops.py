@@ -38,6 +38,16 @@ def _hits_sql(lang: str) -> str:
         f"len(list_filter({_WORDS_SQL}, x -> list_contains({_STOP_SQL[lang]}, x)))"
     )
 
+# The llmops.text.quality_score formula as one shared SQL fragment —
+# four oracles embed it; a single definition keeps them in lockstep
+# with the Spark implementation.
+_QUALITY_SQL = (
+    f"ROUND(0.4 * ({_hits_sql('en')} / CAST(len({_WORDS_SQL}) AS DOUBLE)) "
+    f"+ 0.4 * least(len({_WORDS_SQL}) / 100.0, 1.0) "
+    f"+ 0.2 * (1 - len(regexp_extract_all(text, '[,.!?;:]')) "
+    f"/ CAST(len({_WORDS_SQL}) AS DOUBLE)), 6)"
+)
+
 
 @query(
     "tx_token_stats",
@@ -89,10 +99,7 @@ def tx_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tx_quality_scores",
     oracle=f"""
     SELECT doc_id,
-           ROUND(0.4 * ({_hits_sql('en')} / CAST(len({_WORDS_SQL}) AS DOUBLE))
-                 + 0.4 * least(len({_WORDS_SQL}) / 100.0, 1.0)
-                 + 0.2 * (1 - len(regexp_extract_all(text, '[,.!?;:]'))
-                              / CAST(len({_WORDS_SQL}) AS DOUBLE)), 6) AS quality
+           {_QUALITY_SQL} AS quality
     FROM documents
     """,
 )
@@ -186,7 +193,9 @@ _MH_JAC = (
 )
 
 
-def _minhash_ctes(source: str, num_hashes: int = 32, bands: int = 8) -> str:
+def _minhash_ctes(
+    source: str, num_hashes: int = 32, bands: int = 8, n: int = 3
+) -> str:
     """CTE fragments replicating the MinHash+LSH candidate pipeline in
     DuckDB — possible because the hash family is engine-portable (md5
     prefix + affine seeds mod 2^31-1, dedup.PORTABLE_PRIME):
@@ -208,13 +217,13 @@ def _minhash_ctes(source: str, num_hashes: int = 32, bands: int = 8) -> str:
     )
     B = dedup.SHINGLE_BASE
     horner = "ths[i]"
-    for j in range(1, 3):
+    for j in range(1, n):
         horner = f"(({horner})*{B} + ths[i+{j}]) % {P}"
     return f"""
     sh AS (
       SELECT doc_id,
              list_distinct([ {horner}
-                             for i in generate_series(1, greatest(len(ths)-2, 0)) ]) AS hs
+                             for i in generate_series(1, greatest(len(ths)-{n - 1}, 0)) ]) AS hs
       FROM (SELECT doc_id,
                    [ (('0x'||substr(md5(t),1,15))::BIGINT) % {P}
                      for t in regexp_split_to_array(trim(text), '\\s+') ] AS ths
@@ -557,10 +566,7 @@ def sp_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS (
       SELECT doc_id, lang,
              len({_WORDS_SQL}) AS n_tokens,
-             ROUND(0.4 * ({_hits_sql('en')} / CAST(len({_WORDS_SQL}) AS DOUBLE))
-                   + 0.4 * least(len({_WORDS_SQL}) / 100.0, 1.0)
-                   + 0.2 * (1 - len(regexp_extract_all(text, '[,.!?;:]'))
-                                / CAST(len({_WORDS_SQL}) AS DOUBLE)), 6) AS quality
+             {_QUALITY_SQL} AS quality
       FROM documents
     )
     SELECT doc_id, lang, n_tokens, quality
@@ -600,10 +606,7 @@ def _funnel_oracle() -> str:
         f"'{_PII_ORACLE_PHONE}', '<PHONE>', 'g'), "
         f"'{_PII_ORACLE_NUM}', '<NUM>', 'g')"
     )
-    quality = f"""ROUND(0.4 * ({_hits_sql('en')} / CAST(len({_WORDS_SQL}) AS DOUBLE))
-                 + 0.4 * least(len({_WORDS_SQL}) / 100.0, 1.0)
-                 + 0.2 * (1 - len(regexp_extract_all(text, '[,.!?;:]'))
-                              / CAST(len({_WORDS_SQL}) AS DOUBLE)), 6)"""
+    quality = f"""{_QUALITY_SQL}"""
     return f"""
     WITH red AS (
       SELECT doc_id, {redact} AS text FROM documents
@@ -1317,10 +1320,7 @@ def ss_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS (
       SELECT doc_id,
              md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
-             ROUND(0.4 * ({_hits_sql('en')} / CAST(len({_WORDS_SQL}) AS DOUBLE))
-                   + 0.4 * least(len({_WORDS_SQL}) / 100.0, 1.0)
-                   + 0.2 * (1 - len(regexp_extract_all(text, '[,.!?;:]'))
-                                / CAST(len({_WORDS_SQL}) AS DOUBLE)), 6) AS quality
+             {_QUALITY_SQL} AS quality
       FROM documents
     ), ranked AS (
       SELECT doc_id, fp, quality,

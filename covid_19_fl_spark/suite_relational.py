@@ -1994,40 +1994,60 @@ def x_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Day-bucketed exponential decay weights as exact bigint picomultiples
+# (floor(exp(-d/30)·1e12)), precomputed in Python and inlined into BOTH
+# the Spark plan and the oracle. Two determinism problems solved at
+# once: (1) a float Σ over exp() terms is partition-order-dependent;
+# (2) exp() itself is a libm transcendental with no cross-engine
+# last-ulp guarantee, so even a quantize-at-runtime scheme can land on
+# different sides of a floor boundary. Literal weights + int64 Σ are
+# exact everywhere. The table ends where the weight quantizes to 0
+# (exp(-d/30) < 1e-12 ⇔ d ≥ 829).
+_DECAY_DAYS = 829
+_DECAY_TABLE = [
+    int(__import__("math").exp(-d / 30.0) * 1e12) for d in range(_DECAY_DAYS)
+]
+
+
 @query(
     "x_decayed_popularity",
-    oracle="""
+    oracle=f"""
     WITH anchor AS (
       SELECT MAX(ts) AS max_ts FROM events
     )
     SELECT event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(exp(-(epoch_us(max_ts) - epoch_us(ts))
-                         / (30.0 * 86400.0 * 1000000.0))), 6) AS decayed_count
+           ROUND(CAST(SUM(CASE
+                 WHEN (epoch_us(max_ts) - epoch_us(ts)) // 86400000000 < {_DECAY_DAYS}
+                 THEN ([{", ".join(map(str, _DECAY_TABLE))}]::BIGINT[])
+                      [(epoch_us(max_ts) - epoch_us(ts)) // 86400000000 + 1]
+                 ELSE 0 END) AS DOUBLE) / 1e12, 6) AS decayed_count
     FROM events, anchor
     GROUP BY 1
     """,
 )
 def x_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exponential time-decay popularity (30-day half-life-style
-    weighting, the feature-store recency score): each event contributes
-    exp(-age/τ) toward its type's count, anchored at the corpus max
-    timestamp. The anchor reduces to one row and broadcasts back onto
-    the scan, so the whole query is a scan-stage expression plus one
-    5-group partial-agg shuffle — the same shape as any hash agg, and
-    the decay weights are pure codegen'd math (no window, no Python)."""
+    """Exponential time-decay popularity (30-day-constant recency
+    score, day-bucketed): each event contributes exp(-age_days/30)
+    toward its type's count, anchored at the corpus max timestamp. The
+    anchor reduces to one row and broadcasts back onto the scan, so
+    the whole query is a scan-stage expression plus one 5-group
+    partial-agg shuffle. Weights come from the shared literal decay
+    table and accumulate in int64 — exact at any partition count and
+    bit-reproducible by the oracle (see _DECAY_TABLE note)."""
     events = _t(spark, sf_dir, "events")
     anchor = events.agg(F.max("ts").alias("max_ts"))
-    tau_us = F.lit(30.0 * 86400.0 * 1_000_000.0)
-    weight = F.exp(
-        -(F.unix_micros(F.col("max_ts")) - F.unix_micros(F.col("ts"))) / tau_us
-    )
+    day = F.expr("(unix_micros(max_ts) - unix_micros(ts)) div 86400000000")
+    table = F.array(*[F.lit(v).cast("long") for v in _DECAY_TABLE])
+    wq = F.when(
+        day < _DECAY_DAYS, F.element_at(table, day.cast("int") + 1)
+    ).otherwise(F.lit(0).cast("long"))
     return (
         events.join(F.broadcast(anchor))
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(weight), 6).alias("decayed_count"),
+            F.round((F.sum(wq).cast("double") / F.lit(1e12)), 6).alias("decayed_count"),
         )
     )
 

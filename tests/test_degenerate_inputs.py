@@ -114,3 +114,27 @@ def test_global_max_default_on_empty(spark):
     from covid_19_fl_spark import incremental
 
     assert incremental.max_key(empty, "case_number") == 0
+
+
+def test_documents_shorter_than_shingle_width(spark):
+    """Docs with < n tokens (including empty text) must produce empty
+    shingle sets, not crash: a bare sequence(1, size-(n-1)) descends
+    through 0 when size < n and element_at throws (regression)."""
+    from pyspark.sql import functions as F
+
+    from covid_19_fl_spark.llmops import dedup
+
+    short = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, "a b c d e"), (4, "a b c d e")],
+        "doc_id: long, text: string",
+    )
+    pairs = dedup.minhash_lsh_pairs(short, "text", "doc_id", threshold=0.5)
+    assert [(r.id_a, r.id_b) for r in pairs.collect()] == [(3, 4)]
+    sigs = short.select(
+        dedup.minhash_signature(F.col("text")).alias("sig"),
+        dedup.word_shingles(F.col("text")).alias("sh"),
+    ).collect()
+    # per-row signature of an empty shingle set: all-null lanes (the
+    # agg path simply emits no signature row for such docs)
+    assert set(sigs[0].sig) == {None} and sigs[0].sh == []
+    assert set(sigs[1].sig) == {None} and sigs[1].sh == []
