@@ -1379,3 +1379,62 @@ def sp_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.token_budget_sample(
         docs, "doc_id", text.token_count(F.col("text")), budget=50_000
     )
+
+
+@query(
+    "sp_interleave_order",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT)
+                        % 2147483647, doc_id) AS intra_rank
+      FROM documents
+    ),
+    idx AS (
+      SELECT source,
+             ROW_NUMBER() OVER (ORDER BY source) - 1 AS sidx,
+             COUNT(*) OVER () AS nsrc
+      FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT r.doc_id, r.source,
+           CAST(r.intra_rank AS BIGINT) AS intra_rank,
+           CAST((r.intra_rank - 1) * i.nsrc + i.sidx AS BIGINT) AS mix_pos
+    FROM ranked r JOIN idx i USING (source)
+    """,
+)
+def sp_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order interleave: shuffle each source by
+    the portable hash of its doc ids (a reproducible permutation, no
+    RNG state), then stripe sources round-robin via pure arithmetic —
+    mix_pos = (intra_rank-1)·n_sources + source_index. One per-source
+    window shuffle plus a broadcast of the tiny source-index map; no
+    global sort, no global window, so the order key scales to any
+    corpus size (positions are sparse at the tail where sources run
+    out — irrelevant for an ORDER BY key). The dynamic twin of
+    sp_source_mix_weights' static reweighting."""
+    from .llmops.dedup import PORTABLE_PRIME, portable_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        portable_hash(F.col("doc_id").cast("string")) % PORTABLE_PRIME,
+        F.col("doc_id"),
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w).cast("long").alias("intra_rank")
+    )
+    srcs = docs.select("source").distinct()
+    idx = srcs.select(
+        "source",
+        (F.row_number().over(Window.orderBy("source")) - 1).alias("sidx"),
+        F.count("*").over(Window.partitionBy()).alias("nsrc"),
+    )
+    return ranked.join(F.broadcast(idx), "source").select(
+        "doc_id",
+        "source",
+        "intra_rank",
+        ((F.col("intra_rank") - 1) * F.col("nsrc") + F.col("sidx"))
+        .cast("long")
+        .alias("mix_pos"),
+    )

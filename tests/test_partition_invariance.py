@@ -24,6 +24,7 @@ REPRESENTATIVES = [
     "w1_cumulative_daily",
     "x_ewma",
     "cur_funnel",
+    "x_decayed_popularity",
 ]
 
 
