@@ -18,21 +18,28 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def max_key(stored: DataFrame, key: str, default: int = 0):
+def max_key(stored: DataFrame, key: str, default=None):
     """A1 — scalar high-watermark: ``max(key)`` with empty-table default
-    (cv.py:93-107). One partial+final agg; one scalar to the driver."""
-    return stored.agg(F.coalesce(F.max(key), F.lit(default))).first()[0]
+    (cv.py:93-107). One partial+final agg; one scalar to the driver.
+    The default is applied driver-side, NOT via coalesce(max, lit(0)):
+    an int literal fails analysis against date/timestamp keys — the
+    canonical monotonic watermark types."""
+    v = stored.agg(F.max(key)).first()[0]
+    return default if v is None else v
 
 
 def new_rows_watermark(stored: DataFrame, incoming: DataFrame, key: str) -> DataFrame:
     """J4/F1 watermark shortcut — rows with ``key > max(stored.key)``
-    (cv.py:104-110). Valid only for monotonically increasing keys; the
-    filter is shuffle-free and pushes down to the incoming scan."""
+    (cv.py:104-110). Valid only for monotonically increasing keys of
+    any orderable type; the filter is shuffle-free and pushes down to
+    the incoming scan. An empty stored table passes everything."""
     wm = max_key(stored, key)
+    if wm is None:
+        return incoming
     return incoming.filter(F.col(key) > F.lit(wm))
 
 
@@ -61,7 +68,23 @@ def merge_update(
     For every target row with a matching update row, ``update_cols``
     take the update's value; unmatched target rows pass through;
     unmatched update rows are dropped (upsert=False).
+
+    Updates are deduplicated per key first (greatest update-column
+    struct wins — deterministic at any partition order): a duplicate
+    key would otherwise FAN OUT the left join and duplicate target
+    rows, silently corrupting table cardinality (Delta MERGE raises on
+    multiple matches; a filesystem table must self-defend). Streaming
+    callers with an event-time column should pre-dedup on it instead
+    (streaming.pipeline.write_merge does).
     """
+    w = Window.partitionBy(key).orderBy(
+        F.struct(*[F.col(c) for c in update_cols]).desc()
+    )
+    updates = (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     u = updates.select(
         F.col(key),
         *[F.col(c).alias(f"__u_{c}") for c in update_cols],

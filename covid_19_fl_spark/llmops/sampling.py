@@ -182,19 +182,23 @@ def source_mix_weights(
     group's token share and the up/down-sampling multiplier that would
     equalize shares to the uniform target.
 
-    Two tiny aggregates: per-group integer token sums (exact — no
-    float accumulation), then a 1-row broadcast of (total, n_groups).
-    The fact table is scanned once; the output is |groups| rows, so
-    this is a scan-bound pass at any scale. Generalizes the reference's
+    One fact-table scan: per-group integer token sums (exact — no
+    float accumulation), then totals as a window over the |groups|-row
+    aggregate — NOT a second aggregate referencing ``per``, which
+    would recompute the groupBy (and rescan the facts) once for the
+    totals and once for the join. Generalizes the reference's
     per-capita normalization J2+P9 (cv-county-stats.py:57-66) from
     population to token mass.
     """
+    from pyspark.sql import Window
+
     per = df.groupBy(group_col).agg(F.sum(size_col).alias("group_tokens"))
-    totals = per.agg(
-        F.sum("group_tokens").alias("_total"), F.count("*").alias("_n_groups")
+    w = Window.partitionBy()
+    per = per.withColumn("_total", F.sum("group_tokens").over(w)).withColumn(
+        "_n_groups", F.count("*").over(w)
     )
     return (
-        per.join(F.broadcast(totals))
+        per
         .select(
             group_col,
             "group_tokens",

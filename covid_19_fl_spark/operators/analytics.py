@@ -156,7 +156,6 @@ def per_capita_counts(
 def growth_sim(
     last_date: Column,
     last_count: Column,
-    days: int,
     growth_factor: Column,
 ) -> list[Column]:
     """G1 — geometric growth simulation, closed form.
@@ -165,7 +164,8 @@ def growth_sim(
     day by day on the driver. The closed form ``count_i = last * gf^i``
     turns the loop into ``explode(sequence(1, N))`` + ``pow`` — fully
     distributable, no driver loop. Returns (date, count) column exprs
-    to select after exploding the day index as column ``i``.
+    to select after exploding the day index as column ``i`` (the
+    horizon lives in that sequence, not here).
     """
     i = F.col("i")
     return [
@@ -180,5 +180,5 @@ def simulate_growth(seed: DataFrame, days: int) -> DataFrame:
     return (
         seed.select(
             "*", F.explode(F.sequence(F.lit(1), F.lit(days))).alias("i")
-        ).select(*growth_sim(F.col("last_date"), F.col("last_count"), days, F.col("growth_factor")))
+        ).select(*growth_sim(F.col("last_date"), F.col("last_count"), F.col("growth_factor")))
     )

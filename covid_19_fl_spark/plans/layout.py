@@ -76,8 +76,14 @@ def _morton_spread(col, bits: int = 16):
     """Spread the low ``bits`` bits of an integer column so they occupy
     even bit positions (b15..b0 → positions 30,28,…,0) — the standard
     4-step mask-and-shift Morton expansion, as pure JVM bitwise column
-    expressions (codegen'd in the scan/project stage, no UDF)."""
+    expressions (codegen'd in the scan/project stage, no UDF). The mask
+    ladder handles at most 16 input bits; a wider request would
+    silently discard bits 16+ and collide distinct high values, so it
+    is rejected outright."""
     from pyspark.sql import functions as F
+
+    if bits > 16:
+        raise ValueError(f"Morton spread supports at most 16 bits, got {bits}")
 
     x = col.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
     x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))

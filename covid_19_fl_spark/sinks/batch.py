@@ -63,25 +63,34 @@ class ParquetTable:
     # -- K2: full refresh ----------------------------------------------------
     def overwrite(self, df: DataFrame) -> int:
         """Truncate-and-reload with the K5 count-delta metric
-        (cv-api.py:184-207). Returns new_records = len(df) - len(old)."""
-        delta = incremental.count_delta(df, self.read()) if self.exists() else df.count()
+        (cv-api.py:184-207). Returns new_records = len(df) - len(old).
+        The input lineage executes ONCE (the write); both counts are
+        parquet footer reads, so an expensive upstream plan is not run
+        a second time just for the metric."""
+        old_n = self.read().count() if self.exists() else 0
         self._swap(df)
-        return delta
+        return self.read().count() - old_n
 
     # -- K3: selective delete -------------------------------------------------
     def delete_where(self, condition: str) -> None:
         """``DELETE WHERE`` (cv-stats.py:89-92's delete_many({"series": ...})).
-        Copy-on-write: keep rows NOT matching, swap."""
+        Copy-on-write: keep rows NOT matching, swap. SQL DELETE removes
+        only rows where the predicate is TRUE — a bare ``filter(~cond)``
+        would also drop NULL-evaluating rows (three-valued logic), so
+        the kept set is cond IS NOT TRUE."""
         if not self.exists():
             return
-        self._swap(self.read().filter(~F.expr(condition)))
+        self._swap(
+            self.read().filter(~F.coalesce(F.expr(condition), F.lit(False)))
+        )
 
     def replace_where(self, condition: str, df: DataFrame) -> None:
         """Delta-style ``replaceWhere``: atomically delete matching rows
         and insert ``df`` (the reference's delete_many + insert_many pair
         as one swap — no window of emptiness)."""
         if self.exists():
-            kept = self.read().filter(~F.expr(condition))
+            # same three-valued-logic rule as delete_where
+            kept = self.read().filter(~F.coalesce(F.expr(condition), F.lit(False)))
             self._swap(kept.unionByName(df, allowMissingColumns=True))
         else:
             self._swap(df)
@@ -101,9 +110,13 @@ class ParquetTable:
             fresh = incremental.new_rows_exact(self.read(), incoming, key)
         else:
             fresh = incremental.new_rows_watermark(self.read(), incoming, key)
-        n = fresh.count()
-        if n:
-            self.append(fresh)
+        fresh = fresh.cache()  # count + write: execute the anti-join once
+        try:
+            n = fresh.count()
+            if n:
+                self.append(fresh)
+        finally:
+            fresh.unpersist()
         return n
 
     # -- schema evolution ------------------------------------------------------
@@ -163,6 +176,32 @@ class ParquetTable:
         old = self.path + f".old-{uuid.uuid4().hex[:8]}"
         if os.path.exists(self.path):
             os.rename(self.path, old)
-        os.rename(staging, self.path)
+        try:
+            os.rename(staging, self.path)
+        except OSError:
+            # roll the old data back into place rather than leaving no
+            # table at all; a hard crash between the two renames can
+            # still orphan it (single-rename atomicity needs a
+            # transaction log a la Delta — out of scope for a
+            # filesystem table), which recover_orphaned() repairs.
+            if os.path.exists(old):
+                os.rename(old, self.path)
+            raise
         shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(os.path.dirname(staging), ignore_errors=True)
+
+    def recover_orphaned(self) -> bool:
+        """Repair a table lost to a crash between _swap's two renames:
+        if the path is missing but a .old-* sibling exists, restore the
+        newest one. Returns True if a restore happened."""
+        if os.path.exists(self.path):
+            return False
+        parent = os.path.dirname(os.path.abspath(self.path)) or "."
+        base = os.path.basename(self.path)
+        cands = sorted(
+            f for f in os.listdir(parent) if f.startswith(base + ".old-")
+        ) if os.path.isdir(parent) else []
+        if not cands:
+            return False
+        os.rename(os.path.join(parent, cands[-1]), self.path)
+        return True

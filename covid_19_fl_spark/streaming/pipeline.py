@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
@@ -148,20 +148,33 @@ def write_merge(
     key: str,
     update_cols: Sequence[str],
     checkpoint_dir: str,
+    order_col: str | None = None,
 ) -> DataStreamWriter:
     """K4 streaming sink — per-micro-batch MERGE (matched-update) into a
     ParquetTable via foreachBatch (cv.py:127-132's update loop, one join
-    per micro-batch). Caller starts it with ``.trigger(...)`` of choice."""
+    per micro-batch). Caller starts it with ``.trigger(...)`` of choice.
+
+    With ``order_col`` (an event-time column), the LATEST update per
+    key wins within a batch; without it, the greatest update-column
+    struct wins (incremental.merge_update's deterministic dedup) — a
+    bare dropDuplicates would keep a partition-order-arbitrary row and
+    let a stale update beat a fresh one. Matched-only means the target
+    must already exist (K4 updates an existing collection); a batch
+    arriving before the table is seeded is a no-op rather than a
+    batch-boundary-dependent bootstrap insert."""
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
+        if batch.isEmpty() or not table.exists():
             return
-        # One update row per key per batch: keep the latest by key.
-        latest = batch.dropDuplicates([key])
-        if table.exists():
-            table.merge_update(latest, key, update_cols)
-        else:
-            table.overwrite(latest)
+        updates = batch
+        if order_col is not None:
+            w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+            updates = (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        table.merge_update(updates, key, update_cols)
 
     return stream.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", checkpoint_dir

@@ -42,8 +42,32 @@ def test_exact_handles_out_of_order_keys(spark):
 
 
 def test_max_key_empty_default(spark):
-    empty = _df(spark, []) if False else spark.createDataFrame([], "case_number long")
-    assert incremental.max_key(empty, "case_number") == 0
+    empty = spark.createDataFrame([], "case_number long")
+    # no default → None (lets date/timestamp keys work without a
+    # type-mismatched coalesce); the reference's A1 zero default is
+    # opt-in
+    assert incremental.max_key(empty, "case_number") is None
+    assert incremental.max_key(empty, "case_number", default=0) == 0
+
+
+def test_watermark_on_date_key(spark):
+    """new_rows_watermark must work for date/timestamp keys (the
+    canonical monotonic watermark) — an int-defaulted coalesce used to
+    fail analysis here — and pass everything through when the stored
+    side is empty."""
+    import datetime
+
+    stored = spark.createDataFrame(
+        [(datetime.date(2020, 3, 14),)], "date_added date"
+    )
+    incoming = spark.createDataFrame(
+        [(datetime.date(2020, 3, 13),), (datetime.date(2020, 3, 15),)],
+        "date_added date",
+    )
+    got = incremental.new_rows_watermark(stored, incoming, "date_added")
+    assert [str(r.date_added) for r in got.collect()] == ["2020-03-15"]
+    empty = spark.createDataFrame([], "date_added date")
+    assert incremental.new_rows_watermark(empty, incoming, "date_added").count() == 2
 
 
 def test_semi_join_membership(spark):
@@ -163,3 +187,31 @@ def test_schema_evolution_append_and_read(spark, tmp_path):
         t.append_evolved(spark.createDataFrame([(3,)], "id long"))
     # the rejected batch must not have landed
     assert set(r.id for r in t.evolved_read().collect()) == {1, 2}
+
+
+def test_delete_where_is_three_valued(spark, tmp_path):
+    """DELETE WHERE removes rows where the predicate is TRUE — rows
+    where it evaluates NULL must survive (regression: filter(~cond)
+    silently deleted them)."""
+    t = ParquetTable(spark, str(tmp_path / "tvl"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "actual"), (2, "predicted"), (3, None)], "id long, series string"
+        )
+    )
+    t.delete_where("series = 'predicted'")
+    assert sorted(r.id for r in t.read().collect()) == [1, 3]
+
+
+def test_merge_update_duplicate_update_keys_no_fanout(spark):
+    """Duplicate keys in the updates side must not duplicate target
+    rows (left-join fan-out regression); the greatest update-struct
+    wins deterministically."""
+    target = spark.createDataFrame([(42, "old"), (7, "keep")], "k long, v string")
+    updates = spark.createDataFrame(
+        [(42, "aaa"), (42, "zzz")], "k long, v string"
+    )
+    got = incremental.merge_update(target, updates, "k", ["v"])
+    rows = {r.k: r.v for r in got.collect()}
+    assert got.count() == 2
+    assert rows == {42: "zzz", 7: "keep"}
