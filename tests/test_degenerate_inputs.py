@@ -109,11 +109,13 @@ def test_analytics_on_empty_series(spark):
 
 def test_global_max_default_on_empty(spark):
     """A1 semantics from the reference (cv.py:101-107): empty stored
-    table → watermark defaults to 0, not null/crash."""
+    table → the numeric watermark defaults to 0 (caller-supplied, since
+    an int default is only meaningful for numeric keys), not null/crash."""
     empty = spark.createDataFrame([], "case_number long")
     from covid_19_fl_spark import incremental
 
-    assert incremental.max_key(empty, "case_number") == 0
+    assert incremental.max_key(empty, "case_number", default=0) == 0
+    assert incremental.max_key(empty, "case_number") is None
 
 
 def test_documents_shorter_than_shingle_width(spark):
