@@ -277,31 +277,31 @@ def minhash_bands(
     exactly like a hashed bucket id."""
     rows_per_band = num_hashes // bands
     sh_hashed = base.select("doc_id", F.explode("shingles").alias("sh"))
+    # Both expression fans (32 min-aggs, 8 band structs) are rendered
+    # as single SQL strings: per-column F.min(_seeded(...)) chains cost
+    # hundreds of py4j round-trips per query *construction* (~1 s of
+    # driver time before Spark runs anything); one F.expr parse each is
+    # plan-identical (functions/litarrays.py has the same rationale).
     sigs = sh_hashed.groupBy("doc_id").agg(
         *[
-            F.min(_seeded(F.col("sh"), k)).alias(f"h{k}")
-            for k in range(num_hashes)
+            F.expr(
+                f"min(({a}L * sh + {b}L) % {PORTABLE_PRIME}L) AS h{k}"
+            )
+            for k, (a, b) in ((k, affine_consts(k)) for k in range(num_hashes))
         ]
     )
+    band_structs = ",".join(
+        "struct({b} AS band_idx, concat_ws('-',{cols}) AS band_hash)".format(
+            b=b,
+            cols=",".join(
+                f"cast(h{b * rows_per_band + r} AS string)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     return sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.concat_ws(
-                            "-",
-                            *[
-                                F.col(f"h{b * rows_per_band + r}").cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
+        "doc_id", F.expr(f"explode(array({band_structs}))").alias("band")
     ).select("doc_id", "band.band_idx", "band.band_hash")
 
 

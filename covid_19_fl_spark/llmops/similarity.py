@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import litarrays
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product in double precision (matches
@@ -308,7 +310,10 @@ def hyperplane_bucket(
     engines evaluate bit-identically)."""
     bucket = F.lit(0)
     for p in range(planes):
-        coeffs = F.array(*[F.lit(c) for c in plane_coeffs(seed, p, dims)])
+        # One-parse literal plane (functions/litarrays.py): repr+CAST
+        # round-trips to the identical binary64 as F.lit, so the
+        # engine-portable constants contract with the oracle holds.
+        coeffs = litarrays.double_array(plane_coeffs(seed, p, dims))
         proj = dot(vec, coeffs)
         bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
     return bucket

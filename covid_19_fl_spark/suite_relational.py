@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions import litarrays
 from .suite import _t, query
 
 # ---------------------------------------------------------------------------
@@ -2038,7 +2039,9 @@ def x_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     anchor = events.agg(F.max("ts").alias("max_ts"))
     day = F.expr("(unix_micros(max_ts) - unix_micros(ts)) div 86400000000")
-    table = F.array(*[F.lit(v).cast("long") for v in _DECAY_TABLE])
+    # One-parse literal table: per-element F.lit cost ~1.5 s of driver
+    # py4j overhead at 829 entries (functions/litarrays.py).
+    table = litarrays.long_array(_DECAY_TABLE)
     wq = F.when(
         day < _DECAY_DAYS, F.element_at(table, day.cast("int") + 1)
     ).otherwise(F.lit(0).cast("long"))
