@@ -72,6 +72,9 @@ SHOWCASE = [
     "dd_ngram_jaccard_pairs",
     "dd_minhash_lsh_pairs",
     "dd_embedding_cosine",
+    "tx_boilerplate_ngrams",
+    "ss_pq_quantize",
+    "x_agg_state_rollup",
     "tx_quality_scores",
     "cur_funnel",
     "tx_tfidf_topterms",

@@ -73,6 +73,9 @@ HEADLINE = [
     "x_decayed_popularity",
     "x_pagerank",
     "x_count_min_topk",
+    "tx_boilerplate_ngrams",
+    "ss_pq_quantize",
+    "x_agg_state_rollup",
 ]
 
 

@@ -211,10 +211,12 @@ def _seeded(h: Column, k: int) -> Column:
 SHINGLE_BASE = 1_000_003
 
 
-def hashed_word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct n-gram shingle hashes as a bigint array, built without
-    materializing shingle strings. Engine-portable: the oracle computes
-    the identical Horner combination over the same md5 token hashes.
+def hashed_word_grams(col: Column, n: int = 3) -> Column:
+    """POSITIONAL n-gram hashes (one per starting token, duplicates
+    kept, document order preserved) as a bigint array — the coverage
+    view of the same Horner machinery ``hashed_word_shingles`` dedups.
+    Engine-portable like the shingle path: the oracle computes the
+    identical Horner combination over the same md5 token hashes.
 
     The token-hash array is let-bound once via a single-element
     ``transform`` (see word_shingles for why)."""
@@ -228,11 +230,16 @@ def hashed_word_shingles(col: Column, n: int = 3) -> Column:
                 )
             return acc
 
-        grams = F.transform(_gram_positions(hs, n), gram)
-        return F.array_distinct(grams)
+        return F.transform(_gram_positions(hs, n), gram)
 
     hashed = F.transform(words(col), lambda t: portable_hash(t) % PORTABLE_PRIME)
     return F.element_at(F.transform(F.array(hashed), body), 1)
+
+
+def hashed_word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingle hashes as a bigint array, built without
+    materializing shingle strings (set view of ``hashed_word_grams``)."""
+    return F.array_distinct(hashed_word_grams(col, n))
 
 
 def minhash_signature(col: Column, num_hashes: int = 32, n: int = 3) -> Column:

@@ -356,3 +356,100 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    dims: int = 64,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks → (sub_idx, label, centroid_sub).
+
+    Because the codebook entries are per-dimension means, the sub-space
+    codebook is exactly the label centroid sliced into m contiguous
+    d=dims/m blocks — so this reuses label_centroids' quantize-sum-
+    divide exact mean (bit-identical across partitionings and engines)
+    and slices in a zero-shuffle projection."""
+    d = dims // m
+    subs = ",".join(
+        f"struct({s} AS sub_idx, slice(centroid, {s * d + 1}, {d}) AS centroid_sub)"
+        for s in range(m)
+    )
+    return (
+        label_centroids(emb, label_col, vec_col)
+        .select(label_col, F.expr(f"explode(array({subs}))").alias("b"))
+        .select("b.sub_idx", label_col, "b.centroid_sub")
+    )
+
+
+def pq_quantize(
+    emb: DataFrame,
+    m: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Product quantization: each vector → m sub-space code ids (the
+    nearest codebook entry per d-dim block) + reconstruction MSE — the
+    memory-bound ANN compression step (a 64-float vector becomes m
+    small ints; distance tables then run against codes, not floats).
+
+    Plan shape: sub-vectors are array slices built in the scan stage
+    (zero shuffle, no posexplode of the corpus); the codebook is tiny
+    (m × |labels| rows) and broadcast, so assignment is a map-side
+    join + one partial-agg min per (vec, sub) and one per-vec gather.
+    Determinism: sub-distances round to 6dp before the argmin
+    (struct-min on (dist, label) — map-side combinable, no window);
+    the MSE accumulates the rounded distances as exact integer
+    millionths, so the Σ over sub-spaces is partition-order-proof and
+    engine-exact (same contract as label_centroids)."""
+    d = dims // m
+    books = pq_codebooks(emb, m=m, dims=dims, label_col=label_col, vec_col=vec_col)
+    subs = ",".join(
+        f"struct({s} AS sub_idx, slice({vec_col}, {s * d + 1}, {d}) AS sv)"
+        for s in range(m)
+    )
+    subv = emb.select(
+        F.col(id_col), F.expr(f"explode(array({subs}))").alias("p")
+    ).select(id_col, "p.sub_idx", "p.sv")
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col("sv"),
+            F.col("centroid_sub"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    best = (
+        subv.join(F.broadcast(books), "sub_idx")
+        .select(
+            id_col,
+            "sub_idx",
+            F.struct(
+                F.round(diff2, 6).alias("dist"), F.col(label_col).alias("code")
+            ).alias("s"),
+        )
+        .groupBy(id_col, "sub_idx")
+        .agg(F.min("s").alias("b"))
+    )
+    return best.groupBy(id_col).agg(
+        F.concat_ws(
+            "-",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("sub_idx"), F.col("b.code").alias("code")))
+                ),
+                lambda s: s.getField("code").cast("string"),
+            ),
+        ).alias("pq_codes"),
+        F.round(
+            F.sum(F.round(F.col("b.dist") * 1e6).cast("long")).cast("double")
+            / F.lit(1e6)
+            / F.lit(float(dims)),
+            6,
+        ).alias("recon_mse"),
+    )

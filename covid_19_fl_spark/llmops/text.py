@@ -346,3 +346,69 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def boilerplate_ngram_stats(
+    df,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_docs: int = 3,
+) -> "DataFrame":
+    """C4/RefinedWeb-style corpus-level boilerplate detection: the
+    fraction of each document's n-gram positions whose n-gram also
+    appears in ≥ ``min_docs`` distinct documents (navboxes, license
+    headers, templated spam — the spans C4 removes by exact-span
+    lookup; the reference has no corpus-level operator, this extends
+    cv.py's per-row dedup idiom to span granularity).
+
+    Plan shape (two passes over the same scan-stage gram arrays):
+    1. document frequency per gram — per-doc-distinct shingle hashes
+       (``dedup.hashed_word_shingles``, so a gram crosses the exchange
+       at most once per doc) → one partial-agg shuffle on the gram;
+    2. coverage — positional gram hashes (``dedup.hashed_word_grams``)
+       explode → left join against the df ≥ min_docs gram set → per-doc
+       count shuffle.
+    At 100 TB the boilerplate set is tiny relative to the gram universe
+    (Zipf head), so AQE turns the probe join into a broadcast; the only
+    O(tokens) shuffle is the document-frequency agg, which is map-side
+    combinable. Gram identity is the engine-portable Horner hash over
+    md5 token hashes (dedup.SHINGLE_BASE/PORTABLE_PRIME), so the DuckDB
+    oracle reproduces identical gram keys.
+
+    Short docs (< n tokens) have zero gram positions and report
+    ``boiler_frac = 0.0``.
+    """
+    from . import dedup
+
+    ids = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    dfreq = (
+        ids.select("doc_id", F.explode(dedup.hashed_word_shingles(F.col("_t"), n)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("df"))
+    )
+    boiler = dfreq.filter(F.col("df") >= min_docs).select("g", F.lit(1).alias("_b"))
+    pos = ids.select("doc_id", F.explode(dedup.hashed_word_grams(F.col("_t"), n)).alias("g"))
+    cov = (
+        pos.join(boiler, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_b"), F.lit(0))).cast("bigint").alias("n_boiler"),
+        )
+    )
+    return (
+        ids.select("doc_id")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0).cast("bigint")).alias("n_grams"),
+            F.coalesce(F.col("n_boiler"), F.lit(0).cast("bigint")).alias("n_boiler"),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                F.round(F.col("n_boiler") / F.col("n_grams"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("boiler_frac"),
+        )
+    )

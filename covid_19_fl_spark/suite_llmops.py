@@ -1438,3 +1438,110 @@ def sp_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mix_pos"),
     )
+
+
+def _boilerplate_oracle(n: int = 5, min_docs: int = 3) -> str:
+    """DuckDB replica of text.boilerplate_ngram_stats — gram keys are
+    the same md5-token Horner hashes (dedup.SHINGLE_BASE /
+    PORTABLE_PRIME), so document frequencies and coverage counts match
+    exactly."""
+    P = dedup.PORTABLE_PRIME
+    B = dedup.SHINGLE_BASE
+    horner = "ths[i]"
+    for j in range(1, n):
+        horner = f"(({horner})*{B} + ths[i+{j}]) % {P}"
+    return f"""
+    WITH g AS (
+      SELECT doc_id,
+             [ {horner}
+               for i in generate_series(1, greatest(len(ths)-{n - 1}, 0)) ] AS gs
+      FROM (SELECT doc_id,
+                   [ (('0x'||substr(md5(t),1,15))::BIGINT) % {P}
+                     for t in regexp_split_to_array(trim(text), '\\s+') ] AS ths
+            FROM documents)
+    ),
+    pos AS (SELECT doc_id, unnest(gs) AS gg FROM g),
+    dset AS (SELECT doc_id, unnest(list_distinct(gs)) AS gg FROM g),
+    dfreq AS (SELECT gg, COUNT(*) AS df FROM dset GROUP BY gg),
+    boiler AS (SELECT gg FROM dfreq WHERE df >= {min_docs}),
+    cov AS (SELECT p.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(CASE WHEN b.gg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_boiler
+            FROM pos p LEFT JOIN boiler b ON p.gg = b.gg
+            GROUP BY p.doc_id)
+    SELECT d.doc_id,
+           COALESCE(c.n_grams, 0) AS n_grams,
+           COALESCE(c.n_boiler, 0) AS n_boiler,
+           CASE WHEN COALESCE(c.n_grams, 0) > 0
+                THEN ROUND(CAST(c.n_boiler AS DOUBLE) / c.n_grams, 6)
+                ELSE 0.0 END AS boiler_frac
+    FROM documents d LEFT JOIN cov c USING (doc_id)
+    """
+
+
+@query("tx_boilerplate_ngrams", oracle=_boilerplate_oracle())
+def tx_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate 5-gram coverage (C4-style span-dedup
+    signal): per-doc fraction of gram positions whose gram occurs in
+    ≥3 distinct documents. See text.boilerplate_ngram_stats for the
+    plan-shape / 100 TB notes."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.boilerplate_ngram_stats(docs, "text", "doc_id", n=5, min_docs=3)
+
+
+def _pq_oracle(m: int = 8, dims: int = 64) -> str:
+    """DuckDB replica of similarity.pq_quantize: same quantize-sum-
+    divide centroids (sliced into sub-space codebooks), same 6dp-rounded
+    sub-distances before the (dist, label) argmin, same exact integer-
+    millionths MSE accumulation — engine-identical end to end."""
+    Q = int(similarity.CENTROID_Q)
+    d = dims // m
+    return f"""
+    WITH cent_dims AS (
+      SELECT label, i AS pos,
+             SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {Q}) AS BIGINT)) AS sq,
+             COUNT(*) AS n
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+      GROUP BY label, i
+    ),
+    cent AS (
+      SELECT label, list((CAST(sq AS DOUBLE) / n) / {Q} ORDER BY pos) AS centroid
+      FROM cent_dims GROUP BY label
+    ),
+    books AS (
+      SELECT label, s AS sub_idx, centroid[s*{d}+1 : (s+1)*{d}] AS csub
+      FROM cent, (SELECT unnest(generate_series(0, {m - 1})) AS s)
+    ),
+    subv AS (
+      SELECT vec_id, s AS sub_idx, embedding[s*{d}+1 : (s+1)*{d}] AS sv
+      FROM embeddings, (SELECT unnest(generate_series(0, {m - 1})) AS s)
+    ),
+    scored AS (
+      SELECT vec_id, sub_idx, label,
+             ROUND(list_sum([ (CAST(sv[i] AS DOUBLE) - csub[i])
+                              * (CAST(sv[i] AS DOUBLE) - csub[i])
+                              for i in generate_series(1, len(sv)) ]), 6) AS dist
+      FROM subv JOIN books USING (sub_idx)
+    ),
+    best AS (
+      SELECT vec_id, sub_idx, label AS code, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub_idx
+                                     ORDER BY dist ASC, label ASC) AS rn
+        FROM scored) WHERE rn = 1
+    )
+    SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), '-' ORDER BY sub_idx) AS pq_codes,
+           ROUND(CAST(SUM(CAST(ROUND(dist * 1e6, 0) AS BIGINT)) AS DOUBLE)
+                 / 1e6 / {dims}, 6) AS recon_mse
+    FROM best GROUP BY vec_id
+    """
+
+
+@query("ss_pq_quantize", oracle=_pq_oracle())
+def ss_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization of the embedding column (8 sub-spaces ×
+    label-seeded codebooks): per-vector code string + reconstruction
+    MSE. See similarity.pq_quantize for plan-shape / 100 TB notes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_quantize(emb, m=8, dims=64)

@@ -2260,3 +2260,56 @@ def x_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(~F.col("props").eqNullSafe(F.lit("x")), 1).otherwise(0)
         ).alias("n_distinct_from_x"),
     )
+
+
+@query(
+    "x_agg_state_rollup",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS event_date,
+             COUNT(*) AS cnt,
+             SUM(CAST(value AS DECIMAL(28,4))) AS sum_state,
+             MIN(value) AS min_v, MAX(value) AS max_v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(date_trunc('month', event_date) AS DATE) AS month,
+           CAST(SUM(cnt) AS BIGINT) AS n_events,
+           CAST(SUM(sum_state) AS DOUBLE) AS total_value,
+           MIN(min_v) AS min_value,
+           MAX(max_v) AS max_value,
+           ROUND(CAST(SUM(sum_state) AS DOUBLE) / SUM(cnt), 6) AS avg_value
+    FROM daily GROUP BY 1, 2
+    """,
+)
+def x_agg_state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable partial-aggregate rollup (the continuous-aggregate /
+    hypertable pattern, e.g. TimescaleDB caggs): daily per-type
+    aggregate STATES (count, decimal sum, min, max) are re-aggregated
+    to monthly by merging partials — the raw table is touched once, and
+    the monthly layer reads |days|×|types| pre-combined rows, not
+    O(events). That's the design that makes a 100 TB rollup cheap: the
+    second shuffle moves only partial states, every one of which is
+    merge-associative (count→sum, sum→sum, min→min, max→max), and avg
+    is derived from merged states rather than aggregated directly
+    (avg-of-avgs is wrong; sum/count of merged partials is exact).
+    Decimal accumulation keeps the double sum partition-order-exact
+    (same contract as w4_daily_delta)."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("event_date")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(28,4)")).alias("sum_state"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+    return daily.groupBy(
+        "event_type", F.trunc("event_date", "month").alias("month")
+    ).agg(
+        F.sum("cnt").alias("n_events"),
+        F.sum("sum_state").cast("double").alias("total_value"),
+        F.min("min_v").alias("min_value"),
+        F.max("max_v").alias("max_value"),
+        F.round(F.sum("sum_state").cast("double") / F.sum("cnt"), 6).alias("avg_value"),
+    )

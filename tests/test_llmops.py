@@ -407,3 +407,62 @@ def test_token_budget_sample_boundary_and_partition_independence(spark, sf_dir):
         docs.repartition(7), "doc_id", text.token_count(F.col("text")), budget=budget
     )
     assert {r.doc_id for r in out2.collect()} == {r.doc_id for r in rows}
+
+
+def test_boilerplate_ngram_stats_semantics(spark):
+    from covid_19_fl_spark.llmops import text
+
+    tpl = "alpha beta gamma delta epsilon zeta"  # 6 tokens → 2 5-gram positions
+    docs = spark.createDataFrame(
+        [
+            (1, tpl),
+            (2, tpl),
+            (3, tpl),
+            (4, "one two three four five six seven"),  # unique text
+            (5, "tiny doc"),  # < n tokens → zero gram positions
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.boilerplate_ngram_stats(
+        docs, "text", "doc_id", n=5, min_docs=3
+    ).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}, "every doc reported exactly once"
+    for doc_id, r in out.items():
+        assert 0.0 <= r.boiler_frac <= 1.0
+        assert 0 <= r.n_boiler <= r.n_grams
+    # the 3× duplicated template is 100% boilerplate
+    for doc_id in (1, 2, 3):
+        assert out[doc_id].n_grams == 2 and out[doc_id].boiler_frac == 1.0
+    # unique text → 0; short doc → no positions, frac 0 not null
+    assert out[4].n_boiler == 0 and out[4].boiler_frac == 0.0
+    assert out[5].n_grams == 0 and out[5].boiler_frac == 0.0
+
+
+def test_pq_quantize_contract(spark, sf_dir):
+    from covid_19_fl_spark.llmops import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.pq_quantize(emb, m=8, dims=64)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == emb.count(), "one code row per vector"
+    by_vec = {r.vec_id: tuple(r.embedding) for r in emb.collect()}
+    codes_of = {}
+    for vid, r in rows.items():
+        parts = r.pq_codes.split("-")
+        assert len(parts) == 8, "m sub-space codes"
+        assert r.recon_mse >= 0.0
+        codes_of[vid] = r.pq_codes
+    # identical vectors must quantize to identical codes and MSE
+    seen = {}
+    for vid, v in by_vec.items():
+        if v in seen:
+            other = seen[v]
+            assert codes_of[vid] == codes_of[other]
+            assert rows[vid].recon_mse == rows[other].recon_mse
+        else:
+            seen[v] = vid
+    # partition invariance of the argmin/merge path
+    out2 = similarity.pq_quantize(emb.repartition(13), m=8, dims=64)
+    assert {(r.vec_id, r.pq_codes, r.recon_mse) for r in out2.collect()} == {
+        (r.vec_id, r.pq_codes, r.recon_mse) for r in rows.values()
+    }

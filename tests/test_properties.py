@@ -255,3 +255,30 @@ def test_multitouch_credits_sum_to_one_per_purchase(spark, sf_dir):
     assert sums, "expected at least one attributed purchase"
     for r in sums:
         assert abs(r.s - 1.0) < 1e-4, (r.purchase_id, r.s)
+
+
+def test_agg_state_rollup_merge_equals_direct(spark, sf_dir):
+    """Merging daily partial states to monthly must equal aggregating
+    the raw events straight to monthly (merge-associativity — the
+    property that makes the continuous-aggregate pattern correct)."""
+    from pyspark.sql import functions as F
+
+    from covid_19_fl_spark import suite, tables
+
+    merged = suite.QUERIES["x_agg_state_rollup"](spark, sf_dir)
+    events = tables.load(spark, sf_dir, "events")
+    direct = events.groupBy(
+        "event_type",
+        F.trunc(F.col("ts").cast("date"), "month").alias("month"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("total_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double") / F.count("*"), 6
+        ).alias("avg_value"),
+    )
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b
