@@ -35,9 +35,3 @@ def double_array(values: Iterable[float]) -> Column:
     return F.expr(
         "array(" + ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in values) + ")"
     )
-
-
-def string_array(values: Iterable[str]) -> Column:
-    """array<string> literal, one JVM parse (single-quote escaped)."""
-    quoted = ",".join("'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'" for v in values)
-    return F.expr("array(" + quoted + ")")

@@ -372,15 +372,33 @@ def pq_codebooks(
     d=dims/m blocks — so this reuses label_centroids' quantize-sum-
     divide exact mean (bit-identical across partitionings and engines)
     and slices in a zero-shuffle projection."""
-    d = dims // m
-    subs = ",".join(
-        f"struct({s} AS sub_idx, slice(centroid, {s * d + 1}, {d}) AS centroid_sub)"
-        for s in range(m)
-    )
+    d = _pq_sub_dims(m, dims)
     return (
         label_centroids(emb, label_col, vec_col)
-        .select(label_col, F.expr(f"explode(array({subs}))").alias("b"))
-        .select("b.sub_idx", label_col, "b.centroid_sub")
+        .select(label_col, F.explode(_sub_slices("centroid", m, d)).alias("b"))
+        .select("b.sub_idx", label_col, F.col("b.sv").alias("centroid_sub"))
+    )
+
+
+def _pq_sub_dims(m: int, dims: int) -> int:
+    """dims must split evenly into m blocks — a remainder would leave
+    trailing dimensions silently unquantized (and the MSE denominator
+    wrong), so fail loudly instead."""
+    if m <= 0 or dims % m != 0:
+        raise ValueError(f"dims ({dims}) must be a positive multiple of m ({m})")
+    return dims // m
+
+
+def _sub_slices(vec: Column, m: int, d: int) -> Column:
+    """array of m (sub_idx, sv=slice) structs — plain Column builders
+    (m is small, so no F.expr string needed and any column name works)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub_idx"), F.slice(vec, s * d + 1, d).alias("sv")
+            )
+            for s in range(m)
+        ]
     )
 
 
@@ -406,14 +424,22 @@ def pq_quantize(
     the MSE accumulates the rounded distances as exact integer
     millionths, so the Σ over sub-spaces is partition-order-proof and
     engine-exact (same contract as label_centroids)."""
-    d = dims // m
+    d = _pq_sub_dims(m, dims)
     books = pq_codebooks(emb, m=m, dims=dims, label_col=label_col, vec_col=vec_col)
-    subs = ",".join(
-        f"struct({s} AS sub_idx, slice({vec_col}, {s * d + 1}, {d}) AS sv)"
-        for s in range(m)
+    # Scan-stage length guard: a vector shorter than `dims` would slice
+    # to padded/empty sub-vectors and produce meaningless codes with no
+    # error — fail the job instead (one size() compare per row).
+    guarded = F.when(F.size(F.col(vec_col)) == dims, F.col(vec_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"pq_quantize: {vec_col} length "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(f" != dims={dims}"),
+            )
+        )
     )
     subv = emb.select(
-        F.col(id_col), F.expr(f"explode(array({subs}))").alias("p")
+        F.col(id_col), F.explode(_sub_slices(guarded, m, d)).alias("p")
     ).select(id_col, "p.sub_idx", "p.sv")
     diff2 = F.aggregate(
         F.zip_with(

@@ -25,6 +25,9 @@ REPRESENTATIVES = [
     "x_ewma",
     "cur_funnel",
     "x_decayed_popularity",
+    "tx_boilerplate_ngrams",
+    "ss_pq_quantize",
+    "x_agg_state_rollup",
 ]
 
 

@@ -25,7 +25,7 @@ from tests.oracle import compare  # noqa: E402
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     prefixes = tuple(sys.argv[2:])
-    spark = get_spark("gate-check", cpus="16")
+    spark = get_spark("gate-check")  # honors $SPARK_GRAFT_CPUS like every entry point
     names = [n for n in suite.ORACLES if not prefixes or n.startswith(prefixes)]
     failed = []
     for name in names:
