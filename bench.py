@@ -76,6 +76,7 @@ HEADLINE = [
     "tx_boilerplate_ngrams",
     "ss_pq_quantize",
     "x_agg_state_rollup",
+    "sp_source_kl",
 ]
 
 

@@ -244,3 +244,57 @@ def split_assign(
     last = F.lit(splits[-1][0])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def source_kl_divergence(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Per-group (source/domain) KL divergence of the group's unigram
+    distribution from the corpus distribution, in nats — the standard
+    data-mixing drift diagnostic (how unlike the blended corpus each
+    source reads; pairs with source_mix_weights' share-based view).
+
+        KL(p_s ‖ p) = Σ_w (c_sw/T_s) · ln( (c_sw·T) / (c_w·T_s) )
+
+    Scale shape: one tokenize-explode pass → groupBy(group, term)
+    partial-agg shuffle (the only O(tokens) exchange); term totals and
+    group totals derive from that |groups|×|vocab| aggregate — the raw
+    corpus is scanned once. The term-total join is on the term key
+    (AQE broadcasts the |vocab|-row side when it fits).
+
+    Determinism: each term's contribution quantizes to integer
+    picounits (floor(x·1e12) → bigint) before the per-group Σ, so the
+    reduction is associative — partition-order-proof and engine-exact
+    given identical doubles (the ratio arithmetic is IEEE-exact-rounded
+    in any engine; ln is the one libm call, and a last-ulp ln wobble
+    moves the floor by ≤1 picounit, invisible at the rounded 6dp).
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    per = toks.groupBy("grp", "term").agg(F.count("*").alias("c_sw"))
+    term_tot = per.groupBy("term").agg(F.sum("c_sw").alias("c_w"))
+    grp_tot = per.groupBy("grp").agg(F.sum("c_sw").alias("t_s"))
+    corpus_tot = grp_tot.agg(F.sum("t_s").alias("t"))
+    contrib = (
+        F.col("c_sw").cast("double") / F.col("t_s")
+    ) * F.log(
+        (F.col("c_sw").cast("double") * F.col("t"))
+        / (F.col("c_w").cast("double") * F.col("t_s"))
+    )
+    return (
+        per.join(term_tot, "term")
+        .join(F.broadcast(grp_tot), "grp")
+        .crossJoin(F.broadcast(corpus_tot))
+        .groupBy("grp")
+        .agg(
+            F.max("t_s").alias("n_tokens"),
+            F.round(
+                F.sum(F.floor(contrib * F.lit(1e12)).cast("long")).cast("double")
+                / F.lit(1e12),
+                6,
+            ).alias("kl_nats"),
+        )
+        .select(F.col("grp").alias(group_col), "n_tokens", "kl_nats")
+    )

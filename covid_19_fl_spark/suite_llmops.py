@@ -1545,3 +1545,37 @@ def ss_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     MSE. See similarity.pq_quantize for plan-shape / 100 TB notes."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.pq_quantize(emb, m=8, dims=64)
+
+
+@query(
+    "sp_source_kl",
+    oracle="""
+    WITH toks AS (
+      SELECT source AS grp,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ), per AS (
+      SELECT grp, term, COUNT(*) AS c_sw FROM toks GROUP BY 1, 2
+    ), term_tot AS (
+      SELECT term, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM per GROUP BY 1
+    ), grp_tot AS (
+      SELECT grp, CAST(SUM(c_sw) AS BIGINT) AS t_s FROM per GROUP BY 1
+    ), corpus_tot AS (
+      SELECT CAST(SUM(t_s) AS BIGINT) AS t FROM grp_tot
+    )
+    SELECT grp AS source,
+           MAX(t_s) AS n_tokens,
+           ROUND(CAST(SUM(CAST(FLOOR(
+                 (CAST(c_sw AS DOUBLE) / t_s)
+                 * ln((CAST(c_sw AS DOUBLE) * t) / (CAST(c_w AS DOUBLE) * t_s))
+                 * 1e12) AS BIGINT)) AS DOUBLE) / 1e12, 6) AS kl_nats
+    FROM per JOIN term_tot USING (term) JOIN grp_tot USING (grp), corpus_tot
+    GROUP BY 1
+    """,
+)
+def sp_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus distribution
+    (llmops/sampling.py source_kl_divergence) — the data-mixing drift
+    diagnostic beside sp_source_mix_weights' share view."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.source_kl_divergence(docs, "source", "text")

@@ -466,3 +466,24 @@ def test_pq_quantize_contract(spark, sf_dir):
     assert {(r.vec_id, r.pq_codes, r.recon_mse) for r in out2.collect()} == {
         (r.vec_id, r.pq_codes, r.recon_mse) for r in rows.values()
     }
+
+
+def test_source_kl_divergence_properties(spark, sf_dir):
+    from covid_19_fl_spark import tables
+    from covid_19_fl_spark.llmops import sampling
+
+    docs = tables.load(spark, sf_dir, "documents")
+    out = sampling.source_kl_divergence(docs, "source", "text")
+    rows = out.collect()
+    assert len(rows) == docs.select("source").distinct().count()
+    for r in rows:
+        # KL >= 0 up to the 1e-12 quantization dust (|vocab| * 1e-12)
+        assert r.kl_nats >= -1e-6, r
+        assert r.n_tokens > 0
+    # identical per-source distributions → KL exactly 0
+    same = spark.createDataFrame(
+        [(i, f"s{i % 3}", "alpha beta beta gamma") for i in range(9)],
+        "doc_id long, source string, text string",
+    )
+    kl = sampling.source_kl_divergence(same, "source", "text")
+    assert all(r.kl_nats == 0.0 for r in kl.collect())
