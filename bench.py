@@ -77,6 +77,7 @@ HEADLINE = [
     "ss_pq_quantize",
     "x_agg_state_rollup",
     "sp_source_kl",
+    "tx_bigram_logprob",
 ]
 
 

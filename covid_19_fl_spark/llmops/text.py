@@ -412,3 +412,52 @@ def boilerplate_ngram_stats(
             .alias("boiler_frac"),
         )
     )
+
+
+def bigram_logprob(df, text_col: str, id_col: str) -> "DataFrame":
+    """Per-document mean bigram conditional log-probability under the
+    corpus's own bigram LM — the 2-gram refinement of unigram_logprob's
+    perplexity proxy:  mean over positions of ln P(w2|w1), with
+    P(w2|w1) = c(w1 w2) / c(w1 ·) and c(w1 ·) summed over observed
+    bigram starts (so every in-corpus bigram has positive probability —
+    no smoothing needed for a self-scored corpus).
+
+    Scale shape: bigram arrays build in the scan stage (zip_with over
+    shifted slices, no self-join) → explode → groupBy(bigram) counts
+    (the one O(tokens) shuffle); prefix totals derive from the bigram
+    counts, never from a second corpus pass. Both count tables are
+    O(vocab²-observed) ≪ corpus and join back on their keys (AQE
+    broadcasts when they fit). Docs with < 2 tokens have no bigram
+    positions and are reported with n_bigrams=0, null avg_logprob.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(bigrams(F.lower(F.col(text_col)))).alias("bg"),
+    )
+    bg_counts = base.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    prefix_counts = bg_counts.groupBy(
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1")
+    ).agg(F.sum("c_bg").alias("c_w1"))
+    scored = (
+        base.join(bg_counts, "bg")
+        .join(
+            prefix_counts,
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == F.col("w1"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("c_bg") / F.col("c_w1"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("bigint")).alias("n_bigrams"),
+            "avg_logprob",
+        )
+    )

@@ -1579,3 +1579,40 @@ def sp_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagnostic beside sp_source_mix_weights' share view."""
     docs = _t(spark, sf_dir, "documents")
     return sampling.source_kl_divergence(docs, "source", "text")
+
+
+@query(
+    "tx_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+      FROM documents
+    ), bgs AS (
+      SELECT doc_id,
+             unnest([ ws[i] || ' ' || ws[i+1]
+                      for i in generate_series(1, greatest(len(ws)-1, 0)) ]) AS bg
+      FROM toks
+    ), bgc AS (
+      SELECT bg, COUNT(*) AS c_bg FROM bgs GROUP BY 1
+    ), pfx AS (
+      SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c_bg) AS BIGINT) AS c_w1
+      FROM bgc GROUP BY 1
+    ), sc AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             ROUND(AVG(ln(CAST(c_bg AS DOUBLE) / c_w1)), 6) AS avg_logprob
+      FROM bgs JOIN bgc USING (bg)
+      JOIN pfx ON split_part(bg, ' ', 1) = w1
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+           sc.avg_logprob
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    """,
+)
+def tx_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-gram LM perplexity proxy: per-doc mean ln P(w2|w1) under the
+    corpus bigram LM (llmops/text.py bigram_logprob) — the conditional
+    refinement of tx_unigram_logprob."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bigram_logprob(docs, "text", "doc_id")

@@ -487,3 +487,31 @@ def test_source_kl_divergence_properties(spark, sf_dir):
     )
     kl = sampling.source_kl_divergence(same, "source", "text")
     assert all(r.kl_nats == 0.0 for r in kl.collect())
+
+
+def test_bigram_logprob_properties(spark):
+    from covid_19_fl_spark.llmops import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # only 'a b'/'b a' bigrams
+            (2, "a b c"),
+            (3, "solo"),          # 1 token → no bigrams
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in t.bigram_logprob(docs, "text", "doc_id").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[3].n_bigrams == 0 and out[3].avg_logprob is None
+    assert out[4].n_bigrams == 0
+    assert out[1].n_bigrams == 5 and out[2].n_bigrams == 2
+    # log-probs are <= 0 (probabilities <= 1)
+    for d in (1, 2):
+        assert out[d].avg_logprob <= 0.0
+    # corpus counts: c('a b')=4, c('b a')=2, c('b c')=1 →
+    # P(b|a)=4/4=1, P(c|b)=1/3; doc 2's positions are 'a b','b c'
+    import math
+
+    expect = round((math.log(1.0) + math.log(1 / 3)) / 2, 6)
+    assert abs(out[2].avg_logprob - expect) < 1e-9
