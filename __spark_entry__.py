@@ -75,6 +75,10 @@ SHOWCASE = [
     "tx_boilerplate_ngrams",
     "ss_pq_quantize",
     "x_agg_state_rollup",
+    "x_markov_transitions",
+    "x_ivm_join_view",
+    "sp_weighted_sample",
+    "ss_hybrid_rrf",
     "tx_quality_scores",
     "cur_funnel",
     "tx_tfidf_topterms",

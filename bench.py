@@ -78,6 +78,10 @@ HEADLINE = [
     "x_agg_state_rollup",
     "sp_source_kl",
     "tx_bigram_logprob",
+    "x_markov_transitions",
+    "x_ivm_join_view",
+    "sp_weighted_sample",
+    "ss_hybrid_rrf",
 ]
 
 

@@ -102,3 +102,44 @@ def count_delta(new_df: DataFrame, old_df: DataFrame) -> int:
     """K5 — row-count delta metric computed before a full refresh
     (cv-api.py:185-186). Two partial-agg counts, no data movement."""
     return new_df.count() - old_df.count()
+
+
+def join_view_delta(
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on,
+) -> DataFrame:
+    """Delta rule for an insert-only join view V = A ⋈ B
+    (``on``: column name(s) or a join-condition Column):
+
+        ΔV = ΔA ⋈ (B_old ∪ ΔB)  ∪  A_old ⋈ ΔB
+
+    — the two terms cover ΔA×B_old, ΔA×ΔB, and A_old×ΔB exactly once,
+    so V_old ∪ ΔV ≡ (A_old ∪ ΔA) ⋈ (B_old ∪ ΔB) without ever re-joining
+    the old sides. That asymmetry is the point at 100 TB: both joins
+    have a DELTA (micro-batch-sized) probe side, so each is a broadcast
+    or small-shuffle join touching |Δ| rows, while the naive refresh
+    re-joins two full fact tables. The generalization of the
+    reference's max-key append shortcut (cv.py:104-110) from a single
+    table to a two-table view."""
+    b_new = b_old.unionByName(delta_b)
+    return delta_a.join(b_new, on).unionByName(a_old.join(delta_b, on))
+
+
+def merge_agg_view(
+    view_old: DataFrame, delta_agg: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Merge an aggregated view with the aggregate of its delta rows:
+    re-aggregate the union of the two partial-state tables. Valid for
+    merge-associative states (count→sum, sum→sum, min→min, max→max —
+    the x_agg_state_rollup contract); both inputs are |groups|-sized,
+    so the merge never rescans facts. Non-key columns must already be
+    partial states with matching names; every column is summed (use
+    decimal sums upstream for partition-order-exact doubles)."""
+    vals = [c for c in view_old.columns if c not in keys]
+    merged = view_old.unionByName(delta_agg.select(*view_old.columns))
+    return merged.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in vals]
+    )

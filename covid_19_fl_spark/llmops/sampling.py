@@ -175,6 +175,46 @@ def token_budget_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row gets key ``u^(1/w)`` for a
+    uniform ``u``; the k largest keys are an exact weighted sample.
+    Here ``u`` is derived from an md5 of the row id — content-defined,
+    so the SAME rows win under any partitioning, engine, or rerun (the
+    reproducibility contract of every sampler in this module; seeded
+    ``rand()`` breaks it on repartition). The quality-weighted
+    curation step: pass a quality/length weight and the sample skews
+    toward high-weight docs with exactly known inclusion law.
+
+    Works in log domain (``ln(u)/w`` — same argmax, no underflow for
+    tiny weights) and rounds the key to 12 dp so last-ulp ``ln``
+    differences across engines can't flip an ordering; doc_id breaks
+    the (measure-zero) ties. Plan shape: pure scan-stage arithmetic +
+    TakeOrderedAndProject — per-partition heaps of k, no global sort,
+    nothing but k·|partitions| rows reach the driver merge.
+    """
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+    # h+1 in (0, 2^60]: u is never 0, so ln(u) is finite.
+    u = (h.cast("long").cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    w = weight_col.cast("double")
+    key = F.round(F.log(u) / w, 12)
+    return (
+        df.filter(w > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            w.alias("weight"),
+            key.alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def source_mix_weights(
     df: DataFrame, group_col: str, size_col: Column
 ) -> DataFrame:

@@ -479,3 +479,49 @@ def pq_quantize(
             6,
         ).alias("recon_mse"),
     )
+
+
+def rrf_fuse(
+    lexical: DataFrame,
+    semantic: DataFrame,
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    rank_cols: tuple[str, str] = ("lex_rank", "sem_rank"),
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked retrieval lists (the
+    standard hybrid-search combiner): each list contributes
+    ``1/(c + rank)`` for the documents it ranked, missing docs
+    contribute 0, and the fused top-k is re-ranked by the summed
+    score. Rank-based (not score-based) fusion needs no calibration
+    between BM25's and cosine's incomparable score scales — the reason
+    RRF is the default hybrid combiner in production retrieval stacks.
+
+    Inputs are top-k lists (a handful of rows by contract), so the
+    fusion is a broadcast full-outer join over ≤ |a|+|b| rows; all the
+    heavy lifting happened upstream in the two retrievers, each of
+    which is TakeOrderedAndProject-shaped. ``1/(c+rank)`` is an exact
+    IEEE division of small integers — bit-identical in any engine, so
+    the fused ordering is deterministic without rounding (doc_id
+    breaks exact score ties, e.g. two docs ranked r-th in exactly one
+    list each).
+    """
+    la, sa = rank_cols
+    lex = lexical.select(F.col(id_col), F.col(la))
+    sem = semantic.select(F.col(id_col), F.col(sa))
+    fused = lex.join(sem, id_col, "full_outer").select(
+        id_col,
+        la,
+        sa,
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(c) + F.col(la)), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col(sa)), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("fused_rank", F.row_number().over(
+            Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        ))
+    )

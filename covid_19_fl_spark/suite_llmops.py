@@ -544,6 +544,33 @@ def sp_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sp_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST(n_chars AS DOUBLE) AS weight,
+             ROUND(ln((CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                            AS DOUBLE) + 1.0) / 1152921504606846976.0)
+                   / CAST(n_chars AS DOUBLE), 12) AS es_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, weight, es_key
+    FROM keyed ORDER BY es_key DESC, doc_id ASC LIMIT 50
+    """,
+)
+def sp_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (llmops/sampling.py weighted_sample, Efraimidis–Spirakis): 50 docs
+    drawn with probability proportional to length — the
+    quality/length-weighted curation draw. Content-derived uniforms
+    (md5 of the id) make the draw engine- and partitioning-invariant,
+    so the DuckDB oracle reproduces the exact sample; 1152921504606846976
+    is 2^60, the hash-prefix range."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.weighted_sample(docs, "doc_id", F.col("n_chars"), k=50)
+
+
+@query(
     "sp_stratified_take",
     oracle="""
     SELECT lang, doc_id FROM (
@@ -938,6 +965,82 @@ def tx_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rounded score, doc_id) order."""
     docs = _t(spark, sf_dir, "documents")
     return text.bm25_topk(docs, "text", "doc_id", ("spark", "vector", "merge"), k=10)
+
+
+@query(
+    "ss_hybrid_rrf",
+    oracle=f"""
+    WITH q AS (SELECT unnest(['spark', 'vector', 'merge']) AS term),
+    docs_t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), base AS (
+      SELECT doc_id, term, len(list_filter(w, x -> x = term)) AS tf, len(w) AS dl
+      FROM docs_t CROSS JOIN q
+      WHERE len(list_filter(w, x -> x = term)) > 0
+    ), stats AS (
+      SELECT term, COUNT(*) AS df_t FROM base GROUP BY 1
+    ), tot AS (
+      SELECT COUNT(*) AS n_docs,
+             AVG(len(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS avgdl
+      FROM documents
+    ), lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+      FROM (
+        SELECT doc_id,
+               ROUND(SUM(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                         * tf * 2.2
+                         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+        FROM base JOIN stats USING (term) CROSS JOIN tot
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id ASC
+        LIMIT 20)
+    ), sem AS (
+      SELECT neighbor_id AS doc_id, rank AS sem_rank FROM (
+        SELECT c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY ROUND({_COS_SQL}, 6) DESC, c.vec_id ASC) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id = 0)
+      WHERE rank <= 20
+    ), fused AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             lex_rank, sem_rank,
+             COALESCE(1.0 / (60 + lex_rank), 0.0)
+               + COALESCE(1.0 / (60 + sem_rank), 0.0) AS rrf_score
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT doc_id, lex_rank, sem_rank, rrf_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+                AS INTEGER) AS fused_rank
+    FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def ss_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (similarity.rrf_fuse)
+    of the BM25 lexical top-20 (tx_bm25_topk's ranker) with the
+    embedding-cosine top-20 around query vector 0 (ss_cosine_topk's
+    ranker), exploiting the corpus's doc_id ↔ vec_id correspondence.
+    Rank-based fusion needs no score calibration between the two
+    retrievers; both branches end in TakeOrderedAndProject, so the
+    fuse itself joins ≤40 rows. The dominant cost at 100 TB is the two
+    retrievers, each already scan-shaped — fusion adds no corpus
+    pass."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = text.bm25_topk(
+        docs, "text", "doc_id", ("spark", "vector", "merge"), k=20
+    ).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("lex_rank"),
+    )
+    sem = similarity.cosine_topk(emb, [0], k=20).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank")
+    )
+    return similarity.rrf_fuse(lex, sem, k=10)
 
 
 @query(

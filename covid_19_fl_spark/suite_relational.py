@@ -2313,3 +2313,122 @@ def x_agg_state_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("max_v").alias("max_value"),
         F.round(F.sum("sum_state").cast("double") / F.sum("cnt"), 6).alias("avg_value"),
     )
+
+
+@query(
+    "x_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n_transitions,
+           ROUND(CAST(n_transitions AS DOUBLE)
+                 / SUM(n_transitions) OVER (PARTITION BY prev_type), 6) AS p_next
+    FROM pairs
+    """,
+)
+def x_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the behavioral-model
+    summary behind session simulation and next-event prediction
+    features.
+
+    Scale shape: one shuffle on user_id for the lag window (same
+    exchange x_sessionization uses — at 100 TB this partitioning is
+    shared with every other per-user sequence op), then the pair
+    counts pre-combine map-side so only |types|² rows cross the second
+    exchange, and the row-normalizing window runs over that tiny
+    aggregate — never over events. Deterministic (ts, event_id)
+    sequence order; probabilities round at 6dp (count ratios, exact on
+    both engines)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    w_row = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_row),
+            6,
+        ).alias("p_next"),
+    )
+
+
+@query(
+    "x_ivm_join_view",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def x_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a join-aggregate view
+    (incremental.join_view_delta + merge_agg_view): monthly order
+    revenue, computed as OLD STATE + DELTA rather than a full refresh.
+    Both fact tables are split into a base and an insert batch (by key
+    mod — standing in for 'rows that arrived since the last refresh'),
+    the base view is aggregated once, the delta rule
+    ΔV = ΔA⋈B_new ∪ A_old⋈ΔB contributes only delta-driven join rows,
+    and the merge re-aggregates |months| partial states. The oracle is
+    the FULL RECOMPUTE over the union — passing means the incremental
+    path is exactly equivalent (decimal partial sums make the merge
+    associative, so equality is bit-exact, not approximate).
+
+    At 100 TB the refresh cost drops from |A⋈B| to |Δ|-proportional:
+    each delta join has a micro-batch-sized side (broadcastable), and
+    the state merge moves |groups| rows. The batch twin of
+    streaming/rollup.py's foreachBatch continuous aggregate."""
+    from . import incremental
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"),
+    )
+    lineitem = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(28,4)")
+        .alias("rev"),
+    )
+    a_new = F.col("o_orderkey") % 5 == 0
+    b_new = F.col("l_orderkey") % 3 == 0
+    a_old, delta_a = orders.filter(~a_new), orders.filter(a_new)
+    b_old, delta_b = lineitem.filter(~b_new), lineitem.filter(b_new)
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("month").agg(
+            F.count("*").alias("n_items"),
+            F.sum("rev").alias("rev_state"),
+        )
+
+    v_old = agg(a_old.join(b_old, F.col("o_orderkey") == F.col("l_orderkey")))
+    delta = incremental.join_view_delta(
+        a_old, delta_a, b_old, delta_b, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    v_new = incremental.merge_agg_view(v_old, agg(delta), keys=["month"])
+    return v_new.select(
+        "month",
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("rev_state").cast("double").alias("revenue"),
+    )
