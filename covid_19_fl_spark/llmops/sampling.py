@@ -338,3 +338,37 @@ def source_kl_divergence(
         )
         .select(F.col("grp").alias(group_col), "n_tokens", "kl_nats")
     )
+
+
+def temperature_mix_weights(
+    df: DataFrame, group_col: str, size_col: Column, tau: float
+) -> DataFrame:
+    """Temperature-scaled data-mixing weights (the multilingual /
+    multi-source pretraining standard, e.g. the mBERT/XLM-R exponent
+    trick): sampling probability q_g ∝ p_g^(1/τ) for each group's raw
+    token share p_g. τ=1 keeps natural proportions, τ→∞ approaches
+    uniform, τ<1 sharpens toward the head — the knob between
+    source_mix_weights' two extremes (natural vs equalized).
+
+    Same plan shape as source_mix_weights: per-group integer token
+    sums (exact), then the share/exponent/renormalization all run as
+    windows over the |groups|-row aggregate — the fact table is
+    scanned once and only group rows ever shuffle again."""
+    w = Window.partitionBy()
+    per = (
+        df.groupBy(group_col)
+        .agg(F.sum(size_col).alias("group_tokens"))
+        .withColumn("_total", F.sum("group_tokens").over(w))
+    )
+    raw = F.pow(
+        F.col("group_tokens").cast("double") / F.col("_total"), F.lit(1.0 / tau)
+    )
+    per = per.withColumn("_q_raw", raw).withColumn("_q_tot", F.sum("_q_raw").over(w))
+    return per.select(
+        group_col,
+        "group_tokens",
+        F.round(F.col("group_tokens").cast("double") / F.col("_total"), 6).alias(
+            "token_share"
+        ),
+        F.round(F.col("_q_raw") / F.col("_q_tot"), 6).alias("mix_prob"),
+    )

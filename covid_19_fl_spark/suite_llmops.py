@@ -588,6 +588,37 @@ def sp_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sp_temperature_mix",
+    oracle="""
+    WITH per AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS group_tokens
+      FROM documents GROUP BY 1
+    ), sh AS (
+      SELECT source, group_tokens,
+             CAST(group_tokens AS DOUBLE) / SUM(group_tokens) OVER () AS p,
+             pow(CAST(group_tokens AS DOUBLE) / SUM(group_tokens) OVER (),
+                 1.0 / 0.7) AS q_raw
+      FROM per
+    )
+    SELECT source, group_tokens,
+           ROUND(p, 6) AS token_share,
+           ROUND(q_raw / SUM(q_raw) OVER (), 6) AS mix_prob
+    FROM sh
+    """,
+)
+def sp_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source-mixing probabilities
+    (llmops/sampling.py temperature_mix_weights, τ=0.7): q_s ∝
+    p_s^(1/τ) over each source's token share — the standard
+    multilingual/multi-source pretraining re-balancing knob between
+    natural (τ=1) and uniform (τ→∞) mixing. Fact table scanned once
+    for exact integer token sums; the exponent/renormalization runs
+    over the |sources|-row aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.temperature_mix_weights(docs, "source", F.col("n_chars"), tau=0.7)
+
+
+@query(
     "cur_quality_filter",
     oracle=f"""
     WITH scored AS (

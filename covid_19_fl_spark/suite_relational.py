@@ -2432,3 +2432,90 @@ def x_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_items").cast("long").alias("n_items"),
         F.col("rev_state").cast("double").alias("revenue"),
     )
+
+
+@query(
+    "x_ab_test",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, user_id % 2 AS variant, value FROM events
+    )
+    SELECT event_type,
+           COUNT(CASE WHEN variant = 0 THEN 1 END) AS n_a,
+           COUNT(CASE WHEN variant = 1 THEN 1 END) AS n_b,
+           ROUND(AVG(CASE WHEN variant = 0 THEN value END), 6) AS mean_a,
+           ROUND(AVG(CASE WHEN variant = 1 THEN value END), 6) AS mean_b,
+           ROUND((AVG(CASE WHEN variant = 0 THEN value END)
+                  - AVG(CASE WHEN variant = 1 THEN value END))
+                 / sqrt(var_samp(CASE WHEN variant = 0 THEN value END)
+                          / COUNT(CASE WHEN variant = 0 THEN 1 END)
+                        + var_samp(CASE WHEN variant = 1 THEN value END)
+                          / COUNT(CASE WHEN variant = 1 THEN 1 END)), 6) AS z_score
+    FROM v GROUP BY 1
+    """,
+)
+def x_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch z-test per event type under a deterministic
+    50/50 experiment split (user_id parity — the id-bucket assignment
+    law of sampling.split_assign, so a user never migrates between
+    arms across reruns). One pass over events: every per-arm moment is
+    a conditional aggregate (FILTER-style CASE inputs), so the whole
+    test is a single map-side-combinable hash agg — no self-join of
+    the two arms, no second scan. The z statistic derives from the
+    merged moments; 6dp rounding absorbs the engines' last-ulp
+    single-pass variance differences (the x_stats_moments contract).
+    At 100 TB: |event_types| rows cross one exchange; nothing else."""
+    events = _t(spark, sf_dir, "events")
+    in_a = F.col("user_id") % 2 == 0
+    va = F.when(in_a, F.col("value"))
+    vb = F.when(~in_a, F.col("value"))
+    n_a = F.count(va)
+    n_b = F.count(vb)
+    z = (F.avg(va) - F.avg(vb)) / F.sqrt(
+        F.var_samp(va) / n_a + F.var_samp(vb) / n_b
+    )
+    return events.groupBy("event_type").agg(
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        F.round(F.avg(va), 6).alias("mean_a"),
+        F.round(F.avg(vb), 6).alias("mean_b"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+@query(
+    "x_dow_seasonality",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, dayofweek(ts) AS dow, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(dow AS INTEGER) AS dow, n AS n_events,
+           ROUND(7.0 * n / SUM(n) OVER (PARTITION BY event_type), 6)
+             AS seasonal_index
+    FROM d
+    """,
+)
+def x_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: the seasonal
+    index is each weekday's share of the type's events scaled by 7
+    (1.0 = flat; >1 = over-represented weekday) — the de-seasonalizing
+    denominator for anomaly detection on daily series (pairs with
+    x_rolling_zscore). Counts pre-combine map-side (|types|·7 rows
+    shuffle), the normalizing window runs over that tiny aggregate,
+    and the index is a ratio of exact integers — engine-identical
+    before rounding. Spark's dayofweek is 1(Sun)..7(Sat); DuckDB's is
+    0(Sun)..6(Sat) — normalized to the 0-based form."""
+    events = _t(spark, sf_dir, "events")
+    d = events.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow")
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("event_type")
+    return d.select(
+        "event_type",
+        "dow",
+        "n_events",
+        F.round(
+            F.lit(7.0) * F.col("n_events") / F.sum("n_events").over(w), 6
+        ).alias("seasonal_index"),
+    )

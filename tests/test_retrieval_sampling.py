@@ -147,3 +147,28 @@ def test_ivm_delta_counts_each_pair_once(spark):
     empty_a, empty_b = a.limit(0), b.limit(0)
     got = join_view_delta(empty_a, a, empty_b, b, "k").count()
     assert got == a.join(b, "k").count() == 3
+
+
+# ---------------------------------------------------------------------------
+# temperature_mix_weights
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mix_limits(spark):
+    from covid_19_fl_spark.llmops.sampling import temperature_mix_weights
+
+    df = spark.createDataFrame(
+        [("s1", 900), ("s2", 90), ("s3", 10)], "src string, toks long"
+    )
+    nat = {r.src: r.mix_prob for r in
+           temperature_mix_weights(df, "src", F.col("toks"), tau=1.0).collect()}
+    flat = {r.src: r.mix_prob for r in
+            temperature_mix_weights(df, "src", F.col("toks"), tau=100.0).collect()}
+    assert math.isclose(nat["s1"], 0.9, abs_tol=1e-6)  # τ=1: natural shares
+    for p in flat.values():  # τ→∞: → uniform
+        assert abs(p - 1 / 3) < 0.02
+    tot = sum(
+        r.mix_prob for r in
+        temperature_mix_weights(df, "src", F.col("toks"), tau=0.7).collect()
+    )
+    assert math.isclose(tot, 1.0, abs_tol=1e-5)
