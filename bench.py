@@ -82,6 +82,9 @@ HEADLINE = [
     "x_ivm_join_view",
     "sp_weighted_sample",
     "ss_hybrid_rrf",
+    "x_ab_test",
+    "x_dow_seasonality",
+    "sp_temperature_mix",
 ]
 
 
