@@ -79,6 +79,7 @@ SHOWCASE = [
     "x_ivm_join_view",
     "sp_weighted_sample",
     "ss_hybrid_rrf",
+    "ml_kmeans_clusters",
     "tx_quality_scores",
     "cur_funnel",
     "tx_tfidf_topterms",

@@ -85,6 +85,7 @@ HEADLINE = [
     "x_ab_test",
     "x_dow_seasonality",
     "sp_temperature_mix",
+    "ml_kmeans_clusters",
 ]
 
 

@@ -1750,3 +1750,79 @@ def tx_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     refinement of tx_unigram_logprob."""
     docs = _t(spark, sf_dir, "documents")
     return text.bigram_logprob(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Clustering (deterministic Lloyd k-means)
+# ---------------------------------------------------------------------------
+
+from .llmops import clustering  # noqa: E402
+
+
+def _kmeans_oracle(rounds: int = 2) -> str:
+    """Unrolled-CTE DuckDB replica of ``rounds`` Lloyd iterations —
+    possible because every per-round quantity is engine-deterministic
+    (clustering.py's integer centroids + rounded left-fold distances),
+    the same unrolling recipe as x_pagerank's rank rounds."""
+    Q = int(clustering.CENTROID_Q)
+
+    def cent_ctes(tag: str, src: str, label_expr: str) -> str:
+        return f"""
+    cent{tag}_dims AS (
+      SELECT {label_expr} AS cluster_id, i AS pos,
+             SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {Q}) AS BIGINT)) AS sq,
+             COUNT(*) AS n
+      FROM {src}, UNNEST(generate_series(1, len(embedding))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    cent{tag} AS (
+      SELECT cluster_id,
+             list((CAST(sq AS DOUBLE) / n) / {Q} ORDER BY pos) AS centroid
+      FROM cent{tag}_dims GROUP BY 1
+    )"""
+
+    def assign_cte(tag: str, cent: str) -> str:
+        sq = (
+            "list_sum([(CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])"
+            " * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])"
+            " for i in generate_series(1, len(e.embedding))])"
+        )
+        return f"""
+    scored{tag} AS (
+      SELECT e.vec_id, e.embedding, c.cluster_id,
+             ROUND({sq}, 6) AS rdist
+      FROM embeddings e CROSS JOIN {cent} c
+    ),
+    assign{tag} AS (
+      SELECT vec_id, embedding, cluster_id, rdist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY rdist ASC, cluster_id ASC) AS rn
+        FROM scored{tag})
+      WHERE rn = 1
+    )"""
+
+    parts = [cent_ctes("0", "embeddings", "CAST(label AS INTEGER)")]
+    for r in range(1, rounds + 1):
+        parts.append(assign_cte(str(r), f"cent{r - 1}"))
+        if r < rounds:
+            parts.append(cent_ctes(str(r), f"assign{r}", "cluster_id"))
+    body = ",".join(parts)
+    return f"""
+    WITH {body}
+    SELECT cluster_id, COUNT(*) AS n_members,
+           CAST(SUM(CAST(rdist AS DECIMAL(28,6))) AS DOUBLE) AS inertia
+    FROM assign{rounds} GROUP BY 1
+    """
+
+
+@query("ml_kmeans_clusters", oracle=_kmeans_oracle(rounds=2))
+def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd rounds of deterministic k-means over the embedding
+    corpus (llmops/clustering.py), seeded from the stored labels, then
+    the per-cluster profile (size + exact decimal-summed inertia).
+    Bit-reproducible clustering — integer-accumulated centroids and
+    rounded fold distances — is what admits the exact unrolled oracle;
+    a seeded-RNG k-means could never be checked this way."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = clustering.kmeans_lloyd(emb, rounds=2)
+    return clustering.cluster_profile(assigned)
