@@ -58,3 +58,45 @@ def read_counties_json(spark: SparkSession, path: str) -> DataFrame:
         .schema(schemas.COUNTIES)
         .json(path)
     )
+
+
+def read_csv_tolerant(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """S4 hardened: PERMISSIVE CSV scan that captures malformed lines
+    instead of failing the job or silently nulling them — the
+    operational posture a 100 TB ingest needs (one mangled line in a
+    million-file drop must quarantine, not kill the stage or corrupt
+    the table). Returns ``(good, rejects)``: good rows without the
+    capture column, rejects as the raw offending lines for triage.
+
+    The reference's csv.reader loop (cv-csv.py:41-46) had the opposite
+    failure mode: any short row raised IndexError and aborted the whole
+    load. FAILFAST is still available by just using the plain readers.
+
+    The one-pass split requires materializing the scan (Spark disallows
+    filtering on only the internal corrupt-record column of a live
+    file scan); at real scale point ``badRecordsPath`` at a quarantine
+    prefix instead and skip the cache — the API contract stays the
+    same."""
+    capture = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    df = (
+        spark.read.schema(capture)
+        .option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()
+    )
+    from pyspark.sql import functions as F
+
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    rejects = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, rejects

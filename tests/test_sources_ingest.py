@@ -239,3 +239,24 @@ def test_rest_pushdown_end_to_end_correct(spark, fixture_pages):
     assert len(rows) == sum(
         1 for i in range(4500) if i % 90 > 50 and i % 7 == 3
     )
+
+
+def test_read_csv_tolerant_quarantines_bad_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from covid_19_fl_spark.sources.files import read_csv_tolerant
+
+    p = tmp_path / "mixed.csv"
+    p.write_text("1,alpha\n2,beta\nnot_an_int,gamma\n3,delta\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), True),
+            T.StructField("name", T.StringType(), True),
+        ]
+    )
+    good, rejects = read_csv_tolerant(spark, str(p), schema)
+    assert sorted((r.id, r.name) for r in good.collect()) == [
+        (1, "alpha"), (2, "beta"), (3, "delta"),
+    ]
+    bad = [r.raw_line for r in rejects.collect()]
+    assert bad == ["not_an_int,gamma"]
