@@ -86,6 +86,8 @@ HEADLINE = [
     "x_dow_seasonality",
     "sp_temperature_mix",
     "ml_kmeans_clusters",
+    "x_mad_by_group",
+    "x_benford_digits",
 ]
 
 

@@ -2519,3 +2519,82 @@ def x_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(7.0) * F.col("n_events") / F.sum("n_events").over(w), 6
         ).alias("seasonal_index"),
     )
+
+
+@query(
+    "x_mad_by_group",
+    oracle="""
+    WITH med AS (
+      SELECT c_mktsegment, median(c_acctbal) AS m
+      FROM customer GROUP BY 1
+    )
+    SELECT c.c_mktsegment,
+           ROUND(MAX(m), 6) AS median_acctbal,
+           ROUND(median(abs(c_acctbal - m)), 6) AS mad_acctbal
+    FROM customer c JOIN med USING (c_mktsegment)
+    GROUP BY 1
+    """,
+)
+def x_mad_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per segment — the robust
+    spread estimate beside x_winsorized_stats and x_stats_moments
+    (outliers move stddev, not MAD). Two-phase: per-group exact
+    medians reduce to |groups| rows and broadcast back, then the
+    deviation median runs in the same second agg. Exact interpolated
+    percentiles on both engines make the deviations identical inputs;
+    6dp rounding absorbs the final interpolation ulp."""
+    customer = _t(spark, sf_dir, "customer")
+    med = customer.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", F.lit(0.5)).alias("m")
+    )
+    return (
+        customer.join(F.broadcast(med), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.max("m"), 6).alias("median_acctbal"),
+            F.round(
+                F.percentile(F.abs(F.col("c_acctbal") - F.col("m")), F.lit(0.5)), 6
+            ).alias("mad_acctbal"),
+        )
+    )
+
+
+@query(
+    "x_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+                         1, 1) AS INTEGER) AS digit
+      FROM lineitem WHERE l_extendedprice > 0
+    )
+    SELECT digit, COUNT(*) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS obs_share,
+           ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_share
+    FROM d GROUP BY 1
+    """,
+)
+def x_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of the price column — the classic
+    fabricated-data forensic (natural multiplicative data follows
+    P(d) = log10(1+1/d); synthetic/uniform data flunks it, as this
+    corpus's flat prices will). The leading digit is taken through a
+    canonical DECIMAL(18,2) string render — identical in any engine,
+    where floor(x/10^floor(log10 x)) could flip on a last-ulp log10 at
+    power-of-ten boundaries. Counts pre-combine map-side; 9 rows reach
+    the normalizing window."""
+    li = _t(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    d = li.filter(F.col("l_extendedprice") > 0).groupBy(digit.alias("digit")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy()
+    return d.select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("obs_share"),
+        F.round(
+            F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0)), 6
+        ).alias("benford_share"),
+    )
