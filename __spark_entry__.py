@@ -68,6 +68,11 @@ SHOWCASE = [
     "x_window_ranks",
     "x_ohlc_bars",
     "x_pagerank",
+    "x_triangle_count",
+    "x_rfm_segmentation",
+    "x_cusum_changepoint",
+    "x_equidepth_histogram",
+    "ml_naive_bayes",
     "dd_exact_dedup",
     "dd_ngram_jaccard_pairs",
     "dd_minhash_lsh_pairs",
@@ -88,6 +93,11 @@ SHOWCASE = [
     "ss_lsh_topk",
     "tx_repetition_scores",
     "sp_pack_sequences",
+    "x_autocorrelation",
+    "ml_linear_trend",
+    "x_skyline",
+    "ml_knn_accuracy",
+    "ml_decision_stump",
 ]
 
 

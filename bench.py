@@ -88,6 +88,16 @@ HEADLINE = [
     "ml_kmeans_clusters",
     "x_mad_by_group",
     "x_benford_digits",
+    "x_triangle_count",
+    "x_rfm_segmentation",
+    "x_cusum_changepoint",
+    "x_autocorrelation",
+    "ml_linear_trend",
+    "x_equidepth_histogram",
+    "x_skyline",
+    "ml_naive_bayes",
+    "ml_knn_accuracy",
+    "ml_decision_stump",
 ]
 
 

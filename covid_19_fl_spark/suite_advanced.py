@@ -1,0 +1,892 @@
+"""Advanced analytics suite (round 3) — graph triadic closure, RFM
+segmentation, CUSUM changepoint detection, autocorrelation, per-group
+OLS trend, scalable equi-depth histograms, and Pareto skyline.
+
+These extend SURVEY §2.13 with the remaining classic warehouse/
+data-science operators a reference user would reach for next. Every
+query keeps the determinism discipline of the rest of the suite:
+integer/DECIMAL accumulation wherever a sum crosses a shuffle (exact
+under any partitioning — a 100 TB requirement, not an oracle nicety),
+doubles only in final derived ratios, rounded on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .suite import _t, query
+
+# ---------------------------------------------------------------------------
+# Graph: triangle counting (triadic closure) over a co-occurrence graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_triangle_count",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0
+    ), edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), tri AS (
+      SELECT e1.u, e1.v, e2.v AS w
+      FROM edges e1 JOIN edges e2 ON e2.u = e1.v
+      WHERE EXISTS (SELECT 1 FROM edges e3 WHERE e3.u = e1.u AND e3.v = e2.v)
+    )
+    SELECT
+      (SELECT COUNT(*) FROM (SELECT u AS x FROM edges UNION SELECT v FROM edges) t)
+        AS n_nodes,
+      (SELECT COUNT(*) FROM edges) AS n_edges,
+      (SELECT COUNT(*) FROM tri) AS n_triangles
+    """,
+)
+def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the parts-bought-together graph (an edge
+    joins two parts that co-occur in an order; cv-county-stats.py's
+    county groupings are the reference's only notion of relatedness —
+    this is the general co-occurrence-graph closure).
+
+    Plan shape: the edge build is a self-equi-join on l_orderkey —
+    co-partitioned, and bounded (≤7 lines/order ⇒ ≤21 pairs/order, so
+    no quadratic group blowup). Each triangle is counted exactly once
+    via the oriented u<v<w enumeration: wedges come from edges⋈edges on
+    the middle vertex, closed by a left-semi probe of the third edge —
+    three hash shuffles on vertex keys, no driver state, and the
+    orientation keeps every join side skew-bounded by max degree. The
+    %5 order filter thins the graph deterministically (same subgraph in
+    any engine); at 100 TB you'd instead pre-bucket edges by u.
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
+        F.col("e1.u").alias("u"), F.col("e1.v").alias("v"), F.col("e2.v").alias("w")
+    )
+    closing = edges.select(F.col("u").alias("cu"), F.col("v").alias("cw"))
+    tri = wedges.join(
+        closing,
+        (F.col("u") == F.col("cu")) & (F.col("w") == F.col("cw")),
+        "left_semi",
+    )
+    n_nodes = (
+        edges.select(F.col("u").alias("x"))
+        .union(edges.select(F.col("v").alias("x")))
+        .distinct()
+        .agg(F.count("*").alias("n_nodes"))
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_rfm_segmentation",
+    oracle="""
+    WITH anchor AS (
+      SELECT MAX(CAST(o_orderdate AS DATE)) AS max_date FROM orders
+    ), cust AS (
+      SELECT o_custkey,
+             CAST(max_date - MAX(CAST(o_orderdate AS DATE)) AS INTEGER) AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS monetary
+      FROM orders, anchor GROUP BY o_custkey, max_date
+    ), scored AS (
+      SELECT o_custkey, monetary,
+             NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency ASC,  o_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary ASC,   o_custkey) AS m_score
+      FROM cust
+    )
+    SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+           CAST(SUM(monetary) AS DOUBLE) AS segment_revenue
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def x_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) segmentation — the classic CRM
+    rollup: per-customer metrics quintile-scored with NTILE, then
+    segment-level counts and revenue. Score 5 = best (most recent /
+    most frequent / highest spend); ties broken by custkey so the
+    quintile split is engine-portable.
+
+    Scale shape: one shuffle on o_custkey for the per-customer agg
+    (map-side partial); the NTILE windows run over the |customers|-row
+    aggregate — at 100 TB you'd swap them for approx-percentile cut
+    points probed via broadcast, trading exact quintile boundaries for
+    a scan-stage score. Monetary stays DECIMAL end-to-end.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("max_date"))
+    cust = (
+        orders.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey", "max_date")
+        .agg(
+            F.datediff(
+                F.col("max_date"), F.max(F.col("o_orderdate").cast("date"))
+            ).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("monetary"),
+        )
+    )
+    scored = cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").desc(), F.col("o_custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").asc(), F.col("o_custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").asc(), F.col("o_custkey")))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("monetary").cast("double").alias("segment_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection over the daily series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT COUNT(*) AS n_days, SUM(n_orders) AS total FROM daily
+    ), dev AS (
+      SELECT order_date, n_orders,
+             CAST(n_orders AS BIGINT) * n_days - total AS dev_scaled, n_days
+      FROM daily, tot
+    ), prefix AS (
+      SELECT order_date, n_orders, n_days,
+             SUM(dev_scaled) OVER (ORDER BY order_date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM dev
+    ), pre AS (
+      SELECT order_date, n_orders, n_days, p,
+             MIN(p) OVER w2 AS run_min,
+             MAX(p) OVER w2 AS run_max
+      FROM prefix
+      WINDOW w2 AS (ORDER BY order_date
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT order_date, n_orders,
+           ROUND(CAST(p - LEAST(CAST(0 AS BIGINT), run_min) AS DOUBLE) / n_days, 6)
+             AS cusum_up,
+           ROUND(CAST(GREATEST(CAST(0 AS BIGINT), run_max) - p AS DOUBLE) / n_days, 6)
+             AS cusum_down
+    FROM pre
+    """,
+)
+def x_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint statistic over the daily order curve — the
+    standard drift detector on the reference's epidemic-curve series
+    (cv-stats.py:54-56). The textbook recursion
+    s_i = max(0, s_{i-1} + (x_i - mu)) is not a window function, but
+    its closed form is: s_i = P_i - min(0, min_{j<=i} P_j) where P is
+    the prefix sum of deviations — so the whole detector is two stacked
+    running windows over the post-aggregation series.
+
+    Determinism: deviations are scaled by n_days so they stay integers
+    (x_i*n - total); every prefix/min/max is exact BIGINT math, and the
+    single division to de-scale happens once at the end in double.
+    The windows are global but run over <=|dates| rows (post-agg), the
+    same posture as every W-series query.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("order_date")).agg(
+        F.count("*").alias("n_orders")
+    )
+    tot = daily.agg(
+        F.count("*").alias("n_days"), F.sum("n_orders").alias("total")
+    )
+    w = Window.orderBy("order_date").rowsBetween(Window.unboundedPreceding, 0)
+    dev = daily.crossJoin(F.broadcast(tot)).withColumn(
+        "dev_scaled", F.col("n_orders") * F.col("n_days") - F.col("total")
+    )
+    pre = dev.select(
+        "order_date",
+        "n_orders",
+        "n_days",
+        F.sum("dev_scaled").over(w).alias("p"),
+    ).select(
+        "order_date",
+        "n_orders",
+        "n_days",
+        "p",
+        F.min("p").over(w).alias("run_min"),
+        F.max("p").over(w).alias("run_max"),
+    )
+    zero = F.lit(0).cast("long")
+    return pre.select(
+        "order_date",
+        "n_orders",
+        F.round(
+            (F.col("p") - F.least(zero, F.col("run_min"))).cast("double")
+            / F.col("n_days"),
+            6,
+        ).alias("cusum_up"),
+        F.round(
+            (F.greatest(zero, F.col("run_max")) - F.col("p")).cast("double")
+            / F.col("n_days"),
+            6,
+        ).alias("cusum_down"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function (lag 1..7) of the daily series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ), seq AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY order_date) AS rn FROM daily
+    ), pairs AS (
+      SELECT k.k, a.n AS x, b.n AS y
+      FROM seq a CROSS JOIN range(1, 8) k(k) CROSS JOIN seq b
+      WHERE b.rn = a.rn + k.k
+    ), sums AS (
+      SELECT k, COUNT(*) AS m,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+      FROM pairs GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS lag_k, m AS n_pairs,
+           ROUND(
+             (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (SQRT(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * SQRT(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf
+    FROM sums
+    """,
+)
+def x_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily order counts at lags 1..7 — the
+    seasonality detector for the reference's daily series (a weekly
+    cycle shows as a lag-7 spike). Lagged pairs come from an equi-join
+    of the row-numbered series against itself shifted by each k (the
+    7-row lag spine joins first, so it's one hash join, not 7 window
+    passes); Pearson r per lag is assembled from pure-integer
+    Σx/Σy/Σxy/Σx²/Σy² group sums — exact under any partitioning — and
+    the sums are cast to double in one place so both engines run the
+    identical IEEE expression, rounded to 6dp.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("order_date")).agg(
+        F.count("*").alias("n")
+    )
+    seq = daily.select(
+        "n", F.row_number().over(Window.orderBy("order_date")).alias("rn")
+    )
+    ks = spark.range(1, 8).select(F.col("id").alias("k"))
+    a = seq.select(F.col("n").alias("x"), "rn").crossJoin(F.broadcast(ks))
+    b = seq.select(F.col("n").alias("y"), F.col("rn").alias("rn_b"))
+    pairs = a.join(b, a["rn"] + a["k"] == b["rn_b"]).select("k", "x", "y")
+    sums = pairs.groupBy("k").agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return sums.select(
+        F.col("k").alias("lag_k"),
+        F.col("m").alias("n_pairs"),
+        F.round(
+            (d("m") * d("sxy") - d("sx") * d("sy"))
+            / (
+                F.sqrt(d("m") * d("sxx") - d("sx") * d("sx"))
+                * F.sqrt(d("m") * d("syy") - d("sy") * d("sy"))
+            ),
+            6,
+        ).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS linear trend (closed form from exact sums)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_linear_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS event_date,
+             CAST(SUM(CAST(value AS DECIMAL(28,4))) * 10000 AS BIGINT) AS yu
+      FROM events GROUP BY 1, 2
+    ), origin AS (
+      SELECT event_type, MIN(event_date) AS d0 FROM daily GROUP BY 1
+    ), xy AS (
+      SELECT d.event_type,
+             CAST(d.event_date - o.d0 AS BIGINT) AS x, d.yu
+      FROM daily d JOIN origin o ON d.event_type = o.event_type
+    ), sums AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(yu) AS syu,
+             SUM(x*yu) AS sxyu, SUM(x*x) AS sxx
+      FROM xy GROUP BY 1
+    )
+    SELECT event_type, n AS n_days,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxyu AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(syu AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 10000.0, 6)
+             AS slope,
+           ROUND((CAST(syu AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sxyu AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 10000.0, 6)
+             AS intercept
+    FROM sums
+    """,
+)
+def ml_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend line over the daily value series —
+    slope/intercept by the closed-form normal equations, the
+    distributed replacement for the reference's driver-side growth
+    extrapolation (cv-stats.py:69-83). x is the integer day offset from
+    each group's first day, y the DECIMAL-exact daily sum; Σx, Σy, Σxy,
+    Σx² all reduce associatively in one hash agg per type (map-side
+    partials — no per-row state, no iteration), and the two final
+    divisions are the only doubles, evaluated identically on both
+    engines and rounded to 6dp. This closed form is how you fit
+    millions of independent group-trends at 100 TB: one shuffle total.
+    The DECIMAL daily sum is rescaled to integer ten-thousandths before
+    the moment sums, so every Σ is pure BIGINT (identical cross-engine
+    without leaning on either engine's decimal-multiplication typing);
+    the 1e4 scale divides back out in the final double expression.
+    """
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("event_date")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(28,4)")) * 10000)
+        .cast("long")
+        .alias("yu")
+    )
+    w_origin = Window.partitionBy("event_type")
+    xy = daily.select(
+        "event_type",
+        F.datediff(
+            F.col("event_date"), F.min("event_date").over(w_origin)
+        ).cast("long").alias("x"),
+        "yu",
+    )
+    sums = xy.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yu").alias("syu"),
+        F.sum(F.col("x") * F.col("yu")).alias("sxyu"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    denom = d("n") * d("sxx") - d("sx") * d("sx")
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round((d("n") * d("sxyu") - d("sx") * d("syu")) / denom / 10000.0, 6).alias(
+            "slope"
+        ),
+        F.round(
+            (d("syu") * d("sxx") - d("sx") * d("sxyu")) / denom / 10000.0, 6
+        ).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram via two-phase (sharded) global row numbering
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_equidepth_histogram",
+    oracle="""
+    WITH seq AS (
+      SELECT l_extendedprice AS price,
+             ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+               AS rn,
+             COUNT(*) OVER () AS total
+      FROM lineitem
+    )
+    SELECT CAST(FLOOR((rn - 1) * 10 / total) AS BIGINT) + 1 AS bucket,
+           COUNT(*) AS n_rows,
+           MIN(price) AS lo, MAX(price) AS hi,
+           CAST(SUM(CAST(price AS DECIMAL(28,2))) AS DOUBLE) AS bucket_sum
+    FROM seq GROUP BY 1
+    """,
+)
+def x_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) decile histogram of l_extendedprice —
+    the complement of x_histogram's equi-width bins. Buckets are cut by
+    global rank, which naively needs a single-reducer NTILE over every
+    row; instead the rank is decomposed: a distributed window ranks
+    rows *within* each distinct price (partitioned — no global sort of
+    facts), and a prefix-sum over the distinct-price spine (post-agg,
+    |distinct prices| rows) supplies each price's global offset, joined
+    back on the price key. Bucket = (rn-1)*10/total evaluates as one
+    exact integer-ratio double on both engines, so the decile split —
+    including how remainder rows distribute — is bit-identical. Fully
+    deterministic: no partition-id or sampling dependence anywhere.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("price"), "l_orderkey", "l_linenumber"
+    )
+    per_price = li.groupBy("price").agg(F.count("*").alias("cnt"))
+    offsets = per_price.select(
+        "price",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("offset"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    local_w = Window.partitionBy("price").orderBy("l_orderkey", "l_linenumber")
+    seq = (
+        li.withColumn("local_rn", F.row_number().over(local_w))
+        .join(offsets, "price")
+        .select(
+            "price",
+            (F.col("offset") + F.col("local_rn")).alias("rn"),
+            "total",
+        )
+    )
+    # Explicit FLOOR: a bare double→int cast truncates in Spark but
+    # rounds in DuckDB — floor is the one portable spelling.
+    bucket = F.floor((F.col("rn") - 1) * 10 / F.col("total")) + 1
+    return seq.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("price").alias("lo"),
+        F.max("price").alias("hi"),
+        F.sum(F.col("price").cast("decimal(28,2)")).cast("double").alias("bucket_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline (non-dominated frontier)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_skyline",
+    oracle="""
+    WITH parts AS (
+      SELECT l_partkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS best_price,
+             SUM(CAST(l_quantity AS DECIMAL(28,2))) AS total_qty
+      FROM lineitem GROUP BY 1
+    ), ranked AS (
+      SELECT l_partkey, best_price, total_qty,
+             MAX(total_qty) OVER (ORDER BY best_price ASC, total_qty DESC, l_partkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prior_max_qty
+      FROM parts
+    )
+    SELECT l_partkey,
+           CAST(best_price AS DOUBLE) AS best_price,
+           CAST(total_qty AS DOUBLE) AS total_qty
+    FROM ranked
+    WHERE prior_max_qty IS NULL OR total_qty > prior_max_qty
+    """,
+)
+def x_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline: parts not dominated on (lower best price,
+    higher total quantity) — the multi-objective "best offers" frontier.
+    The quadratic all-pairs dominance test collapses to one sorted
+    window pass: ordered by (price asc, qty desc, partkey), a point
+    survives iff its qty beats the running max of everything cheaper
+    (or equal-priced-but-higher-qty) before it. Duplicate (price, qty)
+    points keep the lowest partkey — documented distinct-value skyline
+    semantics, which makes the frontier engine-portable. Runs on the
+    per-part aggregate (|parts| rows, post one map-combined shuffle),
+    so the global window is post-agg cheap; both measures are DECIMAL
+    so the dominance comparisons are exact.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    parts = li.groupBy("l_partkey").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("best_price"),
+        F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("total_qty"),
+    )
+    w = Window.orderBy(
+        F.col("best_price").asc(), F.col("total_qty").desc(), F.col("l_partkey")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    ranked = parts.withColumn("prior_max_qty", F.max("total_qty").over(w))
+    return ranked.filter(
+        F.col("prior_max_qty").isNull() | (F.col("total_qty") > F.col("prior_max_qty"))
+    ).select(
+        "l_partkey",
+        F.col("best_price").cast("double").alias("best_price"),
+        F.col("total_qty").cast("double").alias("total_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial naive Bayes language classifier (resubstitution confusion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_naive_bayes",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ), dt AS (
+      SELECT doc_id, lang, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2, 3
+    ), ctl AS (
+      SELECT term, lang, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ), totl AS (
+      SELECT lang, COUNT(*) AS tot FROM toks GROUP BY 1
+    ), vocab AS (
+      SELECT DISTINCT term FROM toks
+    ), vn AS (
+      SELECT COUNT(*) AS v FROM vocab
+    ), grid AS (
+      SELECT vocab.term, totl.lang,
+             CAST(ROUND(ln((COALESCE(ctl.c, 0) + 1.0)
+                           / (totl.tot + vn.v)) * 1000000, 0) AS BIGINT) AS lp_u
+      FROM vocab CROSS JOIN totl CROSS JOIN vn
+      LEFT JOIN ctl ON ctl.term = vocab.term AND ctl.lang = totl.lang
+    ), priors AS (
+      SELECT d.lang,
+             CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE)
+                           / (SELECT COUNT(*) FROM documents)) * 1000000, 0)
+                  AS BIGINT) AS prior_u
+      FROM documents d GROUP BY 1
+    ), scores AS (
+      SELECT dt.doc_id, dt.lang AS actual, g.lang AS cand,
+             SUM(dt.cnt * g.lp_u) AS like_u
+      FROM dt JOIN grid g ON g.term = dt.term
+      GROUP BY 1, 2, 3
+    ), pred AS (
+      SELECT s.doc_id, s.actual, s.cand,
+             ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                ORDER BY s.like_u + p.prior_u DESC, s.cand ASC)
+               AS rk
+      FROM scores s JOIN priors p ON p.lang = s.cand
+    )
+    SELECT actual AS lang, cand AS pred_lang, COUNT(*) AS n_docs
+    FROM pred WHERE rk = 1 GROUP BY 1, 2
+    """,
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes trained on the corpus's own (text, lang)
+    pairs and re-scored over it — the classifier counterpart of
+    tx_language_id's heuristic, producing the 5×5 confusion matrix.
+
+    Scale shape: token counts and per-(term, lang) likelihoods are two
+    hash aggs over the exploded token stream; the smoothed likelihood
+    grid is |vocab|×|langs| (vocabulary-sized, broadcastable), probed
+    by the per-doc term counts in one equi-join on term. Scoring is a
+    doc-keyed agg — no per-row Python anywhere. Determinism: every log
+    is quantized to integer micro-nats BEFORE the per-doc sum, so the
+    score accumulation is associative BIGINT math (the unigram_logprob
+    recipe); argmax ties break on language code.
+    """
+    from .llmops.text import words
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(words(F.lower(F.trim(F.col("text"))))).alias("term")
+    )
+    dt = toks.groupBy("doc_id", F.col("lang").alias("actual"), "term").agg(
+        F.count("*").alias("cnt")
+    )
+    ctl = toks.groupBy("term", "lang").agg(F.count("*").alias("c"))
+    totl = toks.groupBy("lang").agg(F.count("*").alias("tot"))
+    vocab = toks.select("term").distinct()
+    vn = vocab.agg(F.count("*").alias("v"))
+    grid = (
+        vocab.crossJoin(F.broadcast(totl))
+        .crossJoin(F.broadcast(vn))
+        .join(ctl, ["term", "lang"], "left")
+        .select(
+            "term",
+            "lang",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("tot") + F.col("v"))
+                )
+                * 1000000,
+                0,
+            )
+            .cast("long")
+            .alias("lp_u"),
+        )
+    )
+    n_docs_total = docs.agg(F.count("*").alias("n"))
+    priors = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_l"))
+        .crossJoin(F.broadcast(n_docs_total))
+        .select(
+            "lang",
+            F.round(F.log(F.col("n_l").cast("double") / F.col("n")) * 1000000, 0)
+            .cast("long")
+            .alias("prior_u"),
+        )
+    )
+    scores = (
+        dt.join(grid.withColumnRenamed("lang", "cand"), "term")
+        .groupBy("doc_id", "actual", "cand")
+        .agg(F.sum(F.col("cnt") * F.col("lp_u")).alias("like_u"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("like_u") + F.col("prior_u")).desc(), F.col("cand").asc()
+    )
+    pred = (
+        scores.join(F.broadcast(priors.withColumnRenamed("lang", "cand")), "cand")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    return pred.groupBy(
+        F.col("actual").alias("lang"), F.col("cand").alias("pred_lang")
+    ).agg(F.count("*").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out k-NN label accuracy (cogrouped Arrow matmul)
+# ---------------------------------------------------------------------------
+
+_KNN_COS_SQL = """
+    ROUND(
+      list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                for i in generate_series(1, len(a.embedding))])
+      / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+                        for i in generate_series(1, len(a.embedding))]))
+         * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                          for i in generate_series(1, len(b.embedding))]))), 6)
+"""
+
+
+@query(
+    "ml_knn_accuracy",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS rid,
+             b.label AS rlabel, {_KNN_COS_SQL} AS cos_r
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+    ), topk AS (
+      SELECT qid, qlabel, rlabel,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos_r DESC, rid ASC) AS rk
+      FROM pairs
+    ), votes AS (
+      SELECT qid, qlabel, rlabel, COUNT(*) AS cnt
+      FROM topk WHERE rk <= 5 GROUP BY 1, 2, 3
+    ), pred AS (
+      SELECT qid, qlabel, rlabel AS pred_label,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cnt DESC, rlabel ASC) AS vr
+      FROM votes
+    )
+    SELECT qlabel AS label, COUNT(*) AS n_vectors,
+           SUM(CASE WHEN pred_label = qlabel THEN 1 ELSE 0 END) AS n_correct,
+           ROUND(CAST(SUM(CASE WHEN pred_label = qlabel THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS accuracy
+    FROM pred WHERE vr = 1 GROUP BY 1
+    """,
+)
+def ml_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN cosine classification accuracy per label —
+    the standard embedding-quality probe (high accuracy ⇒ labels are
+    linearly-ish separable in the space).
+
+    Scale shape: the probe side is sharded into 16 query buckets; the
+    reference matrix is replicated to each bucket and the per-bucket
+    scoring is one Arrow-batched cogrouped-applyInPandas numpy matmul
+    (queries×refs for one bucket — never all-pairs in one task). At
+    real scale the replicated brute-force reference side swaps for an
+    IVF-pruned candidate set (ss_ivf_topk's index); the harness keeps
+    the exact brute force so the oracle is exact too. Neighbor ranking
+    uses 6dp-rounded cosine with rid tiebreak, majority vote ties
+    break on the smaller label — fully deterministic.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    nb = 16
+    q = emb.select(
+        (F.col("vec_id") % nb).alias("qb"),
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    buckets = spark.range(nb).select(F.col("id").alias("qb"))
+    r = emb.crossJoin(F.broadcast(buckets)).select(
+        "qb",
+        F.col("vec_id").alias("rid"),
+        F.col("embedding").alias("rv"),
+        F.col("label").alias("rlabel"),
+    )
+
+    def knn_bucket(qpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or rpdf.empty:
+            return pd.DataFrame({"qlabel": [], "pred_label": []})
+        Q = np.stack(qpdf["qv"].to_numpy()).astype("float64")
+        R = np.stack(rpdf["rv"].to_numpy()).astype("float64")
+        C = (Q @ R.T) / np.outer(
+            np.linalg.norm(Q, axis=1), np.linalg.norm(R, axis=1)
+        )
+        C = np.round(C, 6)
+        qids = qpdf["qid"].to_numpy()
+        rids = rpdf["rid"].to_numpy()
+        rlabels = rpdf["rlabel"].to_numpy()
+        preds = np.empty(len(qids), dtype="int64")
+        for i in range(len(qids)):
+            mask = rids != qids[i]
+            order = np.lexsort((rids[mask], -C[i][mask]))[:5]
+            top_labels = rlabels[mask][order]
+            labs, cnts = np.unique(top_labels, return_counts=True)
+            preds[i] = labs[np.lexsort((labs, -cnts))[0]]
+        return pd.DataFrame({"qlabel": qpdf["qlabel"].to_numpy(), "pred_label": preds})
+
+    scored = (
+        q.groupBy("qb")
+        .cogroup(r.groupBy("qb"))
+        .applyInPandas(knn_bucket, "qlabel int, pred_label long")
+    )
+    return scored.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count("*").alias("n_vectors"),
+        F.sum((F.col("pred_label") == F.col("qlabel")).cast("long")).alias(
+            "n_correct"
+        ),
+        F.round(
+            F.sum((F.col("pred_label") == F.col("qlabel")).cast("long")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decision stump (best single-feature split by weighted Gini)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_decision_stump",
+    oracle="""
+    WITH bins AS (
+      SELECT CAST(FLOOR(value) AS BIGINT) AS bin, COUNT(*) AS n,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT SUM(n) AS tn, SUM(pos) AS tp FROM bins
+    ), cum AS (
+      SELECT bin,
+             COALESCE(SUM(n) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ln,
+             COALESCE(SUM(pos) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lp
+      FROM bins
+    ), gini AS (
+      SELECT bin AS threshold, ln AS left_n, tn - ln AS right_n,
+             ROUND((
+               (ln - CAST(lp*lp + (ln-lp)*(ln-lp) AS DOUBLE) / ln)
+               + ((tn-ln) - CAST((tp-lp)*(tp-lp)
+                                 + ((tn-ln)-(tp-lp))*((tn-ln)-(tp-lp))
+                            AS DOUBLE) / (tn-ln))
+             ) / tn, 6) AS weighted_gini
+      FROM cum CROSS JOIN tot
+      WHERE ln > 0 AND tn - ln > 0
+    ), best AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY weighted_gini ASC, threshold ASC) AS rk
+      FROM gini
+    )
+    SELECT threshold, left_n, right_n, weighted_gini FROM best WHERE rk = 1
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single-split decision stump: the threshold on `value` that
+    minimizes weighted Gini impurity for predicting purchase events —
+    the inner loop of distributed tree building (XGBoost/LightGBM's
+    histogram trick), done exactly. Candidate thresholds are the
+    integer-binned value histogram (one map-combined shuffle); left/
+    right class counts for EVERY candidate come from two prefix-sum
+    windows over the |bins|-row series, not a per-threshold rescan.
+    Gini is arranged so all squared terms are exact integers, with one
+    double division per side, identical on both engines, rounded 6dp;
+    the argmin tie-breaks on the lower threshold.
+    """
+    ev = _t(spark, sf_dir, "events")
+    bins = ev.groupBy(F.floor("value").cast("long").alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("pos"),
+    )
+    tot = bins.agg(F.sum("n").alias("tn"), F.sum("pos").alias("tp"))
+    wpre = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = bins.select(
+        "bin",
+        F.coalesce(F.sum("n").over(wpre), F.lit(0)).alias("ln"),
+        F.coalesce(F.sum("pos").over(wpre), F.lit(0)).alias("lp"),
+    )
+    ln, lp = F.col("ln"), F.col("lp")
+    tn, tp = F.col("tn"), F.col("tp")
+    rn, rp = tn - ln, tp - lp
+    gini = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter((ln > 0) & (tn - ln > 0))
+        .select(
+            F.col("bin").alias("threshold"),
+            ln.alias("left_n"),
+            (tn - ln).alias("right_n"),
+            F.round(
+                (
+                    (ln - (lp * lp + (ln - lp) * (ln - lp)).cast("double") / ln)
+                    + (rn - (rp * rp + (rn - rp) * (rn - rp)).cast("double") / rn)
+                )
+                / tn,
+                6,
+            ).alias("weighted_gini"),
+        )
+    )
+    wbest = Window.orderBy(F.col("weighted_gini").asc(), F.col("threshold").asc())
+    return (
+        gini.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
