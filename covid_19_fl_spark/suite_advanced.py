@@ -723,7 +723,8 @@ _KNN_COS_SQL = """
       FROM votes
     )
     SELECT qlabel AS label, COUNT(*) AS n_vectors,
-           SUM(CASE WHEN pred_label = qlabel THEN 1 ELSE 0 END) AS n_correct,
+           CAST(SUM(CASE WHEN pred_label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
            ROUND(CAST(SUM(CASE WHEN pred_label = qlabel THEN 1 ELSE 0 END)
                       AS DOUBLE) / COUNT(*), 6) AS accuracy
     FROM pred WHERE vr = 1 GROUP BY 1
@@ -824,7 +825,8 @@ def ml_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lp
       FROM bins
     ), gini AS (
-      SELECT bin AS threshold, ln AS left_n, tn - ln AS right_n,
+      SELECT bin AS threshold,
+             CAST(ln AS BIGINT) AS left_n, CAST(tn - ln AS BIGINT) AS right_n,
              ROUND((
                (ln - CAST(lp*lp + (ln-lp)*(ln-lp) AS DOUBLE) / ln)
                + ((tn-ln) - CAST((tp-lp)*(tp-lp)
