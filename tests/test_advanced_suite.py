@@ -1,0 +1,193 @@
+"""Property tests for the advanced analytics suite (suite_advanced.py).
+
+The oracle gate already proves value-equality vs DuckDB; these tests
+check the *semantic invariants* each operator claims — dominance for
+the skyline, exact triadic closure vs brute force, NTILE balance,
+CUSUM's closed-form-equals-recursion identity, OLS vs numpy — so a
+future refactor that keeps hash parity with a wrong oracle still trips
+a wire.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+from covid_19_fl_spark import suite
+
+from .conftest import SF_SMOKE
+
+
+def test_skyline_is_exactly_the_nondominated_set(spark):
+    rows = suite.QUERIES["x_skyline"](spark, SF_SMOKE).collect()
+    kept = [(r.l_partkey, r.best_price, r.total_qty) for r in rows]
+    # no kept point dominates another kept point
+    for a, b in itertools.permutations(kept, 2):
+        dominates = (
+            a[1] <= b[1]
+            and a[2] >= b[2]
+            and (a[1] < b[1] or a[2] > b[2])
+        )
+        assert not dominates, f"{a} dominates kept point {b}"
+
+
+def test_triangle_count_matches_brute_force(spark):
+    res = suite.QUERIES["x_triangle_count"](spark, SF_SMOKE).collect()[0]
+    li = (
+        suite._t(spark, SF_SMOKE, "lineitem")
+        .filter("l_orderkey % 5 = 0")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    by_order: dict[int, set[int]] = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        for u, v in itertools.combinations(sorted(parts), 2):
+            edges.add((u, v))
+    nodes = {x for e in edges for x in e}
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    tri = sum(
+        1
+        for (u, v) in edges
+        for w in adj.get(v, ())
+        if (u, w) in edges
+    )
+    assert (res.n_nodes, res.n_edges, res.n_triangles) == (
+        len(nodes),
+        len(edges),
+        tri,
+    )
+
+
+def test_rfm_quintiles_are_balanced_and_complete(spark):
+    rows = suite.QUERIES["x_rfm_segmentation"](spark, SF_SMOKE).collect()
+    total = sum(r.n_customers for r in rows)
+    n_cust = suite._t(spark, SF_SMOKE, "orders").select("o_custkey").distinct().count()
+    assert total == n_cust
+    for dim in ("r_score", "f_score", "m_score"):
+        per_score: dict[int, int] = {}
+        for r in rows:
+            s = getattr(r, dim)
+            assert 1 <= s <= 5
+            per_score[s] = per_score.get(s, 0) + r.n_customers
+        # NTILE balance: bucket sizes differ by at most 1
+        assert max(per_score.values()) - min(per_score.values()) <= 1, dim
+
+
+def test_cusum_closed_form_equals_textbook_recursion(spark):
+    rows = sorted(
+        suite.QUERIES["x_cusum_changepoint"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.order_date,
+    )
+    n = len(rows)
+    total = sum(r.n_orders for r in rows)
+    mu = total / n
+    s_up = s_dn = 0.0
+    for r in rows:
+        s_up = max(0.0, s_up + (r.n_orders - mu))
+        s_dn = max(0.0, s_dn + (mu - r.n_orders))
+        assert r.cusum_up >= 0 and r.cusum_down >= 0
+        assert abs(r.cusum_up - s_up) < 1e-6, r.order_date
+        assert abs(r.cusum_down - s_dn) < 1e-6, r.order_date
+
+
+def test_autocorrelation_bounds_and_pair_counts(spark):
+    rows = suite.QUERIES["x_autocorrelation"](spark, SF_SMOKE).collect()
+    n_days = (
+        suite._t(spark, SF_SMOKE, "orders")
+        .selectExpr("CAST(o_orderdate AS DATE) d")
+        .distinct()
+        .count()
+    )
+    assert {r.lag_k for r in rows} == set(range(1, 8))
+    for r in rows:
+        assert r.n_pairs == n_days - r.lag_k
+        assert -1.0 - 1e-9 <= r.acf <= 1.0 + 1e-9
+
+
+def test_linear_trend_matches_numpy_polyfit(spark):
+    import numpy as np
+
+    res = {r.event_type: r for r in suite.QUERIES["ml_linear_trend"](spark, SF_SMOKE).collect()}
+    daily = (
+        suite._t(spark, SF_SMOKE, "events")
+        .selectExpr(
+            "event_type", "CAST(ts AS DATE) AS d", "CAST(value AS DECIMAL(28,4)) AS v"
+        )
+        .groupBy("event_type", "d")
+        .agg({"v": "sum"})
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.d, float(r["sum(v)"])))
+    for etype, pts in series.items():
+        pts.sort()
+        d0 = pts[0][0]
+        xs = np.array([(d - d0).days for d, _ in pts], dtype=float)
+        ys = np.array([y for _, y in pts])
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert abs(res[etype].slope - slope) < 1e-4, etype
+        assert abs(res[etype].intercept - intercept) < 1e-4, etype
+        assert res[etype].n_days == len(pts)
+
+
+def test_equidepth_buckets_balanced(spark):
+    rows = suite.QUERIES["x_equidepth_histogram"](spark, SF_SMOKE).collect()
+    total = sum(r.n_rows for r in rows)
+    assert total == suite._t(spark, SF_SMOKE, "lineitem").count()
+    assert {r.bucket for r in rows} == set(range(1, 11))
+    # tiebreak keys are unique → bucket sizes differ by at most 1
+    assert max(r.n_rows for r in rows) - min(r.n_rows for r in rows) <= 1
+    # bucket boundaries are non-decreasing in bucket order
+    ordered = sorted(rows, key=lambda r: r.bucket)
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.hi <= b.lo or math.isclose(a.hi, b.lo)
+
+
+def test_naive_bayes_confusion_partitions_corpus(spark):
+    rows = suite.QUERIES["ml_naive_bayes"](spark, SF_SMOKE).collect()
+    docs = suite._t(spark, SF_SMOKE, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    assert {r.lang for r in rows} <= langs
+    assert {r.pred_lang for r in rows} <= langs
+
+
+def test_knn_accuracy_counts_consistent(spark):
+    rows = suite.QUERIES["ml_knn_accuracy"](spark, SF_SMOKE).collect()
+    emb = suite._t(spark, SF_SMOKE, "embeddings")
+    assert sum(r.n_vectors for r in rows) == emb.count()
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_vectors
+        assert abs(r.accuracy - r.n_correct / r.n_vectors) < 1e-6
+
+
+def test_decision_stump_is_global_minimum(spark):
+    best = suite.QUERIES["ml_decision_stump"](spark, SF_SMOKE).collect()[0]
+    ev = suite._t(spark, SF_SMOKE, "events").selectExpr(
+        "CAST(FLOOR(value) AS BIGINT) AS bin",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos",
+    ).collect()
+    n = len(ev)
+    assert best.left_n + best.right_n == n
+    # brute-force weighted gini over all candidate thresholds
+    bins = sorted({r.bin for r in ev})
+    def gini_at(t):
+        lp = sum(r.pos for r in ev if r.bin < t)
+        ln = sum(1 for r in ev if r.bin < t)
+        rp = sum(r.pos for r in ev) - lp
+        rn = n - ln
+        if ln == 0 or rn == 0:
+            return None
+        gl = 1 - (lp / ln) ** 2 - ((ln - lp) / ln) ** 2
+        gr = 1 - (rp / rn) ** 2 - ((rn - rp) / rn) ** 2
+        return (ln * gl + rn * gr) / n
+    ginis = [(g, t) for t in bins if (g := gini_at(t)) is not None]
+    min_g, min_t = min(ginis)
+    assert abs(best.weighted_gini - min_g) < 1e-5
+    assert best.threshold == min(t for g, t in ginis if abs(g - min_g) < 1e-9)
