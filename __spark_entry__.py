@@ -98,6 +98,8 @@ SHOWCASE = [
     "x_skyline",
     "ml_knn_accuracy",
     "ml_decision_stump",
+    "tx_zipf_fit",
+    "x_rolling_median",
 ]
 
 

@@ -615,10 +615,14 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs and re-scored over it — the classifier counterpart of
     tx_language_id's heuristic, producing the 5×5 confusion matrix.
 
-    Scale shape: token counts and per-(term, lang) likelihoods are two
-    hash aggs over the exploded token stream; the smoothed likelihood
-    grid is |vocab|×|langs| (vocabulary-sized, broadcastable), probed
-    by the per-doc term counts in one equi-join on term. Scoring is a
+    Scale shape: the corpus is tokenized and exploded exactly ONCE,
+    into the per-(doc, term) count table — the minimal sufficient
+    statistic; the (term, lang) likelihood counts, per-lang token
+    totals, and vocabulary all derive from it by re-aggregation (each
+    input is |doc-term| rows, already ≪ the token stream — never a
+    second pass over raw text). The smoothed likelihood grid is
+    |vocab|×|langs| (vocabulary-sized, broadcastable), probed by the
+    per-doc term counts in one equi-join on term. Scoring is a
     doc-keyed agg — no per-row Python anywhere. Determinism: every log
     is quantized to integer micro-nats BEFORE the per-doc sum, so the
     score accumulation is associative BIGINT math (the unigram_logprob
@@ -633,9 +637,11 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = toks.groupBy("doc_id", F.col("lang").alias("actual"), "term").agg(
         F.count("*").alias("cnt")
     )
-    ctl = toks.groupBy("term", "lang").agg(F.count("*").alias("c"))
-    totl = toks.groupBy("lang").agg(F.count("*").alias("tot"))
-    vocab = toks.select("term").distinct()
+    ctl = dt.groupBy("term", F.col("actual").alias("lang")).agg(
+        F.sum("cnt").alias("c")
+    )
+    totl = ctl.groupBy("lang").agg(F.sum("c").alias("tot"))
+    vocab = ctl.select("term").distinct()
     vn = vocab.agg(F.count("*").alias("v"))
     grid = (
         vocab.crossJoin(F.broadcast(totl))
@@ -891,4 +897,145 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         gini.withColumn("rk", F.row_number().over(wbest))
         .filter(F.col("rk") == 1)
         .drop("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit over corpus term frequencies
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tx_zipf_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ), freq AS (
+      SELECT term, COUNT(*) AS f FROM toks GROUP BY 1
+    ), ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, term ASC) AS r FROM freq
+    ), q AS (
+      SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)) * 10000, 0) AS BIGINT) AS lr_u,
+             CAST(ROUND(ln(CAST(f AS DOUBLE)) * 10000, 0) AS BIGINT) AS lf_u
+      FROM ranked
+    ), sums AS (
+      SELECT COUNT(*) AS n, SUM(lr_u) AS sx, SUM(lf_u) AS sy,
+             SUM(lr_u * lf_u) AS sxy, SUM(lr_u * lr_u) AS sxx
+      FROM q
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           ROUND(-((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))), 6)
+             AS zipf_exponent,
+           ROUND((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 10000.0, 6)
+             AS ln_intercept
+    FROM sums
+    """,
+)
+def tx_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent of the corpus term-frequency distribution —
+    OLS on the log-log rank/frequency curve, the standard corpus-health
+    diagnostic (natural language ⇒ exponent ≈ 1; templated/synthetic
+    text flattens it). One tokenize-explode → term hash agg; ranking is
+    a window over the |vocab|-row frequency table (post-agg, with a
+    deterministic (freq desc, term) order); the regression reuses
+    ml_linear_trend's recipe with BOTH coordinates quantized to integer
+    0.1-milli-nats, so the moment sums are associative BIGINT (products
+    stay < 2^63 up to ~10^7-term vocabularies — beyond that, widen to
+    DECIMAL). Only the two final divisions are doubles.
+    """
+    from .llmops.text import words
+
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(words(F.lower(F.trim(F.col("text"))))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("f"))
+    )
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.col("f").desc(), F.col("term").asc()))
+        .alias("r"),
+    )
+    q = ranked.select(
+        F.round(F.log(F.col("r").cast("double")) * 10000, 0).cast("long").alias("lr_u"),
+        F.round(F.log(F.col("f").cast("double")) * 10000, 0).cast("long").alias("lf_u"),
+    )
+    sums = q.agg(
+        F.count("*").alias("n"),
+        F.sum("lr_u").alias("sx"),
+        F.sum("lf_u").alias("sy"),
+        F.sum(F.col("lr_u") * F.col("lf_u")).alias("sxy"),
+        F.sum(F.col("lr_u") * F.col("lr_u")).alias("sxx"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    denom = d("n") * d("sxx") - d("sx") * d("sx")
+    return sums.select(
+        F.col("n").alias("n_terms"),
+        F.round(-((d("n") * d("sxy") - d("sx") * d("sy")) / denom), 6).alias(
+            "zipf_exponent"
+        ),
+        F.round(
+            (d("sy") * d("sxx") - d("sx") * d("sxy")) / denom / 10000.0, 6
+        ).alias("ln_intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact rolling median (trailing 7-day window)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_rolling_median",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ), framed AS (
+      SELECT order_date, n_orders,
+             list_sort(list(n_orders) OVER (ORDER BY order_date
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+      FROM daily
+    )
+    SELECT order_date, n_orders,
+           CAST(arr[CAST((len(arr) + 1) // 2 AS INTEGER)]
+                + arr[CAST(len(arr) // 2 + 1 AS INTEGER)] AS DOUBLE) / 2.0
+             AS med7
+    FROM framed
+    """,
+)
+def x_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day rolling median of the daily order curve —
+    the robust twin of x_moving_average (a single spike day cannot move
+    it). percentile in a sliding frame isn't a built-in mergeable agg,
+    so the frame is materialized: collect_list over the 7-row window,
+    sort_array, index the middle pair — bounded at 7 elements per row,
+    so the "materialized frame" is O(1) per row and the whole operator
+    stays one post-agg window pass (|dates| rows), no Python. Integer
+    counts make the sorted arrays and the (lo+hi)/2 midpoint exact on
+    both engines; odd frames hit the same index twice.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("order_date")).agg(
+        F.count("*").alias("n_orders")
+    )
+    w = Window.orderBy("order_date").rowsBetween(-6, 0)
+    framed = daily.withColumn("arr", F.sort_array(F.collect_list("n_orders").over(w)))
+    sz = F.size("arr")
+    lo = F.element_at("arr", ((sz + 1) / 2).cast("int"))
+    hi = F.element_at("arr", (sz / 2).cast("int") + 1)
+    return framed.select(
+        "order_date",
+        "n_orders",
+        ((lo + hi).cast("double") / 2.0).alias("med7"),
     )
