@@ -115,3 +115,80 @@ def running_totals_tws(stream: DataFrame, key_col: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+CUSUM_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), False),
+        StructField("n_seen", LongType(), False),
+        StructField("cusum_up", LongType(), False),
+        StructField("cusum_down", LongType(), False),
+        StructField("alarms", LongType(), False),
+    ]
+)
+
+_CUSUM_STATE = "n LONG, s_up LONG, s_dn LONG, alarms LONG"
+
+
+def cusum_monitor(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    order_cols: list[str],
+    target: float,
+    slack: float = 0.0,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Streaming CUSUM drift monitor — the online twin of the batch
+    x_cusum_changepoint query. Per key, the state store carries the
+    two one-sided CUSUM statistics
+    ``s_up = max(0, s_up + (v - target - slack))`` /
+    ``s_dn = max(0, s_dn + (target - v - slack))`` folded over values
+    in ``order_cols`` order, plus a count of threshold crossings.
+    Unlike the batch query (which learns the mean from the data), the
+    online detector folds against a caller-fixed ``target`` — the
+    standard SPC formulation, since a stream has no final mean.
+
+    Determinism: values are quantized to integer micro-units before the
+    fold, so state is pure BIGINT and the result is bit-identical for
+    any micro-batch slicing of the same in-order stream (replay-
+    invariance is pinned by test). State per key is four longs —
+    bounded regardless of stream volume; keys hash-partition across
+    executors like every keyed stateful operator.
+    """
+    t_u = round(target * 1_000_000)
+    k_u = round(slack * 1_000_000)
+    thr_u = round(threshold * 1_000_000) if threshold is not None else None
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, s_up, s_dn, alarms = state.get if state.exists else (0, 0, 0, 0)
+        for pdf in batches:
+            pdf = pdf.sort_values(order_cols)
+            for v in pdf[value_col]:
+                v_u = round(float(v) * 1_000_000)
+                s_up = max(0, s_up + (v_u - t_u - k_u))
+                s_dn = max(0, s_dn + (t_u - v_u - k_u))
+                n += 1
+                if thr_u is not None and (s_up > thr_u or s_dn > thr_u):
+                    alarms += 1
+        state.update((n, s_up, s_dn, alarms))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_seen": [n],
+                "cusum_up": [s_up],
+                "cusum_down": [s_dn],
+                "alarms": [alarms],
+            }
+        )
+
+    keyed = stream.selectExpr(f"CAST({key_col} AS STRING) AS key", "*")
+    return keyed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_SCHEMA,
+        stateStructType=_CUSUM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

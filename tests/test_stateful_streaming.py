@@ -154,3 +154,83 @@ def test_dedup_bounded_state_drops_near_duplicates(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.k for r in out.read().collect())
     assert got == ["a", "b", "c"]  # both in-batch and cross-batch dups dropped
+
+
+def test_cusum_monitor_replay_invariant_and_correct(spark, tmp_path):
+    """The streaming CUSUM fold must be bit-identical whether the same
+    in-order stream arrives as one micro-batch or three, and must match
+    the textbook recursion computed driver-side."""
+    import json as _json
+
+    from covid_19_fl_spark.streaming.stateful import cusum_monitor
+
+    values = [10.0, 12.5, 9.0, 15.0, 20.0, 3.0, 11.0, 30.0]
+    rows = [
+        {"sensor": "a", "seq": i, "reading": v} for i, v in enumerate(values)
+    ]
+    schema = "sensor STRING, seq LONG, reading DOUBLE"
+
+    def run(split: int, name: str) -> dict:
+        d = tmp_path / f"in_{name}"
+        d.mkdir()
+        chunks = [rows[i::split] for i in range(split)] if split > 1 else [rows]
+        # keep global order within each file; files trigger in name order
+        if split > 1:
+            chunks = [rows[: len(rows) // 2], rows[len(rows) // 2 :]]
+        import os as _os
+        import time as _time
+
+        base = _time.time() - 60
+        for i, chunk in enumerate(chunks):
+            p = d / f"b{i}.json"
+            p.write_text("\n".join(_json.dumps(r) for r in chunk))
+            # The file source orders micro-batches by modification time;
+            # same-second writes tie and can arrive out of order. In-order
+            # delivery is the operator's contract, so pin distinct mtimes.
+            _os.utime(p, (base + 10 * i, base + 10 * i))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(str(d))
+        )
+        sink: list = []
+        q = (
+            cusum_monitor(
+                stream,
+                "sensor",
+                "reading",
+                ["seq"],
+                target=11.0,
+                slack=1.0,
+                threshold=8.0,
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda b, _: sink.extend(b.collect()) if not b.isEmpty() else None
+            )
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        last = max(sink, key=lambda r: r.n_seen)
+        return {
+            "n": last.n_seen,
+            "up": last.cusum_up,
+            "dn": last.cusum_down,
+            "alarms": last.alarms,
+        }
+
+    one = run(1, "one")
+    two = run(2, "two")
+    assert one == two  # replay-invariant under micro-batch slicing
+
+    # textbook recursion, integer micro-units
+    s_up = s_dn = alarms = 0
+    for v in values:
+        v_u = round(v * 1_000_000)
+        s_up = max(0, s_up + (v_u - 12_000_000))
+        s_dn = max(0, s_dn + (10_000_000 - v_u))
+        if s_up > 8_000_000 or s_dn > 8_000_000:
+            alarms += 1
+    assert one == {"n": len(values), "up": s_up, "dn": s_dn, "alarms": alarms}
