@@ -17,6 +17,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
@@ -62,8 +63,10 @@ def running_totals(
             {"key": [key[0]], "batch_rows": [n], "running_total": [total]}
         )
 
-    keyed = stream.selectExpr(f"CAST({key_col} AS STRING) AS key", "*")
-    return keyed.groupBy("key").applyInPandasWithState(
+    # Reserved-name grouping copy: "CAST(k) AS key, *" would collide
+    # with an existing `key` column and fail with AMBIGUOUS_REFERENCE.
+    keyed = stream.withColumn("__rt_key", F.col(key_col).cast("string"))
+    return keyed.groupBy("__rt_key").applyInPandasWithState(
         update,
         outputStructType=RUNNING_TOTAL_SCHEMA,
         stateStructType=_STATE_SCHEMA,
@@ -108,8 +111,8 @@ def running_totals_tws(stream: DataFrame, key_col: str) -> DataFrame:
         def close(self) -> None:
             pass
 
-    keyed = stream.selectExpr(f"CAST({key_col} AS STRING) AS key", "*")
-    return keyed.groupBy("key").transformWithStateInPandas(
+    keyed = stream.withColumn("__rt_key", F.col(key_col).cast("string"))
+    return keyed.groupBy("__rt_key").transformWithStateInPandas(
         RunningTotal(),
         outputStructType=RUNNING_TOTAL_SCHEMA,
         outputMode="Update",
@@ -144,7 +147,10 @@ def cusum_monitor(
     two one-sided CUSUM statistics
     ``s_up = max(0, s_up + (v - target - slack))`` /
     ``s_dn = max(0, s_dn + (target - v - slack))`` folded over values
-    in ``order_cols`` order, plus a count of threshold crossings.
+    in ``order_cols`` order, plus a count of samples observed while
+    either statistic exceeded ``threshold`` (excursion length — a
+    sustained drift keeps incrementing it; it is NOT a count of
+    distinct alarm events, which would need a post-alarm reset).
     Unlike the batch query (which learns the mean from the data), the
     online detector folds against a caller-fixed ``target`` — the
     standard SPC formulation, since a stream has no final mean.
@@ -164,8 +170,13 @@ def cusum_monitor(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         n, s_up, s_dn, alarms = state.get if state.exists else (0, 0, 0, 0)
-        for pdf in batches:
-            pdf = pdf.sort_values(order_cols)
+        # One key's micro-batch data can arrive as several Arrow chunks
+        # (arrow.maxRecordsPerBatch) in arbitrary shuffle order — the
+        # fold is order-sensitive, so concatenate THEN sort once; a
+        # per-chunk sort would break the replay-invariance contract.
+        all_chunks = list(batches)
+        if all_chunks:
+            pdf = pd.concat(all_chunks).sort_values(order_cols)
             for v in pdf[value_col]:
                 v_u = round(float(v) * 1_000_000)
                 s_up = max(0, s_up + (v_u - t_u - k_u))
@@ -184,8 +195,11 @@ def cusum_monitor(
             }
         )
 
-    keyed = stream.selectExpr(f"CAST({key_col} AS STRING) AS key", "*")
-    return keyed.groupBy("key").applyInPandasWithState(
+    # Group on a reserved-name copy of the key: "CAST(k) AS key, *"
+    # would collide if the input already has a column named `key`
+    # (or key_col == "key") and fail analysis with AMBIGUOUS_REFERENCE.
+    keyed = stream.withColumn("__cusum_key", F.col(key_col).cast("string"))
+    return keyed.groupBy("__cusum_key").applyInPandasWithState(
         update,
         outputStructType=CUSUM_SCHEMA,
         stateStructType=_CUSUM_STATE,

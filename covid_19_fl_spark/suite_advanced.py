@@ -17,6 +17,37 @@ from pyspark.sql import functions as F
 
 from .suite import _t, query
 
+
+def _d(c: str):
+    """Column cast to double — the single cast point for moment sums."""
+    return F.col(c).cast("double")
+
+
+def _ols_line(sy_col: str, sxy_col: str, slope_scale: float, intercept_scale: float):
+    """(slope, intercept) closed-form OLS expressions from moment-sum
+    columns n/sx/sxx plus ``sy_col``/``sxy_col``, de-scaled by the given
+    quantization factors and rounded 6dp. The scales differ per query:
+    with only y integer-quantized the slope carries the factor; with
+    BOTH axes quantized the slope's factors cancel (scale 1) while the
+    intercept still carries y's. ``try_divide`` returns NULL for a
+    degenerate denominator (single point / zero variance) — matching
+    DuckDB's NULL-on-zero double division, where Spark's ANSI mode
+    would throw.
+    """
+    denom = _d("n") * _d("sxx") - _d("sx") * _d("sx")
+    slope = F.round(
+        F.try_divide(_d("n") * _d(sxy_col) - _d("sx") * _d(sy_col), denom)
+        / slope_scale,
+        6,
+    )
+    intercept = F.round(
+        F.try_divide(_d(sy_col) * _d("sxx") - _d("sx") * _d(sxy_col), denom)
+        / intercept_scale,
+        6,
+    )
+    return slope, intercept
+
+
 # ---------------------------------------------------------------------------
 # Graph: triangle counting (triadic closure) over a co-occurrence graph
 # ---------------------------------------------------------------------------
@@ -73,6 +104,10 @@ def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
+        # The edge set feeds six subtrees (wedges ×2, closure, node/edge
+        # counts); without caching, Spark recomputes the self-join +
+        # distinct per subtree — the costliest stage, several times over.
+        .cache()
     )
     e1, e2 = edges.alias("e1"), edges.alias("e2")
     wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
@@ -326,15 +361,16 @@ def x_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
-    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    # try_divide: a zero-variance lag series gives denominator 0 —
+    # NULL under DuckDB's double division, an ANSI exception in Spark.
     return sums.select(
         F.col("k").alias("lag_k"),
         F.col("m").alias("n_pairs"),
         F.round(
-            (d("m") * d("sxy") - d("sx") * d("sy"))
-            / (
-                F.sqrt(d("m") * d("sxx") - d("sx") * d("sx"))
-                * F.sqrt(d("m") * d("syy") - d("sy") * d("sy"))
+            F.try_divide(
+                _d("m") * _d("sxy") - _d("sx") * _d("sy"),
+                F.sqrt(_d("m") * _d("sxx") - _d("sx") * _d("sx"))
+                * F.sqrt(_d("m") * _d("syy") - _d("sy") * _d("sy")),
             ),
             6,
         ).alias("acf"),
@@ -418,17 +454,12 @@ def ml_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("yu")).alias("sxyu"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    d = lambda c: F.col(c).cast("double")  # noqa: E731
-    denom = d("n") * d("sxx") - d("sx") * d("sx")
+    slope, intercept = _ols_line("syu", "sxyu", 10000.0, 10000.0)
     return sums.select(
         "event_type",
         F.col("n").alias("n_days"),
-        F.round((d("n") * d("sxyu") - d("sx") * d("syu")) / denom / 10000.0, 6).alias(
-            "slope"
-        ),
-        F.round(
-            (d("syu") * d("sxx") - d("sx") * d("sxyu")) / denom / 10000.0, 6
-        ).alias("intercept"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
     )
 
 
@@ -820,7 +851,7 @@ def ml_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH bins AS (
       SELECT CAST(FLOOR(value) AS BIGINT) AS bin, COUNT(*) AS n,
              SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
-      FROM events GROUP BY 1
+      FROM events WHERE value IS NOT NULL GROUP BY 1
     ), tot AS (
       SELECT SUM(n) AS tn, SUM(pos) AS tp FROM bins
     ), cum AS (
@@ -860,7 +891,9 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     double division per side, identical on both engines, rounded 6dp;
     the argmin tie-breaks on the lower threshold.
     """
-    ev = _t(spark, sf_dir, "events")
+    # NULL values would create a NULL bin that Spark's window ORDER BY
+    # places first but DuckDB's places last — exclude them explicitly.
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     bins = ev.groupBy(F.floor("value").cast("long").alias("bin")).agg(
         F.count("*").alias("n"),
         F.sum((F.col("event_type") == "purchase").cast("long")).alias("pos"),
@@ -977,16 +1010,11 @@ def tx_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("lr_u") * F.col("lf_u")).alias("sxy"),
         F.sum(F.col("lr_u") * F.col("lr_u")).alias("sxx"),
     )
-    d = lambda c: F.col(c).cast("double")  # noqa: E731
-    denom = d("n") * d("sxx") - d("sx") * d("sx")
+    slope, intercept = _ols_line("sy", "sxy", 1.0, 10000.0)
     return sums.select(
         F.col("n").alias("n_terms"),
-        F.round(-((d("n") * d("sxy") - d("sx") * d("sy")) / denom), 6).alias(
-            "zipf_exponent"
-        ),
-        F.round(
-            (d("sy") * d("sxx") - d("sx") * d("sxy")) / denom / 10000.0, 6
-        ).alias("ln_intercept"),
+        (-slope).alias("zipf_exponent"),
+        intercept.alias("ln_intercept"),
     )
 
 

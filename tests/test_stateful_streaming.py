@@ -173,10 +173,10 @@ def test_cusum_monitor_replay_invariant_and_correct(spark, tmp_path):
     def run(split: int, name: str) -> dict:
         d = tmp_path / f"in_{name}"
         d.mkdir()
-        chunks = [rows[i::split] for i in range(split)] if split > 1 else [rows]
-        # keep global order within each file; files trigger in name order
-        if split > 1:
-            chunks = [rows[: len(rows) // 2], rows[len(rows) // 2 :]]
+        # contiguous order-preserving chunks: the operator's contract is
+        # in-order delivery, so each file carries a consecutive slice
+        per = (len(rows) + split - 1) // split
+        chunks = [rows[i * per : (i + 1) * per] for i in range(split)]
         import os as _os
         import time as _time
 
