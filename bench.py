@@ -100,6 +100,7 @@ HEADLINE = [
     "ml_decision_stump",
     "tx_zipf_fit",
     "x_rolling_median",
+    "ss_ivf_recall",
 ]
 
 

@@ -1067,3 +1067,63 @@ def x_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         ((lo + hi).cast("double") / 2.0).alias("med7"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: IVF recall@k against the exact retriever
+# ---------------------------------------------------------------------------
+
+from .suite import ORACLES as _ORACLES  # noqa: E402  (populated: llmops loads first)
+
+_IVF_RECALL_SQL = f"""
+    WITH exact AS (
+      SELECT * FROM ({_ORACLES["ss_cosine_topk"]}) e
+    ), approx AS (
+      SELECT * FROM ({_ORACLES["ss_ivf_topk"]}) a
+    )
+    SELECT e.query_id,
+           COUNT(*) AS k_exact,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM exact e LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY 1
+"""
+
+
+@query("ss_ivf_recall", oracle=_IVF_RECALL_SQL)
+def ss_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF approximate retriever against the exact
+    brute-force ranker, per query — the evaluation loop every ANN
+    deployment needs before trading exactness for partition pruning.
+    Composes the two existing retrievers (both independently
+    oracle-exact, so their set difference is too) with one left join on
+    (query, neighbor) and a per-query agg: the join input is
+    |queries|×k rows on each side — evaluation cost is O(result sets),
+    never a second pass over the corpus. A recall < 1 row pinpoints
+    exactly which query's true neighbors the probed IVF cell missed.
+    """
+    from .llmops import similarity
+    from .suite_llmops import _QUERY_IDS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, _QUERY_IDS, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.ivf_topk(emb, _QUERY_IDS, k=5).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    joined = exact.join(
+        approx,
+        (F.col("query_id") == F.col("a_qid"))
+        & (F.col("neighbor_id") == F.col("a_nid")),
+        "left",
+    )
+    hit = F.sum(F.col("a_nid").isNotNull().cast("long"))
+    return joined.groupBy("query_id").agg(
+        F.count("*").alias("k_exact"),
+        hit.alias("n_hit"),
+        F.round(hit.cast("double") / F.count("*"), 6).alias("recall"),
+    )
