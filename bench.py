@@ -101,6 +101,7 @@ HEADLINE = [
     "tx_zipf_fit",
     "x_rolling_median",
     "ss_ivf_recall",
+    "ml_pca_power",
 ]
 
 

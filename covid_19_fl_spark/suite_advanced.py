@@ -1,13 +1,18 @@
 """Advanced analytics suite (round 3) — graph triadic closure, RFM
 segmentation, CUSUM changepoint detection, autocorrelation, per-group
-OLS trend, scalable equi-depth histograms, and Pareto skyline.
+OLS trend, scalable equi-depth histograms, Pareto skyline, multinomial
+naive Bayes, leave-one-out k-NN accuracy, histogram-split decision
+stump, Zipf-law corpus fit, exact rolling median, and IVF recall@k
+evaluation.
 
 These extend SURVEY §2.13 with the remaining classic warehouse/
 data-science operators a reference user would reach for next. Every
 query keeps the determinism discipline of the rest of the suite:
 integer/DECIMAL accumulation wherever a sum crosses a shuffle (exact
 under any partitioning — a 100 TB requirement, not an oracle nicety),
-doubles only in final derived ratios, rounded on both engines.
+doubles only in final derived ratios — via ``try_divide`` wherever the
+denominator can degenerate, since Spark's default ANSI mode throws on
+double÷0 where DuckDB yields NULL — rounded on both engines.
 """
 
 from __future__ import annotations
@@ -1126,4 +1131,161 @@ def ss_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("k_exact"),
         hit.alias("n_hit"),
         F.round(hit.cast("double") / F.count("*"), 6).alias("recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCA: dominant principal component by integer fixed-point power iteration
+# ---------------------------------------------------------------------------
+
+
+def _pca_oracle(rounds: int = 3, q: int = 1024) -> str:
+    """Unrolled-CTE DuckDB replica of the fixed-point power iteration
+    (the PageRank/k-means recipe): every scatter-matrix entry and every
+    iterate is BIGINT, the only doubles are the floor-rescale quotients
+    — identical IEEE ops on identical int64 inputs on both engines."""
+    parts = [
+        f"""
+    WITH q AS (
+      SELECT vec_id,
+             CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {q}) AS BIGINT) AS qv
+      FROM embeddings
+    ), nrow AS (
+      SELECT COUNT(*) AS n FROM embeddings
+    ), mean_ AS (
+      SELECT dim, SUM(qv) AS m FROM q GROUP BY 1
+    ), g AS (
+      SELECT a.dim AS i, b.dim AS j, SUM(a.qv * b.qv) AS gij
+      FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2
+    ), scat AS (
+      SELECT g.i, g.j, nrow.n * g.gij - ma.m * mb.m AS mij
+      FROM g, nrow
+      JOIN mean_ ma ON ma.dim = g.i
+      JOIN mean_ mb ON mb.dim = g.j
+    ), x0 AS (
+      SELECT dim, CAST({q} AS BIGINT) AS x FROM mean_
+    )"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+    , y{t} AS (
+      SELECT scat.i AS dim, SUM(scat.mij * x.x) AS y
+      FROM scat JOIN x{t - 1} x ON x.dim = scat.j GROUP BY 1
+    ), d{t} AS (
+      SELECT GREATEST(CAST(1 AS BIGINT),
+                      CAST(FLOOR(CAST(MAX(ABS(y)) AS DOUBLE) / {q}) AS BIGINT)) AS d
+      FROM y{t}
+    ), x{t} AS (
+      SELECT dim, CAST(FLOOR(CAST(y AS DOUBLE) / d) AS BIGINT) AS x
+      FROM y{t}, d{t}
+    )""")
+    parts.append(f"""
+    , sgn AS (
+      SELECT CASE WHEN (SELECT x FROM x{rounds}
+                        WHERE dim = (SELECT MIN(dim) FROM x{rounds} WHERE x <> 0))
+                  < 0 THEN -1 ELSE 1 END AS s
+    )
+    SELECT dim, s * x AS weight_u,
+           CAST(s * x AS DOUBLE) / {q}.0 AS weight
+    FROM x{rounds}, sgn
+    """)
+    return "".join(parts)
+
+
+@query("ml_pca_power", oracle=_pca_oracle())
+def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding cloud by power
+    iteration on the scatter matrix — PCA's inner loop, done as a
+    distributed integer fixed-point computation so the iterative float
+    algorithm becomes oracle-exact (the PageRank/k-means recipe).
+
+    Scale shape: embeddings quantize to integer 1/1024ths (exact:
+    ×2^10 is a power-of-two float multiply), then each partition
+    accumulates a LOCAL 64×64 integer Gram matrix plus the mean vector
+    in one numpy pass (mapInPandas, Arrow-batched) and emits only
+    64×65 partial rows — the corpus never shuffles, just
+    O(d² × partitions) partials that one hash agg merges (the
+    continuous-aggregate pattern applied to matrix accumulation). The
+    scatter matrix S = n·G − m·mᵀ and all three iterates are pure
+    BIGINT; each rescale divides by floor(max|y|/1024) with the
+    quotient floored through double — the only float op, identical on
+    identical int64 inputs on both engines. Sign is normalized on the
+    lowest non-zero dimension. Bounds: |S| ≤ n²·d·q² keeps y within
+    int64 up to ~5k vectors at q=1024 — shrink q as n grows (the
+    documented fixed-point budget, like PageRank's). Convergence is
+    governed by the spectral gap ((λ2/λ1)^rounds); this corpus's
+    synthetic embeddings are near-isotropic, so the pinned 3 rounds
+    demonstrate the exact iterate, and a real deployment raises
+    `rounds` in the unrolled oracle to buy alignment.
+    """
+    import numpy as np
+    import pandas as pd
+
+    Q = 1024
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def partial_gram(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            Qm = np.floor(M * Q).astype("int64")
+            G = Qm.T @ Qm  # 64×64 int64 — exact at these magnitudes
+            mean = Qm.sum(axis=0)
+            d = G.shape[0]
+            ii, jj = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([ii.ravel(), np.arange(1, d + 1)]),
+                    "j": np.concatenate([jj.ravel(), np.zeros(d, dtype="int64")]),
+                    "v": np.concatenate([G.ravel(), mean]),
+                }
+            )
+
+    partials = emb.select("embedding").mapInPandas(
+        partial_gram, "i long, j long, v long"
+    )
+    sums = partials.groupBy("i", "j").agg(F.sum("v").alias("v"))
+    g = sums.filter(F.col("j") > 0).select(
+        F.col("i"), F.col("j"), F.col("v").alias("gij")
+    )
+    mean_ = sums.filter(F.col("j") == 0).select(
+        F.col("i").alias("dim"), F.col("v").alias("m")
+    )
+    nrow = emb.agg(F.count("*").alias("n"))
+    scat = (
+        g.crossJoin(F.broadcast(nrow))
+        .join(F.broadcast(mean_.select(F.col("dim").alias("i"), F.col("m").alias("mi"))), "i")
+        .join(F.broadcast(mean_.select(F.col("dim").alias("j"), F.col("m").alias("mj"))), "j")
+        .select(
+            "i", "j", (F.col("n") * F.col("gij") - F.col("mi") * F.col("mj")).alias("mij")
+        )
+    )
+    x = mean_.select("dim", F.lit(Q).cast("long").alias("x"))
+    for _ in range(3):
+        y = (
+            scat.join(F.broadcast(x.select(F.col("dim").alias("j"), "x")), "j")
+            .groupBy(F.col("i").alias("dim"))
+            .agg(F.sum(F.col("mij") * F.col("x")).alias("y"))
+        )
+        d = y.agg(
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.max(F.abs(F.col("y"))).cast("double") / Q).cast("long"),
+            ).alias("d")
+        )
+        x = y.crossJoin(F.broadcast(d)).select(
+            "dim", F.floor(F.col("y").cast("double") / F.col("d")).cast("long").alias("x")
+        )
+    first_nz = x.filter(F.col("x") != 0).agg(F.min("dim").alias("md"))
+    sgn = (
+        x.crossJoin(F.broadcast(first_nz))
+        .filter(F.col("dim") == F.col("md"))
+        .select(F.when(F.col("x") < 0, -1).otherwise(1).alias("s"))
+    )
+    return x.crossJoin(F.broadcast(sgn)).select(
+        "dim",
+        (F.col("s") * F.col("x")).alias("weight_u"),
+        ((F.col("s") * F.col("x")).cast("double") / float(Q)).alias("weight"),
     )

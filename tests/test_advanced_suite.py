@@ -191,3 +191,40 @@ def test_decision_stump_is_global_minimum(spark):
     min_g, min_t = min(ginis)
     assert abs(best.weighted_gini - min_g) < 1e-5
     assert best.threshold == min(t for g, t in ginis if abs(g - min_g) < 1e-9)
+
+
+def test_pca_power_matches_numpy_fixed_point_replica(spark):
+    """The distributed operator must reproduce the integer fixed-point
+    power recursion bit-for-bit (the determinism contract — same shape
+    as the CUSUM closed-form test). Eigen-alignment is NOT asserted:
+    this corpus's synthetic embeddings are near-isotropic (λ2/λ1≈0.93),
+    so 3 rounds can't converge — raising `rounds` in the unrolled
+    oracle is how a real deployment buys convergence."""
+    import numpy as np
+
+    rows = sorted(
+        suite.QUERIES["ml_pca_power"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.dim,
+    )
+    emb = suite._t(spark, SF_SMOKE, "embeddings").select("embedding").collect()
+    M = np.stack([np.array(r.embedding, dtype="float64") for r in emb])
+    Qm = np.floor(M * 1024).astype("int64")
+    n = len(Qm)
+    G = Qm.T @ Qm
+    m = Qm.sum(axis=0)
+    S = n * G - np.outer(m, m)
+    x = np.full(S.shape[0], 1024, dtype="int64")
+    for _ in range(3):
+        y = S @ x
+        d = max(1, int(np.floor(np.abs(y).max() / 1024)))
+        x = np.floor(y.astype("float64") / d).astype("int64")
+    # sign normalization on the lowest non-zero dim
+    nz = np.nonzero(x)[0]
+    if len(nz) and x[nz[0]] < 0:
+        x = -x
+    got_u = np.array([r.weight_u for r in rows])
+    assert (got_u == x).all(), (got_u[:8], x[:8])
+    for r in rows:
+        assert abs(r.weight - r.weight_u / 1024.0) < 1e-12
+    nz_rows = [r for r in rows if r.weight_u != 0]
+    assert nz_rows[0].weight_u > 0
