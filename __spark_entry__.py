@@ -102,6 +102,8 @@ SHOWCASE = [
     "x_rolling_median",
     "ss_ivf_recall",
     "ml_pca_power",
+    "x_market_basket",
+    "tx_pmi_collocations",
 ]
 
 

@@ -1289,3 +1289,223 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s") * F.col("x")).alias("weight_u"),
         ((F.col("s") * F.col("x")).cast("double") / float(Q)).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_market_basket",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey % 10 = 0
+    ), nb AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li
+    ), item AS (
+      SELECT l_partkey, COUNT(*) AS item_n FROM li GROUP BY 1
+    ), pair AS (
+      SELECT a.l_partkey AS ante, b.l_partkey AS cons, COUNT(*) AS pair_n
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ), rules AS (
+      SELECT p.ante, p.cons, p.pair_n,
+             ROUND(CAST(p.pair_n AS DOUBLE) / nb.n_baskets, 6) AS support,
+             ROUND(CAST(p.pair_n AS DOUBLE) / ia.item_n, 6) AS confidence,
+             ROUND(CAST(p.pair_n AS DOUBLE) * nb.n_baskets
+                   / ia.item_n / ic.item_n, 6) AS lift
+      FROM pair p, nb
+      JOIN item ia ON ia.l_partkey = p.ante
+      JOIN item ic ON ic.l_partkey = p.cons
+      WHERE p.pair_n >= 2
+    )
+    SELECT * FROM (
+      SELECT rules.*,
+             ROW_NUMBER() OVER (ORDER BY lift DESC, ante ASC, cons ASC) AS rk
+      FROM rules
+    ) t WHERE rk <= 20
+    """,
+)
+def x_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over co-ordered parts: support,
+    confidence, and lift for every pair seen in ≥2 baskets, top-20 by
+    lift — the a-priori first pass (1- and 2-itemsets) as pure
+    relational algebra. The pair build is the bounded per-basket
+    self-join (≤7 lines/order, no quadratic blowup); item and pair
+    counts pre-combine map-side, and the rule assembly joins the
+    |pairs|-row table against the broadcastable item-count table
+    twice. The ratios divide exact BIGINT counts in one identically-
+    shaped double expression per metric, rounded 6dp; the %10 basket
+    filter thins deterministically. Top-20 tie-breaks on (ante, cons).
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    nb = li.select("l_orderkey").distinct().agg(F.count("*").alias("n_baskets"))
+    item = li.groupBy("l_partkey").agg(F.count("*").alias("item_n"))
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("ante"), F.col("b.l_partkey").alias("cons")
+        )
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= 2)
+    )
+    rules = (
+        pair.crossJoin(F.broadcast(nb))
+        .join(
+            F.broadcast(
+                item.select(F.col("l_partkey").alias("ante"), F.col("item_n").alias("ante_n"))
+            ),
+            "ante",
+        )
+        .join(
+            F.broadcast(
+                item.select(F.col("l_partkey").alias("cons"), F.col("item_n").alias("cons_n"))
+            ),
+            "cons",
+        )
+        .select(
+            "ante",
+            "cons",
+            "pair_n",
+            F.round(F.col("pair_n").cast("double") / F.col("n_baskets"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("pair_n").cast("double") / F.col("ante_n"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("pair_n").cast("double")
+                * F.col("n_baskets")
+                / F.col("ante_n")
+                / F.col("cons_n"),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.col("lift").desc(), F.col("ante").asc(), F.col("cons").asc())
+    return rules.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (word-pair pointwise mutual information)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tx_pmi_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), bigr AS (
+      SELECT w[i] AS t1, w[i+1] AS t2, COUNT(*) AS pair_n
+      FROM toks, generate_series(1, 200) s(i)
+      WHERE i < len(w)
+      GROUP BY 1, 2
+    ), uni AS (
+      SELECT t, SUM(c) AS tok_n FROM (
+        SELECT t1 AS t, SUM(pair_n) AS c FROM bigr GROUP BY 1
+        UNION ALL
+        SELECT t2 AS t, SUM(pair_n) AS c FROM bigr GROUP BY 1
+      ) u GROUP BY 1
+    ), tot AS (
+      SELECT SUM(pair_n) AS n_pairs FROM bigr
+    ), pmi AS (
+      SELECT b.t1, b.t2, b.pair_n,
+             ROUND(ln(CAST(b.pair_n AS DOUBLE) * 2 * n_pairs * 2 * n_pairs
+                      / n_pairs / ua.tok_n / ub.tok_n), 6) AS pmi
+      FROM bigr b, tot
+      JOIN uni ua ON ua.t = b.t1
+      JOIN uni ub ON ub.t = b.t2
+      WHERE b.pair_n >= 5
+    )
+    SELECT * FROM (
+      SELECT pmi.*, ROW_NUMBER() OVER (ORDER BY pmi DESC, t1 ASC, t2 ASC) AS rk
+      FROM pmi
+    ) t WHERE rk <= 20
+    """,
+)
+def tx_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation detection by pointwise mutual information over
+    adjacent word pairs — the classic phrase-mining signal (high PMI =
+    words that co-occur far above chance; the word2phrase / NLTK
+    collocation primitive a pretraining pipeline uses to find
+    multi-word units). Bigrams come from a scan-stage positional
+    zip of each document's token array (no shuffle until the pair
+    hash-agg); unigram marginals derive from the bigram table itself
+    (endpoint occurrence counts — no second corpus pass), so
+    PMI = ln(P(ab) / (P(a)·P(b))) with P(a) measured over bigram
+    endpoints (2·N). Counts are exact BIGINT; the single ln ratio is
+    one identically-shaped double expression, rounded 6dp; top-20
+    tie-breaks lexicographically. Floor support pair_n ≥ 5 keeps the
+    Zipf tail out.
+
+    The oracle enumerates positions with a bounded 1..200 series (docs
+    here are shorter); the Spark side zips arbitrary lengths.
+    """
+    from .llmops.text import words
+
+    docs = _t(spark, sf_dir, "documents")
+    w = words(F.lower(F.trim(F.col("text"))))
+    bigrams = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+                F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+                lambda x, y: F.struct(x.alias("t1"), y.alias("t2")),
+            )
+        ).alias("bg")
+    ).select("bg.t1", "bg.t2")
+    bigr = bigrams.groupBy("t1", "t2").agg(F.count("*").alias("pair_n"))
+    uni = (
+        bigr.groupBy(F.col("t1").alias("t")).agg(F.sum("pair_n").alias("c"))
+        .unionByName(bigr.groupBy(F.col("t2").alias("t")).agg(F.sum("pair_n").alias("c")))
+        .groupBy("t")
+        .agg(F.sum("c").alias("tok_n"))
+    )
+    tot = bigr.agg(F.sum("pair_n").alias("n_pairs"))
+    pmi = (
+        bigr.filter(F.col("pair_n") >= 5)
+        .crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(uni.select(F.col("t").alias("t1"), F.col("tok_n").alias("n1"))),
+            "t1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("t").alias("t2"), F.col("tok_n").alias("n2"))),
+            "t2",
+        )
+        .select(
+            "t1",
+            "t2",
+            "pair_n",
+            F.round(
+                F.log(
+                    F.col("pair_n").cast("double")
+                    * 2
+                    * F.col("n_pairs")
+                    * 2
+                    * F.col("n_pairs")
+                    / F.col("n_pairs")
+                    / F.col("n1")
+                    / F.col("n2")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    wv = Window.orderBy(F.col("pmi").desc(), F.col("t1").asc(), F.col("t2").asc())
+    return pmi.withColumn("rk", F.row_number().over(wv)).filter(F.col("rk") <= 20)

@@ -228,3 +228,29 @@ def test_pca_power_matches_numpy_fixed_point_replica(spark):
         assert abs(r.weight - r.weight_u / 1024.0) < 1e-12
     nz_rows = [r for r in rows if r.weight_u != 0]
     assert nz_rows[0].weight_u > 0
+
+
+def test_market_basket_metric_bounds_and_ranking(spark):
+    rows = sorted(
+        suite.QUERIES["x_market_basket"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.rk,
+    )
+    assert rows and len(rows) <= 20
+    for r in rows:
+        assert r.pair_n >= 2
+        assert 0 < r.support <= r.confidence <= 1
+        assert r.lift > 0
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_pmi_collocations_support_floor_and_ranking(spark):
+    rows = sorted(
+        suite.QUERIES["tx_pmi_collocations"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.rk,
+    )
+    assert rows and len(rows) <= 20
+    for r in rows:
+        assert r.pair_n >= 5
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
