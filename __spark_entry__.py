@@ -104,6 +104,7 @@ SHOWCASE = [
     "ml_pca_power",
     "x_market_basket",
     "tx_pmi_collocations",
+    "x_holt_smoothing",
 ]
 
 

@@ -1509,3 +1509,89 @@ def tx_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wv = Window.orderBy(F.col("pmi").desc(), F.col("t1").asc(), F.col("t2").asc())
     return pmi.withColumn("rk", F.row_number().over(wv)).filter(F.col("rk") <= 20)
+
+
+# ---------------------------------------------------------------------------
+# Holt double-exponential smoothing (level + trend)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_holt_smoothing",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority, o_orderdate, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM orders GROUP BY 1, 2
+    ), framed AS (
+      SELECT o_orderpriority, o_orderdate,
+             list_transform(
+               list(n) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               v -> [v, 0.0::DOUBLE]
+             ) AS xs
+      FROM daily
+    ), folded AS (
+      SELECT o_orderpriority, o_orderdate,
+             list_reduce(xs, (acc, e) ->
+               [0.5::DOUBLE * e[1]
+                  + 0.5::DOUBLE * (acc[1] + acc[2]),
+                0.3::DOUBLE * ((0.5::DOUBLE * e[1]
+                                + 0.5::DOUBLE * (acc[1] + acc[2])) - acc[1])
+                  + 0.7::DOUBLE * acc[2]]
+             ) AS lb
+      FROM framed
+    )
+    SELECT o_orderpriority, o_orderdate,
+           ROUND(lb[1], 6) AS holt_level,
+           ROUND(lb[2], 6) AS holt_trend,
+           ROUND(lb[1] + lb[2], 6) AS forecast_1
+    FROM folded
+    """,
+)
+def x_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (α=0.5, β=0.3) of the daily
+    order count per priority — level AND trend state, so the one-step
+    forecast follows a drifting series where the flat EWMA lags. The
+    coupled recursion l_t = αx + (1−α)(l+b); b_t = β(l_t−l) + (1−β)b
+    is a left fold with a PAIR accumulator: each element maps to a
+     2-vector [v, 0], seeding [x₁, 0], and the fold carries [level,
+    trend] — Spark's `aggregate` HOF and DuckDB's `list_reduce`
+    evaluate the identically-inlined IEEE expressions in the same
+    order, so the doubles agree bit-for-bit before the 6dp round
+    (x_ewma's recipe, extended to vector state). Runs post-agg on the
+    bounded per-priority series; prefix lists are bounded by the date
+    range, raw facts are scanned once.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy("o_orderpriority", "o_orderdate").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fold = (
+        "aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1),"
+        " (acc, e) -> array("
+        "CAST(0.5 AS DOUBLE) * element_at(e, 1)"
+        " + CAST(0.5 AS DOUBLE) * (element_at(acc, 1) + element_at(acc, 2)),"
+        "CAST(0.3 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * element_at(e, 1)"
+        " + CAST(0.5 AS DOUBLE) * (element_at(acc, 1) + element_at(acc, 2)))"
+        " - element_at(acc, 1))"
+        " + CAST(0.7 AS DOUBLE) * element_at(acc, 2)))"
+    )
+    return (
+        daily.withColumn("xs0", F.collect_list("n").over(w))
+        .withColumn("xs", F.expr("transform(xs0, v -> array(v, CAST(0 AS DOUBLE)))"))
+        .withColumn("lb", F.expr(fold))
+        .select(
+            "o_orderpriority",
+            "o_orderdate",
+            F.round(F.expr("element_at(lb, 1)"), 6).alias("holt_level"),
+            F.round(F.expr("element_at(lb, 2)"), 6).alias("holt_trend"),
+            F.round(F.expr("element_at(lb, 1) + element_at(lb, 2)"), 6).alias(
+                "forecast_1"
+            ),
+        )
+    )

@@ -254,3 +254,34 @@ def test_pmi_collocations_support_floor_and_ranking(spark):
         assert r.pair_n >= 5
     pmis = [r.pmi for r in rows]
     assert pmis == sorted(pmis, reverse=True)
+
+
+def test_holt_smoothing_matches_python_recursion(spark):
+    rows = suite.QUERIES["x_holt_smoothing"](spark, SF_SMOKE).collect()
+    by_prio: dict[str, list] = {}
+    for r in rows:
+        by_prio.setdefault(r.o_orderpriority, []).append(r)
+    for prio, series in by_prio.items():
+        series.sort(key=lambda r: r.o_orderdate)
+        daily = [r for r in series]
+        # replicate: n comes from the engine's own daily count re-query
+        counts = {
+            (r.o_orderpriority, r.o_orderdate): float(r["count(1)"])
+            for r in suite._t(spark, SF_SMOKE, "orders")
+            .groupBy("o_orderpriority", "o_orderdate")
+            .count()
+            .withColumnRenamed("count", "count(1)")
+            .collect()
+        }
+        lvl = trend = None
+        for r in daily:
+            x = counts[(prio, r.o_orderdate)]
+            if lvl is None:
+                lvl, trend = x, 0.0
+            else:
+                new_lvl = 0.5 * x + 0.5 * (lvl + trend)
+                trend = 0.3 * (new_lvl - lvl) + 0.7 * trend
+                lvl = new_lvl
+            assert abs(r.holt_level - lvl) < 1e-5, (prio, r.o_orderdate)
+            assert abs(r.holt_trend - trend) < 1e-5
+            assert abs(r.forecast_1 - (lvl + trend)) < 1e-5
