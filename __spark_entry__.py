@@ -105,6 +105,9 @@ SHOWCASE = [
     "x_market_basket",
     "tx_pmi_collocations",
     "x_holt_smoothing",
+    "x_weighted_median",
+    "x_gini_spend",
+    "x_abc_classification",
 ]
 
 

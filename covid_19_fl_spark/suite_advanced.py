@@ -1595,3 +1595,203 @@ def x_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (cumulative-weight crossing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_weighted_median",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             CAST(l_quantity AS DECIMAL(28,2)) AS wgt,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ), cum AS (
+      SELECT l_returnflag, price, wgt,
+             SUM(wgt) OVER (PARTITION BY l_returnflag
+                            ORDER BY price, l_orderkey, l_linenumber
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_w,
+             SUM(wgt) OVER (PARTITION BY l_returnflag) AS tot_w
+      FROM pts
+    ), hit AS (
+      SELECT l_returnflag, price,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY cum_w, price) AS rk
+      FROM cum WHERE cum_w * 2 >= tot_w
+    )
+    SELECT l_returnflag, CAST(price AS DOUBLE) AS weighted_median_price
+    FROM hit WHERE rk = 1
+    """,
+)
+def x_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the weighted
+    50th percentile (lower weighted median: the first point whose
+    cumulative weight reaches half the total), which no built-in
+    percentile covers. One partitioned running-sum window over the
+    value-sorted series with a unique (price, orderkey, linenumber)
+    tiebreak; weights stay DECIMAL so the crossing test `2·cum ≥ tot`
+    is exact integer-ish arithmetic on both engines — no float
+    boundary to disagree on. Window partitions by flag, so work
+    distributes across groups; at 100 TB you'd pre-aggregate equal
+    prices first to shrink the sorted series.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_quantity").cast("decimal(28,2)").alias("wgt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wrun = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "price",
+        F.sum("wgt").over(wrun).alias("cum_w"),
+        F.sum("wgt").over(wall).alias("tot_w"),
+    )
+    hit = cum.filter(F.col("cum_w") * 2 >= F.col("tot_w")).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("l_returnflag").orderBy("cum_w", "price")
+        ),
+    )
+    return hit.filter(F.col("rk") == 1).select(
+        "l_returnflag", F.col("price").cast("double").alias("weighted_median_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer spend concentration
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_gini_spend",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS spend
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT spend,
+             ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM cust
+    ), sums AS (
+      SELECT n, SUM(CAST(i AS DECIMAL(38,2)) * spend) AS iws,
+             SUM(spend) AS ws
+      FROM ranked GROUP BY n
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           ROUND(CAST(2 * iws AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(ws AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE), 6) AS gini
+    FROM sums
+    """,
+)
+def x_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the inequality audit
+    (0 = everyone spends equally, →1 = one whale), by the rank formula
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over the ascending spend ranking
+    with custkey tiebreak. Per-customer spend is one map-combined
+    shuffle; the ranking runs over the |customers|-row aggregate, and
+    Σ(i·xᵢ) accumulates in DECIMAL so the only doubles are the final
+    two-term expression, identical on both engines, rounded 6dp.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("spend")
+    )
+    ranked = cust.select(
+        "spend",
+        F.row_number().over(Window.orderBy("spend", "o_custkey")).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    sums = ranked.groupBy("n").agg(
+        F.sum(F.col("i").cast("decimal(38,2)") * F.col("spend")).alias("iws"),
+        F.sum("spend").alias("ws"),
+    )
+    dn = F.col("n").cast("double")
+    return sums.select(
+        F.col("n").alias("n_customers"),
+        F.round(
+            (2 * F.col("iws")).cast("double") / (dn * F.col("ws").cast("double"))
+            - (dn + 1) / dn,
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC inventory classification by cumulative revenue share
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_abc_classification",
+    oracle="""
+    WITH parts AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS revenue
+      FROM lineitem GROUP BY 1
+    ), ranked AS (
+      SELECT l_partkey, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_rev,
+             SUM(revenue) OVER () AS tot_rev
+      FROM parts
+    ), classed AS (
+      SELECT l_partkey, revenue,
+             CASE WHEN cum_rev * 100 <= tot_rev * 80 THEN 'A'
+                  WHEN cum_rev * 100 <= tot_rev * 95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked
+    )
+    SELECT abc, COUNT(*) AS n_parts,
+           CAST(SUM(revenue) AS DOUBLE) AS class_revenue
+    FROM classed GROUP BY 1
+    """,
+)
+def x_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, cut at
+    the 80% / 95% cumulative-share boundaries — the Pareto rollup
+    behind every stock-priority report. The running share is a single
+    window over the per-part aggregate (revenue-desc order, partkey
+    tiebreak); the class test multiplies DECIMAL cumulative revenue by
+    integer percentages instead of dividing — `cum·100 ≤ tot·80` is
+    exact, so no float share ever decides a boundary row differently
+    across engines. Output is the 3-row class summary.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    parts = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = parts.select(
+        "l_partkey",
+        "revenue",
+        F.sum("revenue").over(w).alias("cum_rev"),
+        F.sum("revenue").over(Window.partitionBy()).alias("tot_rev"),
+    )
+    classed = ranked.withColumn(
+        "abc",
+        F.when(F.col("cum_rev") * 100 <= F.col("tot_rev") * 80, "A")
+        .when(F.col("cum_rev") * 100 <= F.col("tot_rev") * 95, "B")
+        .otherwise("C"),
+    )
+    return classed.groupBy("abc").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("revenue").cast("double").alias("class_revenue"),
+    )

@@ -285,3 +285,41 @@ def test_holt_smoothing_matches_python_recursion(spark):
             assert abs(r.holt_level - lvl) < 1e-5, (prio, r.o_orderdate)
             assert abs(r.holt_trend - trend) < 1e-5
             assert abs(r.forecast_1 - (lvl + trend)) < 1e-5
+
+
+def test_weighted_median_crossing_property(spark):
+    rows = {r.l_returnflag: r.weighted_median_price
+            for r in suite.QUERIES["x_weighted_median"](spark, SF_SMOKE).collect()}
+    li = suite._t(spark, SF_SMOKE, "lineitem").selectExpr(
+        "l_returnflag", "l_extendedprice AS p", "l_quantity AS w"
+    ).collect()
+    groups: dict[str, list] = {}
+    for r in li:
+        groups.setdefault(r.l_returnflag, []).append((r.p, r.w))
+    for flag, pts in groups.items():
+        med = rows[flag]
+        tot = sum(w for _, w in pts)
+        below = sum(w for p, w in pts if p < med)
+        at_or_below = sum(w for p, w in pts if p <= med)
+        # lower weighted median: cum weight reaches half exactly at med
+        assert below * 2 < tot + 1e-6, flag
+        assert at_or_below * 2 >= tot - 1e-6, flag
+
+
+def test_gini_bounds_and_count(spark):
+    r = suite.QUERIES["x_gini_spend"](spark, SF_SMOKE).collect()[0]
+    n_cust = suite._t(spark, SF_SMOKE, "orders").select("o_custkey").distinct().count()
+    assert r.n_customers == n_cust
+    assert 0.0 <= r.gini < 1.0
+
+
+def test_abc_classes_partition_revenue(spark):
+    rows = {r.abc: r for r in suite.QUERIES["x_abc_classification"](spark, SF_SMOKE).collect()}
+    li = suite._t(spark, SF_SMOKE, "lineitem")
+    n_parts = li.select("l_partkey").distinct().count()
+    assert sum(r.n_parts for r in rows.values()) == n_parts
+    tot = sum(r.class_revenue for r in rows.values())
+    # A-class holds the largest share, C the smallest per-part share
+    if "A" in rows and "C" in rows:
+        assert rows["A"].class_revenue / rows["A"].n_parts > rows["C"].class_revenue / rows["C"].n_parts
+    assert abs(tot - sum(r.class_revenue for r in rows.values())) < 1e-6
