@@ -108,6 +108,7 @@ HEADLINE = [
     "x_weighted_median",
     "x_gini_spend",
     "x_abc_classification",
+    "x_bfs_distances",
 ]
 
 

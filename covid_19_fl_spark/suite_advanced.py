@@ -1795,3 +1795,100 @@ def x_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_parts"),
         F.sum("revenue").cast("double").alias("class_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS: k-hop distance histogram over the co-order graph
+# ---------------------------------------------------------------------------
+
+
+def _bfs_oracle(rounds: int = 3) -> str:
+    """Unrolled-CTE replica of the bounded-round BFS relaxation —
+    integer distances only, so every round is exact on both engines."""
+    parts = [
+        """
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0
+    ), e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), adj AS (
+      SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+    ), nodes AS (
+      SELECT DISTINCT u AS node FROM adj
+    ), d0 AS (
+      SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes WHERE node % 97 = 0
+    )"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+    , d{t} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{t - 1}
+        UNION ALL
+        SELECT adj.v AS node, d.dist + 1 AS dist
+        FROM d{t - 1} d JOIN adj ON adj.u = d.node
+      ) u GROUP BY node
+    )""")
+    parts.append(f"""
+    SELECT COALESCE(d.dist, -1) AS dist, COUNT(*) AS n_nodes
+    FROM nodes n LEFT JOIN d{rounds} d ON d.node = n.node
+    GROUP BY 1
+    """)
+    return "".join(parts)
+
+
+@query("x_bfs_distances", oracle=_bfs_oracle())
+def x_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the co-order parts graph: 3 rounds of
+    distance relaxation from the deterministic source set
+    (partkey % 97 = 0), reported as a distance histogram (-1 =
+    unreached within 3 hops). Completes the graph family —
+    connectivity (dd_dup_clusters), centrality (x_pagerank), closure
+    (x_triangle_count) — with reachability.
+
+    Scale shape: each round is one join of the current frontier-
+    inclusive distance table against the adjacency list (both keyed on
+    the vertex — co-partitioned shuffles) followed by a min-combine
+    hash agg; distances are small integers, so every round is exact,
+    and the bounded round count makes the oracle a finite CTE unroll
+    (PageRank's recipe — BFS's min-plus semiring instead of rank
+    sums). At 100 TB the adjacency list is the thing to pre-bucket by
+    u so the per-round join never re-shuffles the graph.
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    adj = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).cache()
+    nodes = adj.select(F.col("u").alias("node")).distinct()
+    dist = nodes.filter(F.col("node") % 97 == 0).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(3):
+        frontier = (
+            dist.join(adj, dist["node"] == adj["u"])
+            .select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(frontier).groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+    return (
+        nodes.join(dist, "node", "left")
+        .groupBy(F.coalesce(F.col("dist"), F.lit(-1)).alias("dist"))
+        .agg(F.count("*").alias("n_nodes"))
+    )

@@ -323,3 +323,36 @@ def test_abc_classes_partition_revenue(spark):
     if "A" in rows and "C" in rows:
         assert rows["A"].class_revenue / rows["A"].n_parts > rows["C"].class_revenue / rows["C"].n_parts
     assert abs(tot - sum(r.class_revenue for r in rows.values())) < 1e-6
+
+
+def test_bfs_distances_match_networkx_free_bfs(spark):
+    rows = {r.dist: r.n_nodes for r in suite.QUERIES["x_bfs_distances"](spark, SF_SMOKE).collect()}
+    li = (
+        suite._t(spark, SF_SMOKE, "lineitem")
+        .filter("l_orderkey % 5 = 0")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    by_order: dict[int, set[int]] = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    adj: dict[int, set[int]] = {}
+    for parts in by_order.values():
+        for u, v in itertools.combinations(sorted(parts), 2):
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    # plain BFS from all sources, capped at 3 hops
+    dist = {n: 0 for n in adj if n % 97 == 0}
+    frontier = set(dist)
+    for d in range(1, 4):
+        nxt = set()
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = d
+                    nxt.add(v)
+        frontier = nxt
+    expected: dict[int, int] = {}
+    for n in adj:
+        expected[dist.get(n, -1)] = expected.get(dist.get(n, -1), 0) + 1
+    assert rows == expected
