@@ -1542,9 +1542,9 @@ def tx_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM framed
     )
     SELECT o_orderpriority, o_orderdate,
-           ROUND(lb[1], 6) AS holt_level,
-           ROUND(lb[2], 6) AS holt_trend,
-           ROUND(lb[1] + lb[2], 6) AS forecast_1
+           ROUND(lb[1], 6) + 0.0 AS holt_level,
+           ROUND(lb[2], 6) + 0.0 AS holt_trend,
+           ROUND(lb[1] + lb[2], 6) + 0.0 AS forecast_1
     FROM folded
     """,
 )
@@ -1588,11 +1588,15 @@ def x_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderpriority",
             "o_orderdate",
-            F.round(F.expr("element_at(lb, 1)"), 6).alias("holt_level"),
-            F.round(F.expr("element_at(lb, 2)"), 6).alias("holt_trend"),
-            F.round(F.expr("element_at(lb, 1) + element_at(lb, 2)"), 6).alias(
-                "forecast_1"
-            ),
+            # + 0.0 folds IEEE -0.0 to +0.0 — DuckDB's ROUND keeps the
+            # sign of a tiny negative, Spark's drops it, and the
+            # driver's value hash (and str-keyed row sort) see "-0.0"
+            # and "0.0" as different values.
+            (F.round(F.expr("element_at(lb, 1)"), 6) + F.lit(0.0)).alias("holt_level"),
+            (F.round(F.expr("element_at(lb, 2)"), 6) + F.lit(0.0)).alias("holt_trend"),
+            (
+                F.round(F.expr("element_at(lb, 1) + element_at(lb, 2)"), 6) + F.lit(0.0)
+            ).alias("forecast_1"),
         )
     )
 
