@@ -109,6 +109,14 @@ SHOWCASE = [
     "x_gini_spend",
     "x_abc_classification",
     "x_bfs_distances",
+    "tx_contamination",
+    "x_bloom_semi_join",
+    "x_audience_overlap",
+    "x_histogram_quantiles",
+    "ss_ndcg_eval",
+    "dd_prefix_dup",
+    "dd_containment_pairs",
+    "sp_ppl_bucket_mix",
 ]
 
 

@@ -109,6 +109,14 @@ HEADLINE = [
     "x_gini_spend",
     "x_abc_classification",
     "x_bfs_distances",
+    "tx_contamination",
+    "dd_prefix_dup",
+    "dd_containment_pairs",
+    "x_bloom_semi_join",
+    "x_audience_overlap",
+    "x_histogram_quantiles",
+    "sp_ppl_bucket_mix",
+    "ss_ndcg_eval",
 ]
 
 

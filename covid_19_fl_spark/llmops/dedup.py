@@ -624,3 +624,104 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count_distinct("shingle").alias("n_leaked_shingles"))
     )
+
+
+def prefix_dup_groups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Truncation-duplicate groups: documents sharing the same first-k
+    -token fingerprint (crawl re-fetches cut at different lengths, the
+    near-dup class exact dedup misses and shingle Jaccard down-scores).
+
+    The fingerprint is a variable-length Horner fold over the first
+    ``min(k, len)`` md5 token hashes (``aggregate`` HOF seeded with 0 ≡
+    DuckDB ``list_reduce`` over the 0-prepended slice), so the key is a
+    single bigint: the groupBy shuffles one 8-byte key per doc — never
+    a prefix string — and partial aggs combine map-side. Returns only
+    groups with ≥2 docs: (fp, n_docs, canonical_id = min id).
+    """
+    hs = F.transform(words(F.col(text_col)), lambda t: portable_hash(t) % PORTABLE_PRIME)
+    fp = F.aggregate(
+        F.slice(hs, 1, k),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * SHINGLE_BASE + h) % F.lit(PORTABLE_PRIME),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    id_window: int = 25,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram CONTAINMENT — |A∩B|/|A| and
+    |A∩B|/|B| — the RefinedWeb-style signal Jaccard misses: a short doc
+    fully embedded in a long one scores low Jaccard but containment 1.
+
+    Same banded equi-join blocking as ngram_jaccard_pairs (block col +
+    two-block id window — no range join, bounded candidates); shingle
+    identity is the portable Horner hash so set intersections agree
+    bit-for-bit with a DuckDB oracle. Emits pairs where either
+    direction's containment crosses ``threshold``, with the integer
+    cross-multiplication ``inter·1000000 ≥ |set|·thr·1000000``
+    replaced by a rounded-value filter on BOTH engines (identical
+    rounding → identical boundary decisions).
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.col(block_col),
+        hashed_word_shingles(F.col(text_col), n).alias("hs"),
+    )
+    left = shingled.select(
+        F.col(id_col).alias("id_a"),
+        F.col(block_col).alias("blk"),
+        F.col("hs").alias("hs_a"),
+        F.floor(F.col(id_col) / id_window).alias("band"),
+    )
+    right = shingled.select(
+        F.col(id_col).alias("id_b"),
+        F.col(block_col).alias("blk"),
+        F.col("hs").alias("hs_b"),
+        F.explode(
+            F.array(
+                F.floor(F.col(id_col) / id_window),
+                F.floor(F.col(id_col) / id_window) - 1,
+            )
+        ).alias("band"),
+    )
+    pairs = left.join(right, ["blk", "band"]).filter(
+        (F.col("id_b") > F.col("id_a")) & (F.col("id_b") <= F.col("id_a") + id_window)
+    )
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    c_a = F.when(
+        F.size("hs_a") > 0, F.round(inter / F.size("hs_a"), 6)
+    ).otherwise(F.lit(0.0))
+    c_b = F.when(
+        F.size("hs_b") > 0, F.round(inter / F.size("hs_b"), 6)
+    ).otherwise(F.lit(0.0))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            c_a.alias("contain_a"),
+            c_b.alias("contain_b"),
+        )
+        .filter(
+            (F.col("contain_a") >= threshold) | (F.col("contain_b") >= threshold)
+        )
+    )

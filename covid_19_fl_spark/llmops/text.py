@@ -461,3 +461,83 @@ def bigram_logprob(df, text_col: str, id_col: str) -> "DataFrame":
             "avg_logprob",
         )
     )
+
+
+def contamination_stats(
+    df,
+    text_col: str,
+    id_col: str,
+    is_bench,
+    n: int = 5,
+    flag_pct: int = 20,
+) -> "DataFrame":
+    """Benchmark-contamination audit: for every NON-benchmark document,
+    the fraction of its word n-gram positions whose n-gram also occurs
+    anywhere in the benchmark partition (``is_bench`` rows) — the
+    decontamination check every eval-aware training pipeline runs
+    before a corpus ships (the reference has no corpus-level operator;
+    this extends cv.py's per-row membership idiom to span granularity,
+    same family as boilerplate_ngram_stats).
+
+    Plan shape: benchmark grams are per-doc-distinct shingle hashes
+    globally deduped (one small agg — the benchmark is tiny relative
+    to the corpus by construction), then probed by the training side's
+    positional grams via a left join; at 100 TB AQE broadcasts the
+    benchmark gram set and the only O(tokens) work is the scan-stage
+    gram evaluation plus one per-doc count shuffle. Gram identity is
+    the engine-portable Horner hash (dedup.SHINGLE_BASE mod
+    PORTABLE_PRIME over md5 token hashes), so a DuckDB oracle
+    reproduces identical keys.
+
+    The contaminated flag uses the integer cross-multiplication
+    ``n_contam·100 ≥ n_grams·flag_pct`` — no float share ever decides
+    the boundary. Docs shorter than ``n`` tokens have zero gram
+    positions: frac 0.0, never flagged.
+    """
+    from . import dedup
+
+    ids = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        is_bench.alias("_b"),
+    )
+    bench_grams = (
+        ids.filter(F.col("_b"))
+        .select(F.explode(dedup.hashed_word_shingles(F.col("_t"), n)).alias("g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    pos = ids.filter(~F.col("_b")).select(
+        "doc_id", F.explode(dedup.hashed_word_grams(F.col("_t"), n)).alias("g")
+    )
+    cov = (
+        pos.join(bench_grams, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_contam"),
+        )
+    )
+    return (
+        ids.filter(~F.col("_b"))
+        .select("doc_id")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0).cast("bigint")).alias("n_grams"),
+            F.coalesce(F.col("n_contam"), F.lit(0).cast("bigint")).alias("n_contam"),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                F.round(F.col("n_contam") / F.col("n_grams"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("contam_frac"),
+            (
+                (F.coalesce(F.col("n_grams"), F.lit(0)) > 0)
+                & (
+                    F.coalesce(F.col("n_contam"), F.lit(0)) * 100
+                    >= F.coalesce(F.col("n_grams"), F.lit(0)) * flag_pct
+                )
+            ).alias("contaminated"),
+        )
+    )

@@ -1,0 +1,535 @@
+"""Round-3 suite queries: decontamination, truncation/containment
+dedup, Bloom-filter join pre-filtering, audience set-op overlap,
+mergeable binned quantiles, perplexity-stratified curation, and NDCG
+retrieval evaluation.
+
+Registered via the same ``@query`` decorator as the core suite; every
+query has an exact DuckDB oracle built on the engine-portable hash
+recipes (md5-affine family, Horner shingles) from ``llmops.dedup``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .llmops import dedup, similarity, text
+from .operators import bloom
+from .suite import ORACLES as _ORACLES
+from .suite import _t, query
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination audit (decontamination pass)
+# ---------------------------------------------------------------------------
+
+
+def _contamination_oracle(n: int = 5, flag_pct: int = 20) -> str:
+    P = dedup.PORTABLE_PRIME
+    B = dedup.SHINGLE_BASE
+    horner = "ths[i]"
+    for j in range(1, n):
+        horner = f"(({horner})*{B} + ths[i+{j}]) % {P}"
+    return f"""
+    WITH g AS (
+      SELECT doc_id, (doc_id % 17 = 0) AS is_bench,
+             [ {horner}
+               for i in generate_series(1, greatest(len(ths)-{n - 1}, 0)) ] AS gs
+      FROM (SELECT doc_id,
+                   [ (('0x'||substr(md5(t),1,15))::BIGINT) % {P}
+                     for t in regexp_split_to_array(trim(text), '\\s+') ] AS ths
+            FROM documents)
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(list_distinct(gs)) AS gg FROM g WHERE is_bench
+    ),
+    pos AS (SELECT doc_id, unnest(gs) AS gg FROM g WHERE NOT is_bench),
+    cov AS (SELECT p.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(CASE WHEN b.gg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_contam
+            FROM pos p LEFT JOIN bench b ON p.gg = b.gg
+            GROUP BY p.doc_id)
+    SELECT d.doc_id,
+           COALESCE(c.n_grams, 0) AS n_grams,
+           COALESCE(c.n_contam, 0) AS n_contam,
+           CASE WHEN COALESCE(c.n_grams, 0) > 0
+                THEN ROUND(CAST(c.n_contam AS DOUBLE) / c.n_grams, 6)
+                ELSE 0.0 END AS contam_frac,
+           (COALESCE(c.n_grams, 0) > 0
+            AND COALESCE(c.n_contam, 0) * 100 >= COALESCE(c.n_grams, 0) * {flag_pct})
+             AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+    LEFT JOIN cov c USING (doc_id)
+    """
+
+
+@query("tx_contamination", oracle=_contamination_oracle())
+def tx_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: per training doc, the fraction of
+    its 5-gram positions that also occur in the held-out benchmark
+    partition (doc_id % 17 = 0), flagged at ≥20% overlap via integer
+    cross-multiplication. See text.contamination_stats for the 100 TB
+    plan shape (benchmark gram set broadcasts; one per-doc shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.contamination_stats(
+        docs, "text", "doc_id", F.col("doc_id") % 17 == 0, n=5, flag_pct=20
+    )
+
+
+# ---------------------------------------------------------------------------
+# Truncation duplicates: shared first-k-token fingerprint
+# ---------------------------------------------------------------------------
+
+
+def _prefix_dup_oracle(k: int = 10) -> str:
+    P = dedup.PORTABLE_PRIME
+    B = dedup.SHINGLE_BASE
+    return f"""
+    WITH fp AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(0::BIGINT, ths[1:{k}]),
+               (acc, h) -> (acc * {B} + h) % {P}
+             ) AS fp
+      FROM (SELECT doc_id,
+                   [ (('0x'||substr(md5(t),1,15))::BIGINT) % {P}
+                     for t in regexp_split_to_array(trim(text), '\\s+') ] AS ths
+            FROM documents)
+    )
+    SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+    FROM fp GROUP BY 1 HAVING COUNT(*) > 1
+    """
+
+
+@query("dd_prefix_dup", oracle=_prefix_dup_oracle())
+def dd_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-duplicate groups: docs sharing the first-10-token
+    Horner fingerprint (crawl re-fetches cut at different lengths).
+    One 8-byte key per doc crosses the exchange; map-side combinable.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.prefix_dup_groups(docs, "text", "doc_id", k=10)
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup pairs (asymmetric Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def _containment_oracle(
+    id_window: int = 100, n: int = 3, threshold: float = 0.3
+) -> str:
+    P = dedup.PORTABLE_PRIME
+    B = dedup.SHINGLE_BASE
+    horner = "ths[i]"
+    for j in range(1, n):
+        horner = f"(({horner})*{B} + ths[i+{j}]) % {P}"
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct([ {horner}
+               for i in generate_series(1, greatest(len(ths)-{n - 1}, 0)) ]) AS hs
+      FROM (SELECT doc_id, lang,
+                   [ (('0x'||substr(md5(t),1,15))::BIGINT) % {P}
+                     for t in regexp_split_to_array(trim(text), '\\s+') ] AS ths
+            FROM documents)
+    ), pr AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CASE WHEN len(a.hs) > 0
+                  THEN ROUND(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                             / len(a.hs), 6) ELSE 0.0 END AS contain_a,
+             CASE WHEN len(b.hs) > 0
+                  THEN ROUND(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                             / len(b.hs), 6) ELSE 0.0 END AS contain_b
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND b.doc_id > a.doc_id
+       AND b.doc_id <= a.doc_id + {id_window}
+    )
+    SELECT * FROM pr
+    WHERE contain_a >= {threshold} OR contain_b >= {threshold}
+    """
+
+
+@query("dd_containment_pairs", oracle=_containment_oracle())
+def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (|A∩B|/|A|, |A∩B|/|B|) —
+    catches a short doc embedded in a long one where Jaccard scores
+    low. Banded equi-join blocked on lang + 100-id window; portable
+    Horner shingle hashes make the oracle exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, "text", "doc_id", "lang", id_window=100, n=3, threshold=0.3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pre-filter with measured FP rate
+# ---------------------------------------------------------------------------
+
+
+def _bloom_oracle(num_bits: int = bloom.DEFAULT_BITS, k: int = bloom.DEFAULT_HASHES) -> str:
+    P = dedup.PORTABLE_PRIME
+    probes = "\n      UNION ALL ".join(
+        f"SELECT k, (({a} * h + {b}) % {P}) % {num_bits} AS pos FROM h"
+        for a, b in (bloom.affine_consts(j) for j in range(k))
+    )
+    probes_p = "\n      UNION ALL ".join(
+        f"SELECT k, (({a} * h + {b}) % {P}) % {num_bits} AS pos FROM ph"
+        for a, b in (bloom.affine_consts(j) for j in range(k))
+    )
+    return f"""
+    WITH bk AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ), h AS (
+      SELECT k, (('0x'||substr(md5(CAST(k AS VARCHAR)),1,15))::BIGINT) % {P} AS h
+      FROM bk
+    ), pos AS (
+      {probes}
+    ), filt AS (
+      SELECT CAST(FLOOR(pos / 63) AS BIGINT) AS word_idx,
+             BIT_OR(1::BIGINT << CAST(pos % 63 AS INTEGER)) AS mask
+      FROM pos GROUP BY 1
+    ), pk AS (
+      SELECT DISTINCT l_orderkey AS k FROM lineitem
+    ), ph AS (
+      SELECT k, (('0x'||substr(md5(CAST(k AS VARCHAR)),1,15))::BIGINT) % {P} AS h
+      FROM pk
+    ), ppos AS (
+      {probes_p}
+    ), cand AS (
+      SELECT p.k
+      FROM (SELECT k, CAST(FLOOR(pos / 63) AS BIGINT) AS word_idx,
+                   1::BIGINT << CAST(pos % 63 AS INTEGER) AS bit
+            FROM ppos) p
+      LEFT JOIN filt f USING (word_idx)
+      GROUP BY p.k
+      HAVING SUM(CASE WHEN (COALESCE(f.mask, 0) & p.bit) <> 0
+                      THEN 1 ELSE 0 END) >= {k}
+    )
+    SELECT (SELECT COUNT(*) FROM pk) AS n_probe_keys,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM cand WHERE k IN (SELECT k FROM bk))
+             AS n_verified,
+           (SELECT COUNT(*) FROM cand WHERE k NOT IN (SELECT k FROM bk))
+             AS n_false_pos
+    """
+
+
+@query("x_bloom_semi_join", oracle=_bloom_oracle())
+def x_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pre-filter, measured: build an 8192-bit / 3-
+    hash filter over the urgent-order keys, probe every distinct
+    lineitem orderkey, then exact-verify the candidates — reporting
+    probe volume, candidate volume, verified matches, and false
+    positives (the number the 2× shuffle-reduction claim rests on).
+    At 100 TB the bitmask table (128 longs) broadcasts for free and
+    fact rows that fail it never reach the join exchange; the hash
+    family is the portable md5-affine one, so the oracle reproduces
+    the exact same filter contents and FP count."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    build_keys = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    probe_keys = li.select(F.col("l_orderkey").alias("k")).distinct()
+    filt = bloom.bloom_build(build_keys, "k")
+    cand = bloom.bloom_probe(probe_keys, "k", filt)
+    verified = cand.join(build_keys, "k", "left_semi")
+    false_pos = cand.join(build_keys, "k", "left_anti")
+    return (
+        probe_keys.agg(F.count("*").alias("n_probe_keys"))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(verified.agg(F.count("*").alias("n_verified")))
+        .crossJoin(false_pos.agg(F.count("*").alias("n_false_pos")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap: exact set-op cardinalities per event-type pair
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_audience_overlap",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT event_type, COUNT(*) AS nu FROM ut GROUP BY 1),
+    spine AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM n a JOIN n b ON a.event_type < b.event_type
+    ), inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT s.type_a, s.type_b, na.nu AS n_a, nb.nu AS n_b,
+           COALESCE(i.n_both, 0) AS n_both,
+           na.nu + nb.nu - COALESCE(i.n_both, 0) AS n_union,
+           ROUND(CAST(COALESCE(i.n_both, 0) AS DOUBLE)
+                 / (na.nu + nb.nu - COALESCE(i.n_both, 0)), 6) AS jaccard
+    FROM spine s
+    JOIN n na ON na.event_type = s.type_a
+    JOIN n nb ON nb.event_type = s.type_b
+    LEFT JOIN inter i ON i.type_a = s.type_a AND i.type_b = s.type_b
+    """,
+)
+def x_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience set operations per event-type pair: |A|, |B|,
+    |A∩B|, |A∪B| (by inclusion-exclusion — never a second distinct
+    pass) and Jaccard. The intersection is one user-keyed self-join of
+    the distinct (user, type) table — co-partitioned on user_id, so at
+    scale each executor intersects its own user range; the |types|²
+    spine keeps zero-overlap pairs present. The exact twin of the
+    HLL sketch rollup (x_hll_sketch_rollup) for audience analytics.
+    """
+    events = _t(spark, sf_dir, "events")
+    ut = events.select("user_id", "event_type").distinct()
+    n = ut.groupBy("event_type").agg(F.count("*").alias("nu"))
+    a, b = n.alias("a"), n.alias("b")
+    spine = a.join(
+        b, F.col("a.event_type") < F.col("b.event_type")
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.nu").alias("n_a"),
+        F.col("b.nu").alias("n_b"),
+    )
+    u1, u2 = ut.alias("u1"), ut.alias("u2")
+    inter = (
+        u1.join(
+            u2,
+            (F.col("u1.user_id") == F.col("u2.user_id"))
+            & (F.col("u1.event_type") < F.col("u2.event_type")),
+        )
+        .groupBy(
+            F.col("u1.event_type").alias("type_a"),
+            F.col("u2.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    out = spine.join(inter, ["type_a", "type_b"], "left").withColumn(
+        "n_both", F.coalesce(F.col("n_both"), F.lit(0))
+    )
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        n_union.alias("n_union"),
+        F.round(F.col("n_both").cast("double") / n_union, 6).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable binned quantiles (histogram sketch)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_histogram_quantiles",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS bin,
+             COUNT(*) AS c
+      FROM lineitem GROUP BY 1
+    ), cum AS (
+      SELECT bin, c,
+             SUM(c) OVER (ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER () AS n
+      FROM b
+    ), pcts AS (
+      SELECT unnest([50, 90, 99]) AS pct
+    )
+    SELECT p.pct, MIN(c.bin) AS bin,
+           CAST(MIN(c.bin) * 1000 AS DOUBLE) AS bin_lo
+    FROM pcts p JOIN cum c ON c.cum * 100 >= c.n * p.pct
+    GROUP BY 1
+    """,
+)
+def x_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles from a fixed-width histogram sketch — the
+    mergeable alternative to an exact global sort: per-partition bin
+    counts combine map-side (the sketch is the |bins|-row agg), the
+    cumulative pass runs over bins only, and each percentile is the
+    first bin whose cumulative count crosses ``cum·100 ≥ n·pct``
+    (integer cross-multiplication — no float boundary). The same bins
+    re-aggregate to any coarser grain without touching raw data — the
+    quantile twin of x_agg_state_rollup's mergeable-state pattern.
+    Explicit FLOOR on both engines (DuckDB casts by rounding, Spark by
+    truncation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    bins = li.groupBy(
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("bin")
+    ).agg(F.count("*").alias("c"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    spine = cum.sparkSession.createDataFrame([(50,), (90,), (99,)], "pct int")
+    return (
+        spine.join(cum, F.col("cum") * 100 >= F.col("n") * F.col("pct"))
+        .groupBy("pct")
+        .agg(
+            F.min("bin").alias("bin"),
+            (F.min("bin") * 1000).cast("double").alias("bin_lo"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perplexity-stratified curation sample
+# ---------------------------------------------------------------------------
+
+
+def _ppl_bucket_oracle() -> str:
+    # Composes the registered unigram-logprob oracle as a CTE so the
+    # two paths can never drift apart.
+    return f"""
+    WITH lp AS ({_ORACLES["tx_unigram_logprob"]}),
+    bucketed AS (
+      SELECT doc_id, avg_logprob,
+             NTILE(5) OVER (ORDER BY avg_logprob, doc_id) AS bucket
+      FROM lp
+    ), picked AS (
+      SELECT bucket, doc_id, avg_logprob,
+             ROW_NUMBER() OVER (
+               PARTITION BY bucket
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick_rank
+      FROM bucketed
+    )
+    SELECT bucket, doc_id, avg_logprob, pick_rank
+    FROM picked WHERE pick_rank <= 3
+    """
+
+
+@query("sp_ppl_bucket_mix", oracle=_ppl_bucket_oracle())
+def sp_ppl_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-stratified curation: quintile the corpus by its
+    unigram log-prob quality proxy (tx_unigram_logprob's exact score),
+    then deterministically sample 3 docs per quintile by md5(doc_id)
+    rank — the stratified take that keeps a curated subset's quality
+    mix representative instead of clipping the tails. The NTILE runs
+    over the per-doc score series (|docs| rows, post-agg — not raw
+    tokens); the per-bucket pick is one partitioned window. The md5
+    sort key is content-derived, so re-runs and engines agree."""
+    docs = _t(spark, sf_dir, "documents")
+    lp = text.unigram_logprob(docs, "text", "doc_id")
+    bucketed = lp.select(
+        "doc_id",
+        "avg_logprob",
+        F.ntile(5).over(Window.orderBy("avg_logprob", "doc_id")).alias("bucket"),
+    )
+    picked = bucketed.withColumn(
+        "pick_rank",
+        F.row_number().over(
+            Window.partitionBy("bucket").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        ),
+    )
+    return picked.filter(F.col("pick_rank") <= 3).select(
+        "bucket", "doc_id", "avg_logprob", "pick_rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@5 retrieval evaluation (IVF vs exact)
+# ---------------------------------------------------------------------------
+
+# 1/log2(rank+1) discount weights and their prefix sums, as 12dp
+# literals shared verbatim by both engines — a computed log2 could
+# differ in the last ulp between libm and the JVM.
+_NDCG_W = [1.0, 0.630929753571, 0.5, 0.430676558073, 0.386852807235]
+_NDCG_PREFIX = [round(sum(_NDCG_W[: i + 1]), 12) for i in range(len(_NDCG_W))]
+
+
+def _ndcg_oracle() -> str:
+    w_case = " ".join(
+        f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W)
+    )
+    p_case = " ".join(
+        f"WHEN {i + 1} THEN {p}" for i, p in enumerate(_NDCG_PREFIX)
+    )
+    return f"""
+    WITH exact AS (
+      SELECT * FROM ({_ORACLES["ss_cosine_topk"]}) e
+    ), approx AS (
+      SELECT * FROM ({_ORACLES["ss_ivf_topk"]}) a
+    ), rel AS (
+      SELECT a.query_id, a.rank,
+             CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM approx a LEFT JOIN exact e
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    ), dcg AS (
+      SELECT query_id,
+             SUM(rel * CAST(CASE rank {w_case} ELSE 0.0 END AS DOUBLE)) AS dcg
+      FROM rel GROUP BY 1
+    ), ideal AS (
+      SELECT query_id, COUNT(*) AS k_exact FROM exact GROUP BY 1
+    )
+    SELECT i.query_id,
+           i.k_exact,
+           ROUND(CAST(COALESCE(d.dcg, 0.0) AS DOUBLE), 6) AS dcg,
+           ROUND(CAST(COALESCE(d.dcg, 0.0) AS DOUBLE)
+                 / CAST(CASE least(i.k_exact, 5) {p_case} ELSE 1.0 END AS DOUBLE),
+                 6) AS ndcg
+    FROM ideal i LEFT JOIN dcg d USING (query_id)
+    """
+
+
+@query("ss_ndcg_eval", oracle=_ndcg_oracle())
+def ss_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of the IVF retriever against the exact cosine ranking —
+    the rank-weighted companion to ss_ivf_recall (recall treats a miss
+    at rank 1 and rank 5 the same; NDCG doesn't). Relevance is binary
+    membership in the exact top-5; discounts are literal 12dp
+    1/log2(r+1) constants on both engines (a computed log could differ
+    in the final ulp). Evaluation cost is O(|queries|·k) — one join of
+    the two result sets, never a second corpus pass."""
+    from .suite_llmops import _QUERY_IDS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, _QUERY_IDS, k=5).select(
+        F.col("query_id").alias("e_qid"), F.col("neighbor_id").alias("e_nid")
+    )
+    approx = similarity.ivf_topk(emb, _QUERY_IDS, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    w_map = F.array(*[F.lit(w) for w in _NDCG_W])
+    p_map = F.array(*[F.lit(p) for p in _NDCG_PREFIX])
+    rel = approx.join(
+        exact,
+        (F.col("query_id") == F.col("e_qid"))
+        & (F.col("neighbor_id") == F.col("e_nid")),
+        "left",
+    ).select(
+        "query_id",
+        "rank",
+        F.col("e_nid").isNotNull().cast("int").alias("rel"),
+    )
+    dcg = rel.groupBy("query_id").agg(
+        F.sum(F.col("rel") * F.element_at(w_map, F.col("rank"))).alias("dcg")
+    )
+    ideal = exact.groupBy(F.col("e_qid").alias("query_id")).agg(
+        F.count("*").alias("k_exact")
+    )
+    return ideal.join(dcg, "query_id", "left").select(
+        "query_id",
+        "k_exact",
+        F.round(F.coalesce(F.col("dcg"), F.lit(0.0)), 6).alias("dcg"),
+        F.round(
+            F.coalesce(F.col("dcg"), F.lit(0.0))
+            / F.element_at(p_map, F.least(F.col("k_exact"), F.lit(5)).cast("int")),
+            6,
+        ).alias("ndcg"),
+    )
