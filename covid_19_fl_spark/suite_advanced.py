@@ -1261,6 +1261,11 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "i", "j", (F.col("n") * F.col("gij") - F.col("mi") * F.col("mj")).alias("mij")
         )
+        # d² rows, but its lineage holds the corpus-scanning Gram pass:
+        # each round references scat and each rescale references y twice,
+        # so without truncation the mapInPandas scan replays ~2^rounds
+        # times (measured 3.7s → 1s at sf0.1).
+        .localCheckpoint(eager=False)
     )
     x = mean_.select("dim", F.lit(Q).cast("long").alias("x"))
     for _ in range(3):
@@ -1275,8 +1280,14 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.max(F.abs(F.col("y"))).cast("double") / Q).cast("long"),
             ).alias("d")
         )
-        x = y.crossJoin(F.broadcast(d)).select(
-            "dim", F.floor(F.col("y").cast("double") / F.col("d")).cast("long").alias("x")
+        x = (
+            y.crossJoin(F.broadcast(d))
+            .select(
+                "dim",
+                F.floor(F.col("y").cast("double") / F.col("d")).cast("long").alias("x"),
+            )
+            # truncate per round: x feeds the next y AND its own rescale
+            .localCheckpoint(eager=False)
         )
     first_nz = x.filter(F.col("x") != 0).agg(F.min("dim").alias("md"))
     sgn = (
@@ -1884,12 +1895,23 @@ def x_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.lit(0).cast("long").alias("dist")
     )
     for _ in range(3):
+        # The distance table is bounded by |nodes| ≪ |edges|: broadcast
+        # it so the adjacency list never crosses an exchange — the only
+        # shuffle per round is the min-combine agg. (At 100 TB with a
+        # frontier too big to broadcast, drop the hint and pre-bucket
+        # adj by u instead — the join key layout is already right.)
         frontier = (
-            dist.join(adj, dist["node"] == adj["u"])
+            F.broadcast(dist).join(adj, dist["node"] == adj["u"])
             .select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
         )
         dist = (
-            dist.unionByName(frontier).groupBy("node").agg(F.min("dist").alias("dist"))
+            dist.unionByName(frontier)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            # dist appears twice per round (itself + the frontier join);
+            # without truncation the relaxation lineage doubles each
+            # round and the e0 self-join replays 2^rounds times.
+            .localCheckpoint(eager=False)
         )
     return (
         nodes.join(dist, "node", "left")
