@@ -61,25 +61,24 @@ def bloom_build(
     ).groupBy("word_idx").agg(F.bit_or("bit").alias("mask"))
 
 
-def bloom_probe(
-    probe: DataFrame,
+def bloom_flags(
+    keys: DataFrame,
     key_col: str,
     bloom: DataFrame,
     num_bits: int = DEFAULT_BITS,
     num_hashes: int = DEFAULT_HASHES,
 ) -> DataFrame:
-    """Filter ``probe`` to rows whose key passes the Bloom filter.
+    """Per-key Bloom membership verdicts: (key, bloom_pass boolean).
 
-    Each row probes its k (word, bit) pairs against the broadcast
-    bitmask table; it survives only if ALL k bits are set (a missing
-    word row means those bits are 0). The candidate test is one
-    broadcast join + count==k agg per key — no shuffle of the probe
-    side beyond its own per-key agg, which at scale is replaced by
-    keeping the k probes as scan-stage array ops against a
-    collected-literal mask (same semantics; this DataFrame form keeps
-    the filter inspectable and the oracle exact).
+    Each key probes its k (word, bit) pairs against the broadcast
+    bitmask table and passes only if ALL k bits are set (a missing word
+    row means those bits are 0). One broadcast join + count==k agg —
+    the probe side never shuffles beyond its own per-key agg, which at
+    scale collapses into the scan stage by evaluating the k probes as
+    array ops against a collected-literal mask (same semantics; this
+    DataFrame form keeps the filter inspectable and the oracle exact).
     """
-    keyed = probe.select(F.col(key_col).alias("_k")).distinct()
+    keyed = keys.select(F.col(key_col).alias("_k")).distinct()
     probes = keyed.select(
         "_k",
         F.explode(
@@ -90,7 +89,7 @@ def bloom_probe(
         (F.col("pos") / 63).cast("long").alias("word_idx"),
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").alias("bit"),
     )
-    hits = (
+    return (
         probes.join(F.broadcast(bloom), "word_idx", "left")
         .withColumn(
             "hit",
@@ -99,8 +98,22 @@ def bloom_probe(
             ).cast("int"),
         )
         .groupBy("_k")
-        .agg(F.sum("hit").alias("n_hits"))
-        .filter(F.col("n_hits") >= num_hashes)
-        .select(F.col("_k").alias(key_col))
+        .agg((F.sum("hit") >= num_hashes).alias("bloom_pass"))
+        .select(F.col("_k").alias(key_col), "bloom_pass")
+    )
+
+
+def bloom_probe(
+    probe: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    num_bits: int = DEFAULT_BITS,
+    num_hashes: int = DEFAULT_HASHES,
+) -> DataFrame:
+    """Filter ``probe`` to rows whose key passes the Bloom filter."""
+    hits = (
+        bloom_flags(probe, key_col, bloom, num_bits, num_hashes)
+        .filter(F.col("bloom_pass"))
+        .select(key_col)
     )
     return probe.join(hits, key_col, "left_semi")

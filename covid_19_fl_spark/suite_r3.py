@@ -236,14 +236,19 @@ def x_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe_keys = li.select(F.col("l_orderkey").alias("k")).distinct()
     filt = bloom.bloom_build(build_keys, "k")
-    cand = bloom.bloom_probe(probe_keys, "k", filt)
-    verified = cand.join(build_keys, "k", "left_semi")
-    false_pos = cand.join(build_keys, "k", "left_anti")
-    return (
-        probe_keys.agg(F.count("*").alias("n_probe_keys"))
-        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
-        .crossJoin(verified.agg(F.count("*").alias("n_verified")))
-        .crossJoin(false_pos.agg(F.count("*").alias("n_false_pos")))
+    # One pass: per-key bloom verdict + exact membership, then a single
+    # conditional agg — the probe set is never re-derived per metric.
+    flags = bloom.bloom_flags(probe_keys, "k", filt)
+    verdicts = flags.join(
+        build_keys.withColumn("_m", F.lit(1)), "k", "left"
+    )
+    is_cand = F.col("bloom_pass")
+    is_member = F.col("_m").isNotNull()
+    return verdicts.agg(
+        F.count("*").alias("n_probe_keys"),
+        F.sum(is_cand.cast("long")).alias("n_candidates"),
+        F.sum((is_cand & is_member).cast("long")).alias("n_verified"),
+        F.sum((is_cand & ~is_member).cast("long")).alias("n_false_pos"),
     )
 
 
