@@ -117,6 +117,8 @@ SHOWCASE = [
     "dd_prefix_dup",
     "dd_containment_pairs",
     "sp_ppl_bucket_mix",
+    "x_rolling_corr",
+    "ml_logreg_gd",
 ]
 
 

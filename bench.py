@@ -117,6 +117,8 @@ HEADLINE = [
     "x_histogram_quantiles",
     "sp_ppl_bucket_mix",
     "ss_ndcg_eval",
+    "x_rolling_corr",
+    "ml_logreg_gd",
 ]
 
 

@@ -538,3 +538,236 @@ def ss_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ndcg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing rolling correlation of two daily series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_rolling_corr",
+    oracle="""
+    WITH d_ord AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS x
+      FROM orders GROUP BY 1
+    ), d_li AS (
+      SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS y
+      FROM lineitem GROUP BY 1
+    ), s AS (
+      SELECT o.d, o.x, l.y FROM d_ord o JOIN d_li l USING (d)
+    ), m AS (
+      SELECT d, x, y,
+             COUNT(*)    OVER w AS n,
+             SUM(x)      OVER w AS sx,
+             SUM(y)      OVER w AS sy,
+             SUM(x*y)    OVER w AS sxy,
+             SUM(x*x)    OVER w AS sxx,
+             SUM(y*y)    OVER w AS syy,
+             ROW_NUMBER() OVER (ORDER BY d) AS rn
+      FROM s
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d, x, y,
+           CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                THEN ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                           / SQRT(CAST(n*sxx - sx*sx AS DOUBLE)
+                                  * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+                ELSE NULL END AS corr30
+    FROM m WHERE rn >= 30
+    """,
+)
+def x_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day Pearson correlation between the daily order
+    count and the daily lineitem shipment count — the coupling monitor
+    between two event streams (demand vs fulfilment). All five moment
+    sums are BIGINT window aggregates over integer counts, so the only
+    float ops are the final correctly-rounded casts / sqrt / divide —
+    IEEE-identical on identical int64 moments, making an iterative-
+    looking statistic oracle-exact. Zero-variance frames yield NULL
+    (constant series have no correlation), and partial leading frames
+    (< 30 rows) are dropped. Post-agg series: the windows run over
+    |dates| rows, never raw facts; the raw tables reduce in one
+    map-combinable count agg each.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    d_ord = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count("*").alias("x")
+    )
+    d_li = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        F.count("*").alias("y")
+    )
+    s = d_ord.join(d_li, "d")
+    w = Window.orderBy("d").rowsBetween(-29, 0)
+    m = s.select(
+        "d",
+        "x",
+        "y",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.row_number().over(Window.orderBy("d")).alias("rn"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        m.filter(F.col("rn") >= 30)
+        .select(
+            "d",
+            "x",
+            "y",
+            F.when(
+                (d1 > 0) & (d2 > 0),
+                F.round(
+                    num.cast("double")
+                    / F.sqrt(d1.cast("double") * d2.cast("double")),
+                    6,
+                ),
+            ).alias("corr30"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Logistic-regression training step: full-batch GD in integer fixed point
+# ---------------------------------------------------------------------------
+
+# Fixed-point budget (documented like PageRank's): features quantize at
+# Q=1024 (|x_q| ≤ ~540 for this corpus's [-0.53, 0.46] range), weights
+# live in integer micro-units, and the pre-activation z_u = Σ x_q·w
+# stays far below 2^53, so every floored-double quotient is computed on
+# exactly-representable int64 inputs — identical in both engines.
+_LR_DIMS = 4
+_LR_EPOCHS = 3
+
+
+def _logreg_oracle(dims: int = _LR_DIMS, epochs: int = _LR_EPOCHS) -> str:
+    xs = ", ".join(
+        f"CAST(FLOOR(CAST(embedding[{d}] AS DOUBLE) * 1024) AS BIGINT) AS x{d}"
+        for d in range(1, dims + 1)
+    )
+    z = lambda w: " + ".join(f"x{d}*{w}.w{d}" for d in range(1, dims + 1))  # noqa: E731
+    parts = [
+        f"""
+    WITH feats AS (
+      SELECT vec_id, CAST(label % 2 AS BIGINT) AS y, {xs}
+      FROM embeddings
+    ), nn AS (
+      SELECT COUNT(*) AS n FROM feats
+    ), w0 AS (
+      SELECT {", ".join(f"0::BIGINT AS w{d}" for d in range(1, dims + 1))}
+    )"""
+    ]
+    for t in range(1, epochs + 1):
+        grads = ", ".join(
+            f"SUM((y*1000 - yh) * x{d}) AS g{d}" for d in range(1, dims + 1)
+        )
+        ws = ", ".join(
+            f"w{t - 1}.w{d} + CAST(FLOOR(CAST(g{t}.g{d} * 25 AS DOUBLE)"
+            f" / (256 * nn.n)) AS BIGINT) AS w{d}"
+            for d in range(1, dims + 1)
+        )
+        parts.append(f"""
+    , e{t} AS (
+      SELECT f.*, LEAST(1000::BIGINT, GREATEST(0::BIGINT,
+               500 + CAST(FLOOR(CAST({z(f"w{t - 1}")} AS DOUBLE) / 4096000.0)
+                          AS BIGINT))) AS yh
+      FROM feats f, w{t - 1}
+    ), g{t} AS (
+      SELECT {grads} FROM e{t}
+    ), w{t} AS (
+      SELECT {ws} FROM w{t - 1}, g{t}, nn
+    )""")
+    unpivot = "\n      UNION ALL ".join(
+        f"SELECT {d} AS dim, w{d} AS w_micro FROM w{epochs}"
+        for d in range(1, dims + 1)
+    )
+    return f"""{"".join(parts)}
+    SELECT dim, w_micro, CAST(w_micro AS DOUBLE) / 1000000.0 AS weight
+    FROM ({unpivot})
+    """
+
+
+@query("ml_logreg_gd", oracle=_logreg_oracle())
+def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression training (label parity vs the first 4
+    embedding dims) by 3 full-batch gradient-descent epochs, entirely
+    in integer fixed point: hard-sigmoid activation clamp(0.25z+0.5)
+    in milli-prob units, micro-unit weights, and learning-rate 0.1/n
+    folded into the exact rational 25/(256n) update — so the iterative
+    float algorithm becomes bit-reproducible and oracle-checkable
+    (PageRank/k-means/PCA's recipe applied to model training).
+
+    Scale shape per epoch: one broadcast of the |dims|-row weight
+    vector onto the feature scan, then ONE map-combinable hash agg for
+    all gradient components — the corpus never shuffles; epochs chain
+    with lazy localCheckpoints so lineage stays linear. At 100 TB this
+    is exactly mini-batch SGD's plan with the batch = the partition
+    set; momentum/Adam add more scalar state to the same 1-row frame.
+    """
+    Q = 1024
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = range(1, _LR_DIMS + 1)
+    feats = emb.select(
+        "vec_id",
+        (F.col("label") % 2).cast("long").alias("y"),
+        *[
+            F.floor(F.element_at("embedding", d).cast("double") * Q)
+            .cast("long")
+            .alias(f"x{d}")
+            for d in dims
+        ],
+    ).localCheckpoint(eager=False)
+    nn = feats.agg(F.count("*").alias("n"))
+    w = feats.sparkSession.range(1).select(
+        *[F.lit(0).cast("long").alias(f"w{d}") for d in dims]
+    )
+    for _ in range(_LR_EPOCHS):
+        z_u = sum(F.col(f"x{d}") * F.col(f"w{d}") for d in dims)
+        yh = F.least(
+            F.lit(1000).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.lit(500)
+                + F.floor(z_u.cast("double") / F.lit(4096000.0)).cast("long"),
+            ),
+        )
+        e = feats.crossJoin(F.broadcast(w)).withColumn("yh", yh)
+        g = e.agg(
+            *[
+                F.sum((F.col("y") * 1000 - F.col("yh")) * F.col(f"x{d}")).alias(
+                    f"g{d}"
+                )
+                for d in dims
+            ]
+        )
+        w = (
+            w.crossJoin(F.broadcast(g))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                *[
+                    (
+                        F.col(f"w{d}")
+                        + F.floor(
+                            (F.col(f"g{d}") * 25).cast("double")
+                            / (F.lit(256) * F.col("n"))
+                        ).cast("long")
+                    ).alias(f"w{d}")
+                    for d in dims
+                ]
+            )
+            .localCheckpoint(eager=False)
+        )
+    stacked = ", ".join(f"{d}L, w{d}" for d in dims)
+    return w.selectExpr(
+        f"stack({_LR_DIMS}, {stacked}) as (dim, w_micro)"
+    ).select(
+        "dim",
+        "w_micro",
+        (F.col("w_micro").cast("double") / 1000000.0).alias("weight"),
+    )

@@ -121,3 +121,24 @@ def test_ndcg_between_zero_and_one(spark):
     assert rows
     for r in rows:
         assert 0.0 <= r["ndcg"] <= 1.0 + 1e-9
+
+
+def test_rolling_corr_bounded(spark):
+    from covid_19_fl_spark import suite
+
+    rows = suite.QUERIES["x_rolling_corr"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r["corr30"] is not None:
+            assert -1.0 - 1e-9 <= r["corr30"] <= 1.0 + 1e-9
+
+
+def test_logreg_gd_deterministic_and_nonzero(spark):
+    """Two runs must produce bit-identical weights (the fixed-point
+    contract), and three epochs on real features must move them."""
+    from covid_19_fl_spark import suite
+
+    a = sorted(tuple(r) for r in suite.QUERIES["ml_logreg_gd"](spark, SF_SMOKE).collect())
+    b = sorted(tuple(r) for r in suite.QUERIES["ml_logreg_gd"](spark, SF_SMOKE).collect())
+    assert a == b
+    assert any(r[1] != 0 for r in a)
