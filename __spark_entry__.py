@@ -119,6 +119,8 @@ SHOWCASE = [
     "sp_ppl_bucket_mix",
     "x_rolling_corr",
     "ml_logreg_gd",
+    "dd_semantic_dedup",
+    "sp_uniform_rebalance",
 ]
 
 

@@ -119,6 +119,8 @@ HEADLINE = [
     "ss_ndcg_eval",
     "x_rolling_corr",
     "ml_logreg_gd",
+    "dd_semantic_dedup",
+    "sp_uniform_rebalance",
 ]
 
 

@@ -771,3 +771,137 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w_micro",
         (F.col("w_micro").cast("double") / 1000000.0).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style embedding near-identical pruning)
+# ---------------------------------------------------------------------------
+
+_SEM_TAU = 0.35
+
+
+def _sem_dot(a: str, b: str) -> str:
+    """Strict left-fold dot product — the exact DuckDB twin of
+    similarity.dot's ``aggregate`` fold (list_sum's summation order is
+    an implementation detail; list_reduce over the 0-seeded list is
+    not)."""
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE,"
+        f" [CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
+        f"  for i in generate_series(1, len({a}))]),"
+        f" (acc, v) -> acc + v)"
+    )
+
+
+def _semantic_dedup_oracle(tau: float = _SEM_TAU) -> str:
+    cos = (
+        f"{_sem_dot('a.embedding', 'b.embedding')}"
+        f" / (sqrt({_sem_dot('a.embedding', 'a.embedding')})"
+        f" * sqrt({_sem_dot('b.embedding', 'b.embedding')}))"
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
+             ROUND({cos}, 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND b.vec_id > a.vec_id
+    )
+    SELECT drop_id,
+           arg_min(keep_id, keep_id) AS kept_partner,
+           arg_min(cos_sim, keep_id) AS partner_cos
+    FROM pairs WHERE cos_sim >= {tau}
+    GROUP BY drop_id
+    """
+
+
+@query("dd_semantic_dedup", oracle=_semantic_dedup_oracle())
+def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning: drop any vector with a
+    lower-id near-identical partner (cosine ≥ τ) inside its coarse
+    cluster (the label — in production, the IVF cell), reporting the
+    lowest-id kept partner per dropped vector. The pairwise pass is
+    label-blocked — cells bound the quadratic term exactly like the
+    SemDeDup paper's k-means cells, and the self-join key is the
+    cluster id so each executor compares only its own cell. Cosines
+    round to 6dp BEFORE thresholding (identical boundary decisions on
+    both engines); dot products are strict left folds (aggregate ≡
+    list_reduce), so the oracle is exact, not approximate.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label").alias("lbl"),
+        F.col("vec_id").alias("keep_id"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        F.col("label").alias("lbl"),
+        F.col("vec_id").alias("drop_id"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = (
+        a.join(b, "lbl")
+        .filter(F.col("drop_id") > F.col("keep_id"))
+        .select(
+            "keep_id",
+            "drop_id",
+            F.round(similarity.cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _SEM_TAU)
+    )
+    return pairs.groupBy("drop_id").agg(
+        F.min("keep_id").alias("kept_partner"),
+        F.expr("min_by(cos_sim, keep_id)").alias("partner_cos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Uniform source rebalance (downsample every source to the smallest)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sp_uniform_rebalance",
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_orig FROM documents GROUP BY 1
+    ), quota AS (
+      SELECT MIN(n_orig) AS q FROM counts
+    ), ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS src_rank
+      FROM documents
+    )
+    SELECT r.doc_id, r.source, r.src_rank
+    FROM ranked r, quota WHERE r.src_rank <= quota.q
+    """,
+)
+def sp_uniform_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform source-mix rebalance: every source downsamples to the
+    smallest source's cardinality via a deterministic md5(doc_id) rank
+    — the heavy-tailed-crawl equalizer that precedes temperature
+    mixing (sp_temperature_mix reweights; this one hard-caps). One
+    source-partitioned rank window + a 1-row quota broadcast; the rank
+    key is content-derived, so re-runs, engines, and partitionings all
+    agree on exactly which documents survive.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_orig"))
+    quota = counts.agg(F.min("n_orig").alias("q"))
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("src_rank"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(quota))
+        .filter(F.col("src_rank") <= F.col("q"))
+        .select("doc_id", "source", "src_rank")
+    )

@@ -142,3 +142,22 @@ def test_logreg_gd_deterministic_and_nonzero(spark):
     b = sorted(tuple(r) for r in suite.QUERIES["ml_logreg_gd"](spark, SF_SMOKE).collect())
     assert a == b
     assert any(r[1] != 0 for r in a)
+
+
+def test_semantic_dedup_drops_have_lower_partner(spark):
+    from covid_19_fl_spark import suite
+
+    rows = suite.QUERIES["dd_semantic_dedup"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["kept_partner"] < r["drop_id"]
+        assert r["partner_cos"] >= 0.35
+
+
+def test_uniform_rebalance_equal_source_counts(spark):
+    from covid_19_fl_spark import suite
+
+    out = suite.QUERIES["sp_uniform_rebalance"](spark, SF_SMOKE)
+    per_src = out.groupBy("source").count().collect()
+    sizes = {r["count"] for r in per_src}
+    assert len(sizes) == 1  # every source capped to the same quota
