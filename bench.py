@@ -121,6 +121,7 @@ HEADLINE = [
     "ml_logreg_gd",
     "dd_semantic_dedup",
     "sp_uniform_rebalance",
+    "tx_chunk_udtf",
 ]
 
 

@@ -905,3 +905,28 @@ def sp_uniform_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src_rank") <= F.col("q"))
         .select("doc_id", "source", "src_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface: lateral-join chunker (codegen twin: tx_chunk_spans)
+# ---------------------------------------------------------------------------
+
+
+@query("tx_chunk_udtf", oracle=_ORACLES["tx_chunk_spans"])
+def tx_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining chunker through the Spark 4 Python UDTF surface
+    (functions/chunkudtf.py) — identical rows to tx_chunk_spans (they
+    share one oracle), via a SQL LATERAL join instead of columnar
+    HOFs. Deliberately the flexibility path: per-partition Python
+    worker round-trips that the codegen twin avoids; it exists to
+    complete the UDF/UDAF/UDTF inventory and as the template for
+    imperative tokenizers that no Column expression can express."""
+    from .functions.chunkudtf import ChunkSpansUDTF
+
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__udtf_docs")
+    spark.udtf.register("chunk_spans_udtf", ChunkSpansUDTF)
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_idx, c.start_tok, c.n_tok, c.chunk_text "
+        "FROM __udtf_docs d, LATERAL chunk_spans_udtf(d.doc_id, d.text) c"
+    )
