@@ -122,6 +122,8 @@ HEADLINE = [
     "dd_semantic_dedup",
     "sp_uniform_rebalance",
     "tx_chunk_udtf",
+    "x_cohort_ltv",
+    "mm_binary_profile",
 ]
 
 

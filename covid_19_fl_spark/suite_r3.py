@@ -930,3 +930,127 @@ def tx_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT c.doc_id, c.chunk_idx, c.start_tok, c.n_tok, c.chunk_text "
         "FROM __udtf_docs d, LATERAL chunk_spans_udtf(d.doc_id, d.text) c"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime-value curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_cohort_ltv",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             CAST(o_totalprice AS DECIMAL(28,2)) AS rev
+      FROM orders
+    ), firsts AS (
+      SELECT o_custkey,
+             MIN(date_part('year', d) * 12 + date_part('month', d)) AS cohort_m
+      FROM o GROUP BY 1
+    ), sizes AS (
+      SELECT cohort_m, COUNT(*) AS cohort_size FROM firsts GROUP BY 1
+    ), aged AS (
+      SELECT f.cohort_m,
+             (date_part('year', o.d) * 12 + date_part('month', o.d)) - f.cohort_m
+               AS age_months,
+             o.rev
+      FROM o JOIN firsts f USING (o_custkey)
+    ), agg AS (
+      SELECT cohort_m, age_months, SUM(rev) AS rev
+      FROM aged GROUP BY 1, 2
+    ), cum AS (
+      SELECT cohort_m, age_months,
+             SUM(rev) OVER (PARTITION BY cohort_m ORDER BY age_months
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_rev
+      FROM agg
+    )
+    SELECT c.cohort_m, c.age_months, s.cohort_size,
+           CAST(c.cum_rev AS DOUBLE) AS cum_revenue,
+           ROUND(CAST(c.cum_rev AS DOUBLE) / s.cohort_size, 6) AS ltv_per_customer
+    FROM cum c JOIN sizes s USING (cohort_m)
+    """,
+)
+def x_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value curve: cohorts keyed by first-order
+    month, cumulative revenue per months-since-acquisition, normalized
+    by cohort size — the LTV report behind every retention dashboard
+    (extends x_retention_cohorts from presence counts to value).
+    Revenue accumulates in DECIMAL (order-independent under any
+    partitioning — exact at 100 TB, not just for the oracle); month
+    arithmetic is pure integers (y·12+m), immune to calendar-interval
+    edge cases. Plan: one custkey shuffle for first-order months
+    (map-combinable MIN), one (cohort, age) hash agg, and a window
+    over the months-granular aggregate — the window input is
+    |cohorts|·|ages| rows, never raw orders.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_totalprice").cast("decimal(28,2)").alias("rev"),
+    )
+    mi = F.year("d") * 12 + F.month("d")
+    firsts = o.groupBy("o_custkey").agg(F.min(mi).alias("cohort_m"))
+    sizes = firsts.groupBy("cohort_m").agg(F.count("*").alias("cohort_size"))
+    aged = o.join(firsts, "o_custkey").select(
+        "cohort_m", (mi - F.col("cohort_m")).alias("age_months"), "rev"
+    )
+    agg = aged.groupBy("cohort_m", "age_months").agg(F.sum("rev").alias("rev"))
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = agg.select(
+        "cohort_m", "age_months", F.sum("rev").over(w).alias("cum_rev")
+    )
+    return cum.join(F.broadcast(sizes), "cohort_m").select(
+        "cohort_m",
+        "age_months",
+        "cohort_size",
+        F.col("cum_rev").cast("double").alias("cum_revenue"),
+        F.round(
+            F.col("cum_rev").cast("double") / F.col("cohort_size"), 6
+        ).alias("ltv_per_customer"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary-column profile (oracle-backed binary plumbing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_binary_profile",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum,
+           lower(hex(encode(substr(text, 1, 4)))) AS head_hex,
+           CAST(FLOOR(octet_length(encode(text)) / 64) AS BIGINT) AS size_bucket
+    FROM documents
+    """,
+)
+def mm_binary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload profiling — the metadata pass every media
+    pipeline runs before decode: byte length, content checksum, leading
+    "magic bytes" hex (format sniffing), and a 64-byte size bucket (the
+    batch-partitioning key for size-aware decode scheduling). The
+    payload is the document text UTF-8-encoded into a real BINARY
+    column, so every op here (length/md5/substring/hex OVER BINARY) is
+    the exact plumbing `llmops/multimodal.py` applies to image/audio
+    blobs — but expressed against corpus data so the driver can oracle
+    it (the oracle derives identical values from the text; ASCII corpus
+    ⇒ char slices == byte slices). All scan-stage Column ops — zero
+    shuffle, zero Python."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("checksum"),
+        F.lower(F.hex(F.substring(payload, 1, 4))).alias("head_hex"),
+        F.floor(F.length(payload) / 64).cast("long").alias("size_bucket"),
+    )
