@@ -124,6 +124,8 @@ SHOWCASE = [
     "tx_chunk_udtf",
     "x_cohort_ltv",
     "mm_binary_profile",
+    "x_backlog_burndown",
+    "ml_feature_matrix",
 ]
 
 

@@ -1054,3 +1054,141 @@ def mm_binary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.hex(F.substring(payload, 1, 4))).alias("head_hex"),
         F.floor(F.length(payload) / 64).cast("long").alias("size_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Backlog burndown: cumulative ordered vs shipped quantity per month
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_backlog_burndown",
+    oracle="""
+    WITH om AS (
+      SELECT date_part('year', CAST(o.o_orderdate AS DATE)) * 12
+             + date_part('month', CAST(o.o_orderdate AS DATE)) AS m,
+             SUM(CAST(l.l_quantity AS DECIMAL(28,2))) AS q
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1
+    ), sm AS (
+      SELECT date_part('year', CAST(l_shipdate AS DATE)) * 12
+             + date_part('month', CAST(l_shipdate AS DATE)) AS m,
+             SUM(CAST(l_quantity AS DECIMAL(28,2))) AS q
+      FROM lineitem GROUP BY 1
+    ), spine AS (
+      SELECT m, COALESCE(o.q, 0) AS ordered_q, COALESCE(s.q, 0) AS shipped_q
+      FROM om o FULL OUTER JOIN sm s USING (m)
+    ), cum AS (
+      SELECT m, ordered_q, shipped_q,
+             SUM(ordered_q) OVER w AS cum_ordered,
+             SUM(shipped_q) OVER w AS cum_shipped
+      FROM spine
+      WINDOW w AS (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(m AS BIGINT) AS month_idx,
+           CAST(ordered_q AS DOUBLE) AS ordered_q,
+           CAST(shipped_q AS DOUBLE) AS shipped_q,
+           CAST(cum_ordered - cum_shipped AS DOUBLE) AS open_backlog
+    FROM cum
+    """,
+)
+def x_backlog_burndown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-backlog burndown: per month, quantity ordered vs shipped
+    and the running open backlog (cumulative ordered − cumulative
+    shipped) — the order-fulfilment reconciliation every operations
+    dashboard tracks, built from two independent fact streams with
+    misaligned date domains (a FULL OUTER month spine keeps months
+    that only one side touched). Quantities accumulate in DECIMAL —
+    order-independent under any partitioning; the running difference
+    is two stacked windows over the |months|-row spine, never raw
+    facts. The order-side agg joins lineitem→orders on orderkey (the
+    co-partitioned fact-fact join; at 100 TB both sides pre-bucket on
+    orderkey and the exchange disappears)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    mo = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    om = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(mo(F.col("o_orderdate").cast("date")).alias("m"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("oq"))
+    )
+    sm = li.groupBy(mo(F.col("l_shipdate").cast("date")).alias("m")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("sq")
+    )
+    spine = (
+        om.join(sm, "m", "full_outer")
+        .select(
+            "m",
+            F.coalesce(F.col("oq"), F.lit(0).cast("decimal(28,2)")).alias("ordered_q"),
+            F.coalesce(F.col("sq"), F.lit(0).cast("decimal(28,2)")).alias("shipped_q"),
+        )
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return spine.select(
+        F.col("m").cast("long").alias("month_idx"),
+        F.col("ordered_q").cast("double").alias("ordered_q"),
+        F.col("shipped_q").cast("double").alias("shipped_q"),
+        (F.sum("ordered_q").over(w) - F.sum("shipped_q").over(w))
+        .cast("double")
+        .alias("open_backlog"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-matrix export: per-customer feature vector assembly
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_feature_matrix",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey AS custkey,
+             CAST(COUNT(*) AS DOUBLE) AS frequency,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+                  AS DOUBLE) AS monetary,
+             CAST(MAX(date_part('year', CAST(o_orderdate AS DATE)) * 12
+                      + date_part('month', CAST(o_orderdate AS DATE)))
+                  AS DOUBLE) AS last_month,
+             CAST(COUNT(DISTINCT o_orderpriority) AS DOUBLE) AS n_priorities
+      FROM orders GROUP BY 1
+    )
+    SELECT custkey,
+           [frequency, ROUND(monetary, 2), last_month, n_priorities]
+             AS features,
+           CAST(custkey % 5 = 0 AS BOOLEAN) AS holdout
+    FROM f
+    """,
+)
+def ml_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-matrix export: per-customer feature VECTOR (array
+    column) assembled from one hash agg — frequency, exact-DECIMAL
+    monetary total, last-activity month index, priority diversity —
+    plus the deterministic id-mod holdout flag (sp_split_assign's
+    recipe). The array column is the contract every downstream trainer
+    (Arrow → numpy/torch) consumes; building it takes zero extra
+    shuffles because array() is a projection over the agg output.
+    DECIMAL → 2dp round before the array so the float payload is
+    identical across engines and partitionings."""
+    orders = _t(spark, sf_dir, "orders")
+    mi = F.year(F.col("o_orderdate").cast("date")) * 12 + F.month(
+        F.col("o_orderdate").cast("date")
+    )
+    f = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").cast("double").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+        .cast("double")
+        .alias("monetary"),
+        F.max(mi).cast("double").alias("last_month"),
+        F.countDistinct("o_orderpriority").cast("double").alias("n_priorities"),
+    )
+    return f.select(
+        "custkey",
+        F.array(
+            F.col("frequency"),
+            F.round(F.col("monetary"), 2),
+            F.col("last_month"),
+            F.col("n_priorities"),
+        ).alias("features"),
+        (F.col("custkey") % 5 == 0).alias("holdout"),
+    )
