@@ -126,6 +126,8 @@ SHOWCASE = [
     "mm_binary_profile",
     "x_backlog_burndown",
     "ml_feature_matrix",
+    "ss_vector_norms",
+    "x_trimmed_mean",
 ]
 
 

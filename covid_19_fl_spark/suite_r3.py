@@ -1192,3 +1192,73 @@ def ml_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("features"),
         (F.col("custkey") % 5 == 0).alias("holdout"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pandas UDF surface: scalar (vector norms) + grouped-agg (trimmed mean)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ss_vector_norms",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_reduce(
+             list_prepend(0.0::DOUBLE,
+               [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]),
+             (acc, v) -> acc + v)), 6) AS l2
+    FROM embeddings
+    """,
+)
+def ss_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2 norms through the SCALAR pandas UDF surface
+    (functions/vectorized.py l2_norm) — Arrow batches in and out, the
+    canonical fast-Python path for logic Column expressions can't
+    express (here they could: similarity.norm is the codegen twin;
+    this query exists to exercise and pin the @pandas_udf machinery).
+    The inner fold is sequential, so the DuckDB list_reduce oracle is
+    bit-exact before the 6dp round."""
+    from .functions.vectorized import l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", F.round(l2_norm("embedding"), 6).alias("l2"))
+
+
+@query(
+    "x_trimmed_mean",
+    oracle="""
+    WITH vals AS (
+      SELECT event_type, list_sort(list(value)) AS vs
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), trimmed AS (
+      SELECT event_type,
+             CASE WHEN len(vs) - 2 * (len(vs) // 10) > 0
+                  THEN vs[(len(vs) // 10 + 1):(len(vs) - len(vs) // 10)]
+                  ELSE vs END AS mid
+      FROM vals
+    )
+    SELECT event_type,
+           ROUND(list_reduce(list_prepend(0.0::DOUBLE, mid),
+                             (acc, v) -> acc + v) / len(mid), 6)
+             AS trimmed_mean
+    FROM trimmed
+    """,
+)
+def x_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of event values per type through the
+    GROUPED_AGG pandas UDF surface — the robust location estimate no
+    built-in aggregate provides (a handful of sensor spikes cannot
+    move it, unlike AVG). The UDF sorts its group before a sequential
+    fold, making the result partition-order-independent and the
+    list_sort+list_reduce oracle bit-exact before the 6dp round. At
+    100 TB the groupBy ships each type's values to one Arrow batch —
+    for heavy groups you'd swap in the binned-quantile sketch
+    (x_histogram_quantiles) and trim by bin instead."""
+    from .functions.vectorized import trimmed_mean_10
+
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.round(trimmed_mean_10("value"), 6).alias("trimmed_mean"))
+    )
