@@ -128,6 +128,7 @@ SHOWCASE = [
     "ml_feature_matrix",
     "ss_vector_norms",
     "x_trimmed_mean",
+    "st_stream_daily_counts",
 ]
 
 

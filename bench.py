@@ -128,6 +128,7 @@ HEADLINE = [
     "ml_feature_matrix",
     "ss_vector_norms",
     "x_trimmed_mean",
+    "st_stream_daily_counts",
 ]
 
 

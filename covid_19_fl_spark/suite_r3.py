@@ -1262,3 +1262,80 @@ def x_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.round(trimmed_mean_10("value"), 6).alias("trimmed_mean"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming inside the oracle gate: availableNow daily rollup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st_stream_daily_counts",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def st_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming query under the exactness gate: the
+    daily event rollup executed as readStream → event-time tumbling
+    window → complete-mode memory sink, driven to completion with an
+    availableNow trigger. Complete mode + a drained bounded source
+    means the final sink state IS the batch aggregate — so the same
+    DuckDB SQL that oracles the batch twin (w4's plan shape) checks
+    the streaming path bit-for-bit (DECIMAL sums: replay- and
+    partition-order-independent). The 1-day window keys state by day —
+    bounded, mergeable, and at 100 TB the same plan runs unmodified
+    against a Kafka source with a watermark bounding the state store.
+    """
+    import os as _os
+    import uuid as _uuid
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    # The file stream source requires a DIRECTORY; the corpus ships
+    # single read-only files, so stage a symlink dir under /tmp (no
+    # data copy, corpus untouched).
+    stage = _os.path.join(
+        "/tmp/covid_19_fl_spark-stream", sf_dir.strip("/").replace("/", "_")
+    )
+    _os.makedirs(stage, exist_ok=True)
+    link = _os.path.join(stage, "events.parquet")
+    if not _os.path.exists(link):
+        _os.symlink(path, link)
+    # Same physical-type normalization as tables.load (nanos long vs
+    # micros timestamp_ntz), applied to the STREAM.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(stage)
+    ts_type = schema["ts"].dataType.simpleString()
+    if ts_type in ("bigint", "long"):
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type != "timestamp":
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        src.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,4)")).alias("tv"),
+        )
+    )
+    sink = f"st_daily_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    return spark.table(sink).select(
+        F.col("w.start").cast("date").alias("event_date"),
+        "n_events",
+        F.col("tv").cast("double").alias("total_value"),
+    )
