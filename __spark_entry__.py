@@ -129,6 +129,9 @@ SHOWCASE = [
     "ss_vector_norms",
     "x_trimmed_mean",
     "st_stream_daily_counts",
+    "x_funnel_latency",
+    "x_seasonal_decompose",
+    "tx_novelty_curve",
 ]
 
 

@@ -1354,3 +1354,205 @@ def st_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("tv").cast("double").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency: time-to-convert distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_funnel_latency",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_view,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_buy
+      FROM events GROUP BY 1
+    ), lags AS (
+      SELECT user_id, t_buy - t_view AS lag_us
+      FROM per_user
+      WHERE t_view IS NOT NULL AND t_buy IS NOT NULL AND t_buy >= t_view
+    ), ranked AS (
+      SELECT lag_us,
+             ROW_NUMBER() OVER (ORDER BY lag_us, user_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM lags
+    )
+    SELECT CAST((SELECT COUNT(*) FROM lags) AS BIGINT) AS n_converted,
+           CAST(MIN(CASE WHEN rk * 2 >= n THEN lag_us END) AS BIGINT)
+             AS median_lag_us,
+           CAST(MIN(CASE WHEN rk * 10 >= n * 9 THEN lag_us END) AS BIGINT)
+             AS p90_lag_us
+    FROM ranked
+    """,
+)
+def x_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, the lag from first
+    'view' to first 'purchase', summarized as exact lower median and
+    p90 — the latency follow-up to x_event_funnel's stage counts.
+    Timestamps reduce to integer epoch-microseconds (no float time
+    math), conditional MINs compute both stage times in ONE user-keyed
+    hash agg, and the percentiles use the rank-crossing integer test
+    (`rk·2 ≥ n`, x_weighted_median's recipe) over the |converted|-row
+    lag series — never percentile_cont's interpolated float. Users who
+    purchased before ever viewing are excluded (funnel order).
+    """
+    events = _t(spark, sf_dir, "events")
+    eus = F.unix_micros(F.col("ts"))
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", eus)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", eus)).alias("t_buy"),
+    )
+    lags = per_user.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") >= F.col("t_view"))
+    ).select("user_id", (F.col("t_buy") - F.col("t_view")).alias("lag_us"))
+    ranked = lags.select(
+        "lag_us",
+        F.row_number().over(Window.orderBy("lag_us", "user_id")).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.min(F.when(F.col("rk") * 2 >= F.col("n"), F.col("lag_us")))
+        .cast("long")
+        .alias("median_lag_us"),
+        F.min(F.when(F.col("rk") * 10 >= F.col("n") * 9, F.col("lag_us")))
+        .cast("long")
+        .alias("p90_lag_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekday seasonal decomposition
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ), idx AS (
+      SELECT CAST(dayofweek(d) + 1 AS BIGINT) AS dow,  -- Spark: 1=Sunday
+             SUM(n) AS dow_total, COUNT(*) AS dow_days
+      FROM daily GROUP BY 1
+    ), overall AS (
+      SELECT SUM(dow_total) AS tot, SUM(dow_days) AS days FROM idx
+    )
+    SELECT i.dow,
+           ROUND(CAST(i.dow_total AS DOUBLE) * o.days
+                 / (i.dow_days * o.tot), 6) AS seasonal_index,
+           CAST(i.dow_total AS BIGINT) AS dow_total,
+           CAST(i.dow_days AS BIGINT) AS dow_days
+    FROM idx i, overall o
+    """,
+)
+def x_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonal index of the daily order curve: mean count per
+    weekday relative to the overall daily mean, computed as ONE exact
+    integer cross-ratio `(dow_total·days)/(dow_days·tot)` — no
+    intermediate float means to disagree on, 6dp round at the very
+    end. Dividing any day's count by its weekday index deseasonalizes
+    the series (x_dow_seasonality reports shares; this produces the
+    multiplicative decomposition factor). Two tiny aggs over the
+    post-agg daily series + a 1-row broadcast."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+    idx = daily.groupBy(F.dayofweek("d").cast("long").alias("dow")).agg(
+        F.sum("n").alias("dow_total"), F.count("*").alias("dow_days")
+    )
+    overall = idx.agg(
+        F.sum("dow_total").alias("tot"), F.sum("dow_days").alias("days")
+    )
+    return idx.crossJoin(F.broadcast(overall)).select(
+        "dow",
+        F.round(
+            (F.col("dow_total").cast("double") * F.col("days"))
+            / (F.col("dow_days") * F.col("tot")),
+            6,
+        ).alias("seasonal_index"),
+        F.col("dow_total").cast("long").alias("dow_total"),
+        F.col("dow_days").cast("long").alias("dow_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus novelty curve (diversity saturation)
+# ---------------------------------------------------------------------------
+
+
+def _novelty_oracle(n: int = 3) -> str:
+    P = dedup.PORTABLE_PRIME
+    B = dedup.SHINGLE_BASE
+    horner = "ths[i]"
+    for j in range(1, n):
+        horner = f"(({horner})*{B} + ths[i+{j}]) % {P}"
+    return f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct([ {horner}
+               for i in generate_series(1, greatest(len(ths)-{n - 1}, 0)) ]) AS gs
+      FROM (SELECT doc_id,
+                   [ (('0x'||substr(md5(t),1,15))::BIGINT) % {P}
+                     for t in regexp_split_to_array(trim(text), '\\s+') ] AS ths
+            FROM documents)
+    ), dset AS (
+      SELECT doc_id, unnest(gs) AS gg FROM g
+    ), firsts AS (
+      SELECT gg, MIN(doc_id) AS first_doc FROM dset GROUP BY 1
+    ), nov AS (
+      SELECT d.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM dset d JOIN firsts f USING (gg)
+      GROUP BY 1
+    )
+    SELECT doc_id, n_grams, n_novel,
+           ROUND(CAST(n_novel AS DOUBLE) / n_grams, 6) AS novelty
+    FROM nov
+    """
+
+
+@query("tx_novelty_curve", oracle=_novelty_oracle())
+def tx_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: per document (in doc_id ingestion order),
+    the fraction of its distinct 3-gram shingles appearing for the
+    FIRST time — i.e., not present in any lower-id document. Plotted
+    over doc_id this is the diversity-saturation curve that tells a
+    data-collection effort when additional crawling stops adding
+    information (the inverse signal of boilerplate coverage). One
+    min-agg over the per-doc-distinct gram stream assigns each gram
+    its first owner; a join back + per-doc count computes novelty —
+    two map-combinable shuffles over O(distinct grams), raw text
+    scanned once. Portable Horner gram hashes ⇒ exact oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    dset = docs.select(
+        "doc_id",
+        F.explode(dedup.hashed_word_shingles(F.col("text"), 3)).alias("gg"),
+    )
+    firsts = dset.groupBy("gg").agg(F.min("doc_id").alias("first_doc"))
+    nov = (
+        dset.join(firsts, "gg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return nov.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+    )
