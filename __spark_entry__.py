@@ -132,6 +132,9 @@ SHOWCASE = [
     "x_funnel_latency",
     "x_seasonal_decompose",
     "tx_novelty_curve",
+    "x_chi2_independence",
+    "tx_lexical_diversity",
+    "dd_impact_report",
 ]
 
 

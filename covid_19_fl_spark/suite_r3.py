@@ -1556,3 +1556,181 @@ def tx_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_novel",
         F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (priority × status)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_chi2_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderpriority AS p, o_orderstatus AS s, COUNT(*) AS o
+      FROM orders GROUP BY 1, 2
+    ), rows_ AS (
+      SELECT p, SUM(o) AS rp FROM obs GROUP BY 1
+    ), cols_ AS (
+      SELECT s, SUM(o) AS cs FROM obs GROUP BY 1
+    ), tot AS (
+      SELECT SUM(o) AS n FROM obs
+    ), cells AS (
+      SELECT obs.o, rows_.rp, cols_.cs, tot.n
+      FROM obs JOIN rows_ USING (p) JOIN cols_ USING (s), tot
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(SUM(
+             CAST(CAST(o AS BIGINT) * n - rp * cs AS DOUBLE)
+             * CAST(CAST(o AS BIGINT) * n - rp * cs AS DOUBLE)
+             / (CAST(rp AS DOUBLE) * cs * n)
+           ), 6) AS chi2
+    FROM cells
+    """,
+)
+def x_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between order priority and
+    order status — the contingency-table significance test that
+    complements x_ab_test's two-sample Welch z. The statistic is
+    algebraically rearranged to keep every subtraction in BIGINT:
+    (O·n − r·c)²/(r·c·n) summed over cells equals n·Σ(O−E)²/E with
+    E = r·c/n, so the only float ops are the final correctly-rounded
+    divides — identical on identical integer cell counts in both
+    engines. One |cells|-row pipeline over three tiny margins of a
+    single hash agg; raw orders scanned once."""
+    orders = _t(spark, sf_dir, "orders")
+    obs = orders.groupBy(
+        F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
+    ).agg(F.count("*").alias("o"))
+    rows_ = obs.groupBy("p").agg(F.sum("o").alias("rp"))
+    cols_ = obs.groupBy("s").agg(F.sum("o").alias("cs"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rows_), "p")
+        .join(F.broadcast(cols_), "s")
+        .crossJoin(F.broadcast(tot))
+    )
+    dev = F.col("o").cast("long") * F.col("n") - F.col("rp") * F.col("cs")
+    return cells.agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.round(
+            F.sum(
+                dev.cast("double")
+                * dev.cast("double")
+                / (F.col("rp").cast("double") * F.col("cs") * F.col("n"))
+            ),
+            6,
+        ).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity profile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tx_lexical_diversity",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ), per_term AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM t GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS ttr,
+           ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hapax_frac
+    FROM per_term GROUP BY 1
+    """,
+)
+def tx_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document: type-token ratio and hapax
+    (once-only word) fraction — the vocabulary-richness signals that
+    separate generated/templated spam (low TTR) from natural prose,
+    complementing the repetition scores (which catch local loops, not
+    global poverty). One tokenize-explode → (doc, term) count agg →
+    per-doc rollup: both shuffles are map-side combinable, and all
+    ratios are exact-integer until one final 6dp-rounded divide."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.explode(text.words(F.lower(F.col("text")))).alias("w"),
+    )
+    per_term = t.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    return per_term.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.round(F.count("*").cast("double") / F.sum("c"), 6).alias("ttr"),
+        F.round(
+            F.sum((F.col("c") == 1).cast("long")).cast("double") / F.count("*"), 6
+        ).alias("hapax_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup impact report
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dd_impact_report",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tok,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+      FROM documents
+    ), keep AS (
+      SELECT f, MIN(doc_id) AS keep_id FROM fp GROUP BY 1
+    )
+    SELECT source,
+           COUNT(*) AS docs_before,
+           CAST(SUM(CASE WHEN k.keep_id = fp.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_after,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_before,
+           CAST(SUM(CASE WHEN k.keep_id = fp.doc_id THEN n_tok ELSE 0 END)
+                AS BIGINT) AS tokens_after,
+           ROUND(1.0 - CAST(SUM(CASE WHEN k.keep_id = fp.doc_id
+                                     THEN n_tok ELSE 0 END) AS DOUBLE)
+                       / SUM(n_tok), 6) AS token_reduction
+    FROM fp JOIN keep k USING (f)
+    GROUP BY 1
+    """,
+)
+def dd_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact accounting: per source, document and token volume
+    before vs after exact keep-first dedup, with the token-reduction
+    share — the report that justifies (or kills) a dedup stage before
+    it runs at 100 TB. The survivor test is an inline `keep_id =
+    doc_id` comparison against the fingerprint group's MIN — dedup
+    never materializes a second corpus copy, and both counters come
+    from the SAME single pass (no separate before/after scans).
+    Exact-integer token sums; one fingerprint agg + one source agg."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        text.token_count(F.col("text")).cast("long").alias("n_tok"),
+        text.fingerprint(F.col("text")).alias("f"),
+    )
+    keep = fp.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
+    joined = fp.join(keep, "f")
+    survives = (F.col("keep_id") == F.col("doc_id")).cast("long")
+    return joined.groupBy("source").agg(
+        F.count("*").alias("docs_before"),
+        F.sum(survives).cast("long").alias("docs_after"),
+        F.sum("n_tok").cast("long").alias("tokens_before"),
+        F.sum(F.col("n_tok") * survives).cast("long").alias("tokens_after"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.col("n_tok") * survives).cast("double") / F.sum("n_tok"),
+            6,
+        ).alias("token_reduction"),
+    )
