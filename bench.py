@@ -135,6 +135,9 @@ HEADLINE = [
     "x_chi2_independence",
     "tx_lexical_diversity",
     "dd_impact_report",
+    "ss_centroid_drift",
+    "x_slump_streaks",
+    "sp_epoch_shuffle",
 ]
 
 

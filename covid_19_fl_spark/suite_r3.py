@@ -1734,3 +1734,202 @@ def dd_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("token_reduction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroid drift monitor (cohort A/B of the vector corpus)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ss_centroid_drift",
+    oracle=f"""
+    WITH q AS (
+      SELECT label, (vec_id % 2) AS half,
+             CAST(i AS BIGINT) AS pos,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {int(similarity.CENTROID_Q)})
+                  AS BIGINT) AS qv
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ), sums AS (
+      SELECT label, half, pos, SUM(qv) AS sq, COUNT(*) AS n
+      FROM q GROUP BY 1, 2, 3
+    ), dims AS (
+      SELECT a.label, a.pos,
+             POW(CAST(a.sq * b.n - b.sq * a.n AS DOUBLE)
+                 / (a.n * b.n * {int(similarity.CENTROID_Q)}), 2) AS c
+      FROM sums a JOIN sums b
+        ON a.label = b.label AND a.pos = b.pos AND a.half = 0 AND b.half = 1
+    ), folded AS (
+      SELECT label,
+             list_reduce(
+               list_prepend(0.0::DOUBLE,
+                 list(c ORDER BY pos)),
+               (acc, v) -> acc + v) AS ss
+      FROM dims GROUP BY 1
+    )
+    SELECT label, ROUND(sqrt(ss), 6) AS drift_l2
+    FROM folded
+    """,
+)
+def ss_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: L2 distance between each label's
+    centroid computed on the even-id half vs the odd-id half of the
+    corpus — the check that catches an encoder change or data shift
+    before an ANN index is rebuilt on mixed vectors. Exactness: both
+    half-centroids use the quantize-sum-divide scheme (int64 sums),
+    and the per-dimension mean DIFFERENCE is the integer cross-product
+    (sqₐ·n_b − sq_b·nₐ) — no float mean is ever subtracted from
+    another. The 64 per-dim squares fold in fixed pos order (ordered
+    list_reduce ≡ sorted-array aggregate), so the sum, sqrt, and 6dp
+    round agree bit-for-bit across engines and partitionings."""
+    Q = int(similarity.CENTROID_Q)
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos0", "val"),
+    ).select(
+        "label",
+        "half",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.floor(F.col("val").cast("double") * Q).cast("long").alias("qv"),
+    )
+    sums = ex.groupBy("label", "half", "pos").agg(
+        F.sum("qv").alias("sq"), F.count("*").alias("n")
+    )
+    a = sums.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("sq").alias("sa"), F.col("n").alias("na")
+    )
+    b = sums.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("sq").alias("sb"), F.col("n").alias("nb")
+    )
+    dims = a.join(b, ["label", "pos"]).select(
+        "label",
+        "pos",
+        F.pow(
+            (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).cast("double")
+            / (F.col("na") * F.col("nb") * F.lit(Q)),
+            F.lit(2.0),
+        ).alias("c"),
+    )
+    folded = (
+        dims.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("c")))
+            ).alias("cs")
+        )
+        .select(
+            "label",
+            F.expr(
+                "aggregate(cs, CAST(0.0 AS DOUBLE), (acc, s) -> acc + s.c)"
+            ).alias("ss"),
+        )
+    )
+    return folded.select("label", F.round(F.sqrt("ss"), 6).alias("drift_l2"))
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest below-average streaks
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_slump_streaks",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT SUM(n) AS s, COUNT(*) AS days FROM daily
+    ), flagged AS (
+      SELECT d, n FROM daily, tot WHERE n * days < s
+    ), islands AS (
+      SELECT d, d - CAST(ROW_NUMBER() OVER (ORDER BY d) AS INTEGER) AS grp
+      FROM flagged
+    )
+    SELECT MIN(d) AS streak_start, MAX(d) AS streak_end,
+           CAST(COUNT(*) AS BIGINT) AS streak_days
+    FROM islands GROUP BY grp
+    HAVING COUNT(*) >= 5
+    """,
+)
+def x_slump_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of ≥5 consecutive below-average
+    days in the daily order curve — the classic consecutive-streak
+    detection (slumps, outages, heatwaves) that needs no iteration:
+    `date − row_number` is constant exactly within a consecutive run,
+    so one ranking window + one group-by finds every island. The
+    below-average test is the integer cross-multiplication n·days <
+    total (no float mean); everything runs on the post-agg daily
+    series."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+    tot = daily.agg(F.sum("n").alias("s"), F.count("*").alias("days"))
+    flagged = daily.crossJoin(F.broadcast(tot)).filter(
+        F.col("n") * F.col("days") < F.col("s")
+    )
+    islands = flagged.select(
+        "d",
+        F.date_sub(
+            F.col("d"), F.row_number().over(Window.orderBy("d"))
+        ).alias("grp"),
+    )
+    return (
+        islands.groupBy("grp")
+        .agg(
+            F.min("d").alias("streak_start"),
+            F.max("d").alias("streak_end"),
+            F.count("*").cast("long").alias("streak_days"),
+        )
+        .filter(F.col("streak_days") >= 5)
+        .drop("grp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-epoch shuffle
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sp_epoch_shuffle",
+    oracle="""
+    WITH epochs AS (SELECT unnest([0, 1]) AS epoch)
+    SELECT e.epoch, d.doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.epoch
+             ORDER BY md5(CAST(e.epoch AS VARCHAR) || '-'
+                          || CAST(d.doc_id AS VARCHAR)), d.doc_id)
+             AS position
+    FROM documents d, epochs e
+    """,
+)
+def sp_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training shuffle: every epoch orders the
+    corpus by md5(epoch‖doc_id) — a different but fully reproducible
+    permutation per epoch, the property data-loading at scale needs
+    (any worker can recompute any epoch's order without coordination
+    or a stored permutation; resume-from-step is just a rank filter).
+    The rank key is content-derived like sp_weighted_sample's, so
+    engines, reruns, and partitionings agree exactly. At 100 TB the
+    global ROW_NUMBER becomes the two-phase sharded rank
+    (x_equidepth_histogram's decomposition) — position is still
+    deterministic, never a stored shuffle file."""
+    docs = _t(spark, sf_dir, "documents")
+    epochs = docs.sparkSession.createDataFrame([(0,), (1,)], "epoch int")
+    crossed = docs.select("doc_id").crossJoin(F.broadcast(epochs))
+    key = F.md5(
+        F.concat(
+            F.col("epoch").cast("string"), F.lit("-"), F.col("doc_id").cast("string")
+        )
+    )
+    return crossed.select(
+        "epoch",
+        "doc_id",
+        F.row_number()
+        .over(Window.partitionBy("epoch").orderBy(key, "doc_id"))
+        .alias("position"),
+    )
