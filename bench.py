@@ -138,6 +138,8 @@ HEADLINE = [
     "ss_centroid_drift",
     "x_slump_streaks",
     "sp_epoch_shuffle",
+    "x_wilson_ci",
+    "x_kaplan_meier",
 ]
 
 

@@ -1933,3 +1933,180 @@ def sp_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("epoch").orderBy(key, "doc_id"))
         .alias("position"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson score interval for a proportion
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_wilson_ci",
+    oracle="""
+    WITH agg AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, n, k,
+           ROUND(CAST(k AS DOUBLE) / n, 6) AS p_hat,
+           ROUND(((CAST(k AS DOUBLE) / n) + 1.92199044/n
+                  - 1.959964 * sqrt((CAST(k AS DOUBLE)/n)
+                                    * (1.0 - CAST(k AS DOUBLE)/n)/n
+                                    + 0.96099522/(n*CAST(n AS DOUBLE))))
+                 / (1.0 + 3.84398088/n), 6) AS wilson_lo,
+           ROUND(((CAST(k AS DOUBLE) / n) + 1.92199044/n
+                  + 1.959964 * sqrt((CAST(k AS DOUBLE)/n)
+                                    * (1.0 - CAST(k AS DOUBLE)/n)/n
+                                    + 0.96099522/(n*CAST(n AS DOUBLE))))
+                 / (1.0 + 3.84398088/n), 6) AS wilson_hi
+    FROM agg
+    """,
+)
+def x_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Wilson score interval for the finished-order rate per
+    priority — the proportion CI that stays inside [0,1] and behaves
+    at small n where the naive normal interval fails (the estimator
+    every conversion-rate dashboard should use). z and its powers are
+    12dp LITERALS shared by both engines (z=1.959964, z²=3.84398088,
+    z²/2=1.92199044, z²/4=0.96099522) — a computed normal quantile
+    could differ in the last ulp; with literals every remaining op is
+    correctly-rounded IEEE on identical inputs. One hash agg; the CI
+    math runs on the |priorities|-row output."""
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("o_orderstatus") == "F").cast("long")).cast("long").alias("k"),
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    z, z2, z2h, z2q = 1.959964, 3.84398088, 1.92199044, 0.96099522
+    rad = F.sqrt(
+        p * (F.lit(1.0) - p) / F.col("n")
+        + F.lit(z2q) / (F.col("n") * F.col("n").cast("double"))
+    )
+    denom = F.lit(1.0) + F.lit(z2) / F.col("n")
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        "k",
+        F.round(p, 6).alias("p_hat"),
+        F.round((p + F.lit(z2h) / F.col("n") - F.lit(z) * rad) / denom, 6).alias(
+            "wilson_lo"
+        ),
+        F.round((p + F.lit(z2h) / F.col("n") + F.lit(z) * rad) / denom, 6).alias(
+            "wilson_hi"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve of customer activity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_kaplan_meier",
+    oracle="""
+    WITH span AS (
+      SELECT o_custkey,
+             MIN(date_part('year', CAST(o_orderdate AS DATE)) * 12
+                 + date_part('month', CAST(o_orderdate AS DATE))) AS m0,
+             MAX(date_part('year', CAST(o_orderdate AS DATE)) * 12
+                 + date_part('month', CAST(o_orderdate AS DATE))) AS m1
+      FROM orders GROUP BY 1
+    ), horizon AS (
+      SELECT MAX(m1) AS mh FROM span
+    ), subj AS (
+      SELECT o_custkey, CAST(m1 - m0 AS BIGINT) AS t,
+             (m1 < horizon.mh - 3) AS observed
+      FROM span, horizon
+    ), risk AS (
+      SELECT t,
+             CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS ct
+      FROM subj GROUP BY t
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subj
+    ), tbl AS (
+      SELECT t, d,
+             tot.n - COALESCE(SUM(ct) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS at_risk
+      FROM risk, tot
+    ), factors AS (
+      SELECT t, d, at_risk,
+             1.0 - CAST(d AS DOUBLE) / at_risk AS f
+      FROM tbl WHERE d > 0
+    ), folded AS (
+      SELECT t, d, at_risk,
+             list_reduce(
+               list_prepend(1.0::DOUBLE,
+                 list(f) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+               (acc, v) -> acc * v) AS s
+      FROM factors
+    )
+    SELECT CAST(t AS BIGINT) AS t_months, at_risk, d AS events,
+           ROUND(s, 6) AS survival
+    FROM folded
+    """,
+)
+def x_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer activity lifetime
+    (months between first and last order), with right-censoring:
+    customers still ordering within 3 months of the corpus horizon are
+    censored (their true lifetime is unknown — exactly the situation
+    KM exists for; dropping them would bias survival down). The
+    product-limit estimator Π(1 − dᵢ/nᵢ) is a PREFIX PRODUCT over
+    event times — computed as an ordered left fold over the collected
+    factor series (Holt's recipe with × instead of +), bit-identical
+    to the oracle's windowed list_reduce; at-risk counts come from one
+    prefix-sum window over the |lifetimes|-row table. Subject
+    reduction is one custkey hash agg; everything downstream is
+    post-agg scale."""
+    orders = _t(spark, sf_dir, "orders")
+    mi = F.year(F.col("o_orderdate").cast("date")) * 12 + F.month(
+        F.col("o_orderdate").cast("date")
+    )
+    span = orders.groupBy("o_custkey").agg(
+        F.min(mi).alias("m0"), F.max(mi).alias("m1")
+    )
+    horizon = span.agg(F.max("m1").alias("mh"))
+    subj = span.crossJoin(F.broadcast(horizon)).select(
+        (F.col("m1") - F.col("m0")).cast("long").alias("t"),
+        (F.col("m1") < F.col("mh") - 3).alias("observed"),
+    )
+    risk = subj.groupBy("t").agg(
+        F.sum(F.col("observed").cast("long")).cast("long").alias("d"),
+        F.count("*").cast("long").alias("ct"),
+    )
+    tot = subj.agg(F.count("*").cast("long").alias("n"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    tbl = risk.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (F.col("n") - F.coalesce(F.sum("ct").over(w_prev), F.lit(0))).alias(
+            "at_risk"
+        ),
+    )
+    factors = tbl.filter(F.col("d") > 0).select(
+        "t",
+        "d",
+        "at_risk",
+        (F.lit(1.0) - F.col("d").cast("double") / F.col("at_risk")).alias("f"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    folded = factors.withColumn(
+        "fs", F.collect_list("f").over(w_cum)
+    ).withColumn(
+        "s",
+        F.expr("aggregate(fs, CAST(1.0 AS DOUBLE), (acc, v) -> acc * v)"),
+    )
+    return folded.select(
+        F.col("t").alias("t_months"),
+        "at_risk",
+        F.col("d").alias("events"),
+        F.round("s", 6).alias("survival"),
+    )
