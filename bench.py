@@ -140,6 +140,8 @@ HEADLINE = [
     "sp_epoch_shuffle",
     "x_wilson_ci",
     "x_kaplan_meier",
+    "x_mann_whitney",
+    "dd_minhash_calibration",
 ]
 
 

@@ -2110,3 +2110,190 @@ def x_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("events"),
         F.round("s", 6).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test (nonparametric two-sample)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_mann_whitney",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value,
+             RANK() OVER (ORDER BY value) AS rk,
+             COUNT(*) OVER (PARTITION BY value) AS tc
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ), sums AS (
+      SELECT
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n1,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n2,
+        CAST(SUM(CASE WHEN event_type = 'click'
+                      THEN 2 * rk + tc - 1 ELSE 0 END) AS BIGINT) AS r1x2
+      FROM s
+    )
+    SELECT n1, n2,
+           CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           ROUND((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2 - CAST(n1 AS DOUBLE) * n2 / 2)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1) / 12), 6) AS z
+    FROM sums
+    """,
+)
+def x_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test: do 'click' and 'view' event
+    values come from the same distribution? — the nonparametric
+    complement to x_ab_test's Welch z (no normality assumption; robust
+    to the heavy tails real metric streams have). Tie handling is
+    EXACT-integer: the doubled average rank of a tie group is
+    2·min_rank + ties − 1, so the doubled rank sum R1×2 and doubled
+    statistic U1×2 stay BIGINT end-to-end; the normal-approximation z
+    divides int64-exact quantities with correctly-rounded float ops
+    only at the very end (no tie-variance correction — stated, and
+    identical on both engines). One global ranking window over the
+    filtered series + one conditional hash agg."""
+    events = _t(spark, sf_dir, "events")
+    s = events.filter(
+        F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        "value",
+        F.rank().over(Window.orderBy("value")).alias("rk"),
+        F.count("*").over(Window.partitionBy("value")).alias("tc"),
+    )
+    sums = s.agg(
+        F.sum((F.col("event_type") == "click").cast("long")).cast("long").alias("n1"),
+        F.sum((F.col("event_type") == "view").cast("long")).cast("long").alias("n2"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "click",
+                2 * F.col("rk") + F.col("tc") - 1,
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("r1x2"),
+    )
+    u1x2 = F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)
+    return sums.select(
+        "n1",
+        "n2",
+        u1x2.cast("long").alias("u1_x2"),
+        F.round(
+            (u1x2.cast("double") / 2 - F.col("n1").cast("double") * F.col("n2") / 2)
+            / F.sqrt(
+                F.col("n1").cast("double")
+                * F.col("n2")
+                * (F.col("n1") + F.col("n2") + 1)
+                / 12
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration (estimated vs exact Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def _mh_calibration_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    from .suite_llmops import _MH_JAC, _minhash_ctes
+
+    eq = " + ".join(
+        f"CASE WHEN sga.h{k} = sgb.h{k} THEN 1 ELSE 0 END"
+        for k in range(num_hashes)
+    )
+    return f"""
+    WITH {_minhash_ctes("documents", num_hashes, bands)}
+    SELECT c.id_a, c.id_b,
+           ROUND(CAST({eq} AS DOUBLE) / {num_hashes}, 6) AS est_jaccard,
+           ROUND({_MH_JAC}, 6) AS exact_jaccard,
+           ROUND(ABS(CAST({eq} AS DOUBLE) / {num_hashes} - ({_MH_JAC})), 6)
+             AS abs_err
+    FROM cand c
+    JOIN sigs sga ON sga.doc_id = c.id_a
+    JOIN sigs sgb ON sgb.doc_id = c.id_b
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    """
+
+
+@query("dd_minhash_calibration", oracle=_mh_calibration_oracle())
+def dd_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every LSH candidate pair,
+    the signature-agreement estimate (#equal components / 32) next to
+    the exact shingle-set Jaccard and their absolute error — the
+    trust-the-sketch report (ss_ivf_recall's role, for the dedup
+    family): it tells you empirically whether 32 hashes suffice at
+    your similarity threshold before you commit a 100 TB dedup run to
+    the sketch. Signatures and exact sets come from ONE shared
+    shingle base (no re-shingling); the estimate k/32 is a dyadic
+    rational — float-exact on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id"),
+        dedup.hashed_word_shingles(F.col("text"), 3).alias("shingles"),
+    ).cache()
+    banded = dedup.minhash_bands(base, num_hashes=32, bands=8)
+    a = banded.select(F.col("doc_id").alias("id_a"), "band_idx", "band_hash")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band_idx", "band_hash")
+    cand = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_b") > F.col("id_a"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # Signature arrays from the SAME shingle base (per-row seeded mins).
+    sig = base.select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("shingles"),
+                        (lambda kk: (lambda h: (F.lit(dedup.affine_consts(kk)[0]) * h
+                                                + F.lit(dedup.affine_consts(kk)[1]))
+                         % F.lit(dedup.PORTABLE_PRIME)))(k),
+                    )
+                )
+                for k in range(32)
+            ]
+        ).alias("sig"),
+    )
+    sh = base.select("doc_id", "shingles")
+    j = (
+        cand.join(
+            sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+    )
+    eq = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    est = eq.cast("double") / 32
+    exact = dedup.jaccard(F.col("sh_a"), F.col("sh_b"))
+    return j.select(
+        "id_a",
+        "id_b",
+        F.round(est, 6).alias("est_jaccard"),
+        F.round(exact, 6).alias("exact_jaccard"),
+        F.round(F.abs(est - exact), 6).alias("abs_err"),
+    )
