@@ -142,6 +142,8 @@ HEADLINE = [
     "x_kaplan_meier",
     "x_mann_whitney",
     "dd_minhash_calibration",
+    "x_degree_distribution",
+    "x_lorenz_deciles",
 ]
 
 

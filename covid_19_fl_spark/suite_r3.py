@@ -2297,3 +2297,122 @@ def dd_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exact, 6).alias("exact_jaccard"),
         F.round(F.abs(est - exact), 6).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph degree distribution (co-order parts graph)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_degree_distribution",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0
+    ), e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), adj AS (
+      SELECT u FROM e0 UNION ALL SELECT v FROM e0
+    ), deg AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS degree FROM adj GROUP BY 1
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1
+    """,
+)
+def x_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-order parts graph — the
+    histogram that decides every downstream graph plan: max degree
+    bounds triangle-join skew (x_triangle_count), the tail shape says
+    whether PageRank needs salting, and a power-law check here is the
+    5-second pre-flight before committing a 100 TB graph shuffle.
+    Two map-combinable count aggs over the edge list (each endpoint
+    contributes once — degree = incident edge count); the histogram
+    is |distinct degrees| rows."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    adj = e0.select("u").unionAll(e0.select(F.col("v").alias("u")))
+    deg = adj.groupBy("u").agg(F.count("*").cast("long").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").cast("long").alias("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve deciles (spend concentration table)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_lorenz_deciles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS s
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT s, NTILE(10) OVER (ORDER BY s, o_custkey) AS decile
+      FROM spend
+    ), agg AS (
+      SELECT decile, SUM(s) AS ds, COUNT(*) AS n FROM ranked GROUP BY 1
+    ), cum AS (
+      SELECT decile, ds, n,
+             SUM(ds) OVER (ORDER BY decile
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_s,
+             SUM(ds) OVER () AS tot_s
+      FROM agg
+    )
+    SELECT decile, CAST(n AS BIGINT) AS n_customers,
+           CAST(ds AS DOUBLE) AS decile_spend,
+           ROUND(CAST(cum_s AS DOUBLE) / CAST(tot_s AS DOUBLE), 6)
+             AS cum_share
+    FROM cum
+    """,
+)
+def x_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer spend by decile: the cumulative-share
+    table behind x_gini_spend's single coefficient (the Gini is 1−2·∫
+    of exactly this curve) — what an analyst actually plots. Spend
+    accumulates in DECIMAL; the NTILE runs over the per-customer
+    aggregate (|customers| rows, custkey tiebreak → deterministic
+    decile boundaries); shares round to 6dp after one exact cumulative
+    window over 10 rows."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("s")
+    )
+    ranked = spend.select(
+        "s", F.ntile(10).over(Window.orderBy("s", "o_custkey")).alias("decile")
+    )
+    agg = ranked.groupBy("decile").agg(
+        F.sum("s").alias("ds"), F.count("*").alias("n")
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = agg.select(
+        "decile",
+        "ds",
+        "n",
+        F.sum("ds").over(w).alias("cum_s"),
+        F.sum("ds").over(Window.partitionBy()).alias("tot_s"),
+    )
+    return cum.select(
+        "decile",
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("ds").cast("double").alias("decile_spend"),
+        F.round(
+            F.col("cum_s").cast("double") / F.col("tot_s").cast("double"), 6
+        ).alias("cum_share"),
+    )
