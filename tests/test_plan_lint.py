@@ -1,0 +1,27 @@
+"""Plan-pathology lint over the ENTIRE suite: no query may plan a
+CartesianProduct (the all-pairs physical join that turns a 100 TB run
+into n² work). Every cross-ish shape in the engine is either a
+broadcast nested-loop over a tiny side (1-row aggregates, spines) or
+an equi-join on band/bucket/block keys — this test keeps it that way
+as the suite grows.
+"""
+
+from __future__ import annotations
+
+from covid_19_fl_spark import suite
+
+from .conftest import SF_SMOKE
+
+
+def test_no_cartesian_products(spark):
+    offenders = []
+    for name, fn in suite.QUERIES.items():
+        if name.startswith("st_"):
+            continue  # streaming queries execute on construction
+        try:
+            plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        except Exception:  # noqa: BLE001 — runnability is tested elsewhere
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products planned in: {offenders}"
