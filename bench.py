@@ -144,6 +144,8 @@ HEADLINE = [
     "dd_minhash_calibration",
     "x_degree_distribution",
     "x_lorenz_deciles",
+    "sp_pps_systematic",
+    "x_revenue_waterfall",
 ]
 
 

@@ -2416,3 +2416,139 @@ def x_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_s").cast("double") / F.col("tot_s").cast("double"), 6
         ).alias("cum_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Systematic PPS sampling (probability proportional to size)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sp_pps_systematic",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS tok
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, tok,
+             SUM(tok) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             SUM(tok) OVER () AS tw
+      FROM w
+    )
+    SELECT doc_id, tok,
+           CAST((cw * 50) // tw - ((cw - tok) * 50) // tw AS BIGINT) AS n_hits
+    FROM cum
+    WHERE (cw * 50) // tw > ((cw - tok) * 50) // tw
+    """,
+)
+def sp_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: 50 picks
+    along the cumulative token axis — a document is selected (possibly
+    multiple times) iff an integer multiple of total/50 falls inside
+    its token span, i.e. `floor(cw·50/tw) > floor((cw−tok)·50/tw)`.
+    Pure BIGINT cumulative sums and integer division — no random
+    state, no float boundary — so engines, reruns, and partitionings
+    pick the SAME documents; big documents are proportionally more
+    likely, the property curriculum token budgets want (complements
+    sp_weighted_sample's randomized A-ES with the deterministic
+    systematic design). One prefix-sum window over the |docs| series.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", text.token_count(F.col("text")).cast("long").alias("tok")
+    )
+    win = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = w.select(
+        "doc_id",
+        "tok",
+        F.sum("tok").over(win).alias("cw"),
+        F.sum("tok").over(Window.partitionBy()).alias("tw"),
+    )
+    # Integer division on both sides: Spark `div`, DuckDB `//` — a
+    # float `/` would turn the pick test into a rounding lottery.
+    hi_i = F.expr("(cw * 50) div tw")
+    lo_i = F.expr("((cw - tok) * 50) div tw")
+    return (
+        cum.withColumn("n_hits", (hi_i - lo_i).cast("long"))
+        .filter(F.col("n_hits") > 0)
+        .select("doc_id", "tok", "n_hits")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Revenue waterfall (month-over-month bridge by priority)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_revenue_waterfall",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority AS seg,
+             date_part('year', CAST(o_orderdate AS DATE)) * 12
+             + date_part('month', CAST(o_orderdate AS DATE)) AS mi,
+             SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    ), latest AS (
+      SELECT MAX(mi) AS m1 FROM m
+    ), pair AS (
+      SELECT seg,
+             SUM(CASE WHEN mi = latest.m1 THEN rev ELSE 0 END) AS rev_now,
+             SUM(CASE WHEN mi = latest.m1 - 1 THEN rev ELSE 0 END) AS rev_prev
+      FROM m, latest GROUP BY seg, latest.m1
+    )
+    SELECT seg,
+           CAST(rev_prev AS DOUBLE) AS rev_prev,
+           CAST(rev_now AS DOUBLE) AS rev_now,
+           CAST(rev_now - rev_prev AS DOUBLE) AS delta,
+           CAST(SUM(rev_now - rev_prev) OVER (
+             ORDER BY seg ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS running_bridge
+    FROM pair
+    """,
+)
+def x_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue waterfall: per priority segment, the
+    latest month's revenue vs the prior month's, the delta, and the
+    running bridge (so the last row's running_bridge IS the total MoM
+    change — the decomposition every exec dashboard draws as a
+    waterfall chart). Segment deltas are DECIMAL-exact; the 1-row
+    latest-month anchor broadcasts; the bridge is a 5-row window.
+    Conditional SUMs pull both months from ONE pass over the monthly
+    aggregate — no self-join of the fact table."""
+    orders = _t(spark, sf_dir, "orders")
+    mi = F.year(F.col("o_orderdate").cast("date")) * 12 + F.month(
+        F.col("o_orderdate").cast("date")
+    )
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("seg"), mi.alias("mi")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("rev"))
+    latest = m.agg(F.max("mi").alias("m1"))
+    zero = F.lit(0).cast("decimal(28,2)")
+    pair = (
+        m.crossJoin(F.broadcast(latest))
+        .groupBy("seg")
+        .agg(
+            F.sum(
+                F.when(F.col("mi") == F.col("m1"), F.col("rev")).otherwise(zero)
+            ).alias("rev_now"),
+            F.sum(
+                F.when(F.col("mi") == F.col("m1") - 1, F.col("rev")).otherwise(zero)
+            ).alias("rev_prev"),
+        )
+    )
+    wb = Window.orderBy("seg").rowsBetween(Window.unboundedPreceding, 0)
+    return pair.select(
+        "seg",
+        F.col("rev_prev").cast("double").alias("rev_prev"),
+        F.col("rev_now").cast("double").alias("rev_now"),
+        (F.col("rev_now") - F.col("rev_prev")).cast("double").alias("delta"),
+        F.sum(F.col("rev_now") - F.col("rev_prev"))
+        .over(wb)
+        .cast("double")
+        .alias("running_bridge"),
+    )
