@@ -146,6 +146,7 @@ HEADLINE = [
     "x_lorenz_deciles",
     "sp_pps_systematic",
     "x_revenue_waterfall",
+    "x_column_profile",
 ]
 
 

@@ -2552,3 +2552,83 @@ def x_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_bridge"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profiler (per-column statistics, the ANALYZE surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_column_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col, COUNT(*) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*),
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*),
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(ROUND(MIN(o_totalprice), 2) AS VARCHAR),
+           CAST(ROUND(MAX(o_totalprice), 2) AS VARCHAR)
+    FROM orders
+    """,
+)
+def x_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiler — per-column row/null/distinct counts and
+    min/max rendered to strings (the ANALYZE TABLE statistics a
+    cost-based optimizer feeds on, and the drift baseline a data
+    contract monitors): all four columns profile in ONE aggregation
+    pass (Spark rewrites the multi-distinct agg with a single expand —
+    never four scans like the oracle's UNION spells it), then unpivot
+    to the (col, stats) long form via stack. Numeric min/max round to
+    2dp before rendering so the string forms agree across engines.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count("*").alias("n"),
+        *[
+            e
+            for c in ("o_custkey", "o_orderpriority", "o_orderstatus")
+            for e in (
+                F.count(c).alias(f"cnt_{c}"),
+                F.countDistinct(c).alias(f"nd_{c}"),
+                F.min(c).cast("string").alias(f"mn_{c}"),
+                F.max(c).cast("string").alias(f"mx_{c}"),
+            )
+        ],
+        F.count("o_totalprice").alias("cnt_o_totalprice"),
+        F.countDistinct("o_totalprice").alias("nd_o_totalprice"),
+        F.round(F.min("o_totalprice"), 2).cast("string").alias("mn_o_totalprice"),
+        F.round(F.max("o_totalprice"), 2).cast("string").alias("mx_o_totalprice"),
+    )
+    rows = ", ".join(
+        f"'{c}', n - cnt_{c}, nd_{c}, mn_{c}, mx_{c}"
+        for c in ("o_custkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
+    )
+    return agg.selectExpr(
+        "n",
+        f"stack(4, {rows}) AS (col, n_null, n_distinct, min_val, max_val)",
+    ).select(
+        "col",
+        F.col("n").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_val",
+        "max_val",
+    )
