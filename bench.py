@@ -147,6 +147,8 @@ HEADLINE = [
     "sp_pps_systematic",
     "x_revenue_waterfall",
     "x_column_profile",
+    "x_dau_wau_stickiness",
+    "dd_nearest_doc",
 ]
 
 

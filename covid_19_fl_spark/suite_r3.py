@@ -2632,3 +2632,147 @@ def x_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_val",
         "max_val",
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU stickiness (sliding-window distinct users)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_dau_wau_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), dau AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+    ), covered AS (
+      SELECT DISTINCT user_id, d + CAST(i AS INTEGER) AS wd
+      FROM ud, UNNEST(generate_series(0, 6)) AS t(i)
+    ), wau AS (
+      SELECT wd AS d, CAST(COUNT(*) AS BIGINT) AS wau
+      FROM covered GROUP BY 1
+    )
+    SELECT dau.d, dau.dau, wau.wau,
+           ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau USING (d)
+    """,
+)
+def x_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU stickiness per day — the engagement
+    ratio every product dashboard tracks, and the canonical HARD
+    sliding-window problem: COUNT(DISTINCT) is not mergeable across
+    window panes, so no window-function trick applies. The engine uses
+    the coverage expansion: each (user, active-day) pair emits the 7
+    window-end days it contributes to, then one distinct + count —
+    turning sliding-distinct into two exact hash aggs with a bounded
+    7× fan-out (at 100 TB this beats per-day set unions by being
+    fully map-side combinable; for 90-day windows you'd switch to the
+    HLL sketch rollup and accept the error bound). Days whose window
+    precedes the corpus simply report the users seen so far (partial
+    leading windows kept, exactly as both engines compute them)."""
+    events = _t(spark, sf_dir, "events")
+    ud = events.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    dau = ud.groupBy("d").agg(F.count("*").cast("long").alias("dau"))
+    covered = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+            "d",
+        )
+        .select("user_id", F.date_add("d", F.col("i")).alias("d"))
+        .distinct()
+    )
+    wau = covered.groupBy("d").agg(F.count("*").cast("long").alias("wau"))
+    return dau.join(wau, "d").select(
+        "d",
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-neighbor document graph (argmax Jaccard per doc)
+# ---------------------------------------------------------------------------
+
+
+def _nearest_doc_oracle(id_window: int = 100, n: int = 3) -> str:
+    P = dedup.PORTABLE_PRIME
+    B = dedup.SHINGLE_BASE
+    horner = "ths[i]"
+    for j in range(1, n):
+        horner = f"(({horner})*{B} + ths[i+{j}]) % {P}"
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct([ {horner}
+               for i in generate_series(1, greatest(len(ths)-{n - 1}, 0)) ]) AS hs
+      FROM (SELECT doc_id, lang,
+                   [ (('0x'||substr(md5(t),1,15))::BIGINT) % {P}
+                     for t in regexp_split_to_array(trim(text), '\\s+') ] AS ths
+            FROM documents)
+    ), pr AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst,
+             ROUND(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.hs, b.hs))), 6) AS jac
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.doc_id <> b.doc_id
+       AND abs(a.doc_id - b.doc_id) <= {id_window}
+    )
+    SELECT doc_id, nearest_doc, nearest_jaccard FROM (
+      SELECT src AS doc_id, dst AS nearest_doc, jac AS nearest_jaccard,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY jac DESC, dst ASC) AS rn
+      FROM pr
+    ) WHERE rn = 1
+    """
+
+
+@query("dd_nearest_doc", oracle=_nearest_doc_oracle())
+def dd_nearest_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor document graph: for every doc, its most
+    similar block-mate by exact shingle Jaccard (ties broken by lowest
+    id) — the doc-level kNN edge list that feeds cluster-based
+    curation and diversity-aware sampling. Candidates come from the
+    same lang + |Δid| ≤ 100 banding as the pair queries, but the
+    argmax makes this a per-NODE reduction: `max_by(dst, (jac, -dst))`
+    over each doc's candidate set — one hash agg, no window. 6dp
+    rounding before the argmax keeps tie decisions engine-identical.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    shingled = docs.select(
+        "doc_id",
+        "lang",
+        dedup.hashed_word_shingles(F.col("text"), 3).alias("hs"),
+    )
+    a = shingled.select(
+        F.col("doc_id").alias("src"), F.col("lang").alias("blk"), F.col("hs").alias("hs_a"),
+        F.floor(F.col("doc_id") / 100).alias("band"),
+    )
+    b = shingled.select(
+        F.col("doc_id").alias("dst"), F.col("lang").alias("blk"), F.col("hs").alias("hs_b"),
+        F.explode(
+            F.array(
+                F.floor(F.col("doc_id") / 100) - 1,
+                F.floor(F.col("doc_id") / 100),
+                F.floor(F.col("doc_id") / 100) + 1,
+            )
+        ).alias("band"),
+    )
+    pr = (
+        a.join(b, ["blk", "band"])
+        .filter(
+            (F.col("src") != F.col("dst"))
+            & (F.abs(F.col("src") - F.col("dst")) <= 100)
+        )
+        .select(
+            "src",
+            "dst",
+            F.round(dedup.jaccard(F.col("hs_a"), F.col("hs_b")), 6).alias("jac"),
+        )
+    )
+    return pr.groupBy(F.col("src").alias("doc_id")).agg(
+        F.expr("max_by(dst, struct(jac, -dst))").alias("nearest_doc"),
+        F.max("jac").alias("nearest_jaccard"),
+    )
