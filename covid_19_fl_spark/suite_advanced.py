@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .operators import ranks
 from .suite import _t, query
 
 
@@ -583,10 +584,21 @@ def x_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("best_price"),
         F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("total_qty"),
     )
-    w = Window.orderBy(
-        F.col("best_price").asc(), F.col("total_qty").desc(), F.col("l_partkey")
-    ).rowsBetween(Window.unboundedPreceding, -1)
-    ranked = parts.withColumn("prior_max_qty", F.max("total_qty").over(w))
+    # Distributed record-to-date: per-price-band running max composed
+    # with the broadcast prefix-max of cheaper bands — no
+    # single-reducer Window.orderBy over |parts| (price domain is
+    # SF-invariant, so the band spine stays tiny).
+    ranked = ranks.with_prior_running_max(
+        parts,
+        bucket=F.floor(F.col("best_price") / 1024),
+        order_cols=[
+            F.col("best_price").asc(),
+            F.col("total_qty").desc(),
+            F.col("l_partkey"),
+        ],
+        value=F.col("total_qty"),
+        name="prior_max_qty",
+    )
     return ranked.filter(
         F.col("prior_max_qty").isNull() | (F.col("total_qty") > F.col("prior_max_qty"))
     ).select(
@@ -1623,66 +1635,55 @@ def x_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pts AS (
       SELECT l_returnflag,
              CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
-             CAST(l_quantity AS DECIMAL(28,2)) AS wgt,
-             l_orderkey, l_linenumber
-      FROM lineitem
+             SUM(CAST(l_quantity AS DECIMAL(28,2))) AS wgt
+      FROM lineitem GROUP BY 1, 2
     ), cum AS (
-      SELECT l_returnflag, price, wgt,
+      SELECT l_returnflag, price,
              SUM(wgt) OVER (PARTITION BY l_returnflag
-                            ORDER BY price, l_orderkey, l_linenumber
+                            ORDER BY price
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS cum_w,
              SUM(wgt) OVER (PARTITION BY l_returnflag) AS tot_w
       FROM pts
-    ), hit AS (
-      SELECT l_returnflag, price,
-             ROW_NUMBER() OVER (PARTITION BY l_returnflag
-                                ORDER BY cum_w, price) AS rk
-      FROM cum WHERE cum_w * 2 >= tot_w
     )
-    SELECT l_returnflag, CAST(price AS DOUBLE) AS weighted_median_price
-    FROM hit WHERE rk = 1
+    SELECT l_returnflag, CAST(MIN(price) AS DOUBLE) AS weighted_median_price
+    FROM cum WHERE cum_w * 2 >= tot_w
+    GROUP BY l_returnflag
     """,
 )
 def x_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted median price per return flag — the weighted
     50th percentile (lower weighted median: the first point whose
     cumulative weight reaches half the total), which no built-in
-    percentile covers. One partitioned running-sum window over the
-    value-sorted series with a unique (price, orderkey, linenumber)
-    tiebreak; weights stay DECIMAL so the crossing test `2·cum ≥ tot`
-    is exact integer-ish arithmetic on both engines — no float
-    boundary to disagree on. Window partitions by flag, so work
-    distributes across groups; at 100 TB you'd pre-aggregate equal
-    prices first to shrink the sorted series.
+    percentile covers. Equal prices pre-aggregate FIRST (one
+    map-combined shuffle), so the running-sum window sees |distinct
+    prices per flag|, not |lineitem| — and that window itself is the
+    distributed-prefix decomposition (per-price-band running sums +
+    broadcast band offsets), so no window partition ever holds ⅓ of
+    the fact table. The crossing price is then simply MIN(price) among
+    crossing rows (cum is non-decreasing in price, and the row-level
+    first crossing always lands inside the first crossing price's
+    run). Weights stay DECIMAL so `2·cum ≥ tot` is exact on both
+    engines — no float boundary to disagree on.
     """
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
         F.col("l_quantity").cast("decimal(28,2)").alias("wgt"),
-        "l_orderkey",
-        "l_linenumber",
     )
-    wrun = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("price", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    pts = li.groupBy("l_returnflag", "price").agg(F.sum("wgt").alias("wgt"))
+    cum = ranks.with_global_prefix(
+        pts,
+        bucket=F.floor(F.col("price") / 1024),
+        order_cols=[F.col("price")],
+        partition_cols=["l_returnflag"],
+        running_sums={"cum_w": F.col("wgt")},
+        total_sums={"tot_w": F.col("wgt")},
     )
-    wall = Window.partitionBy("l_returnflag")
-    cum = li.select(
-        "l_returnflag",
-        "price",
-        F.sum("wgt").over(wrun).alias("cum_w"),
-        F.sum("wgt").over(wall).alias("tot_w"),
-    )
-    hit = cum.filter(F.col("cum_w") * 2 >= F.col("tot_w")).withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("l_returnflag").orderBy("cum_w", "price")
-        ),
-    )
-    return hit.filter(F.col("rk") == 1).select(
-        "l_returnflag", F.col("price").cast("double").alias("weighted_median_price")
+    return (
+        cum.filter(F.col("cum_w") * 2 >= F.col("tot_w"))
+        .groupBy("l_returnflag")
+        .agg(F.min("price").cast("double").alias("weighted_median_price"))
     )
 
 
@@ -1726,11 +1727,17 @@ def x_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("spend")
     )
-    ranked = cust.select(
-        "spend",
-        F.row_number().over(Window.orderBy("spend", "o_custkey")).alias("i"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
+    # Rank + total via the distributed-prefix decomposition: the spend
+    # DOMAIN is SF-invariant (per-customer order counts are fixed), so
+    # 64Ki-wide buckets keep the spine tiny while the per-bucket sort
+    # distributes — no single-reducer Window.orderBy over |customers|.
+    ranked = ranks.with_global_prefix(
+        cust,
+        bucket=F.floor(F.col("spend") / 65536),
+        order_cols=[F.col("spend"), F.col("o_custkey")],
+        rn="i",
+        total_count="n",
+    ).select("spend", "i", "n")
     sums = ranked.groupBy("n").agg(
         F.sum(F.col("i").cast("decimal(38,2)") * F.col("spend")).alias("iws"),
         F.sum("spend").alias("ws"),
@@ -1791,14 +1798,16 @@ def x_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).alias("revenue")
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    ranked = parts.select(
-        "l_partkey",
-        "revenue",
-        F.sum("revenue").over(w).alias("cum_rev"),
-        F.sum("revenue").over(Window.partitionBy()).alias("tot_rev"),
+    # Distributed running share: bucket by NEGATED revenue bands (the
+    # sort is DESC, so -floor(rev/64Ki) is non-decreasing along it),
+    # per-bucket running sums + broadcast spine offsets — no
+    # single-reducer Window.orderBy over |parts|.
+    ranked = ranks.with_global_prefix(
+        parts,
+        bucket=-F.floor(F.col("revenue") / 65536),
+        order_cols=[F.col("revenue").desc(), F.col("l_partkey")],
+        running_sums={"cum_rev": F.col("revenue")},
+        total_sums={"tot_rev": F.col("revenue")},
     )
     classed = ranked.withColumn(
         "abc",

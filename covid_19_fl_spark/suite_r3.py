@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .llmops import dedup, similarity, text
-from .operators import bloom
+from .operators import bloom, ranks
 from .suite import ORACLES as _ORACLES
 from .suite import _t, query
 
@@ -1346,7 +1346,12 @@ def st_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):
+            raise TimeoutError(
+                "st_stream_daily_counts: availableNow drain did not "
+                "finish within 120s — refusing to read a partial "
+                "complete-mode aggregate"
+            )
     finally:
         q.stop()
     return spark.table(sink).select(
@@ -1411,13 +1416,20 @@ def x_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("t_buy").isNotNull()
         & (F.col("t_buy") >= F.col("t_view"))
     ).select("user_id", (F.col("t_buy") - F.col("t_view")).alias("lag_us"))
-    ranked = lags.select(
-        "lag_us",
-        F.row_number().over(Window.orderBy("lag_us", "user_id")).alias("rk"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
+    # Distributed rank over the lag series: hour-wide lag bands (the
+    # lag DOMAIN is bounded by the corpus time span) + broadcast band
+    # offsets — no single-reducer window over |converted users|.
+    ranked = ranks.with_global_prefix(
+        lags,
+        bucket=F.floor(F.col("lag_us") / F.lit(3_600_000_000)),
+        order_cols=[F.col("lag_us"), F.col("user_id")],
+        rn="rk",
+        total_count="n",
+    ).select("lag_us", "rk", "n")
     return ranked.agg(
-        F.max("n").cast("long").alias("n_converted"),
+        # COALESCE: over an empty ranked frame F.max yields NULL while
+        # the oracle's scalar-subquery COUNT(*) yields 0.
+        F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("n_converted"),
         F.min(F.when(F.col("rk") * 2 >= F.col("n"), F.col("lag_us")))
         .cast("long")
         .alias("median_lag_us"),
@@ -1576,16 +1588,18 @@ def tx_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), tot AS (
       SELECT SUM(o) AS n FROM obs
     ), cells AS (
-      SELECT obs.o, rows_.rp, cols_.cs, tot.n
+      SELECT p, s, obs.o, rows_.rp, cols_.cs, tot.n
       FROM obs JOIN rows_ USING (p) JOIN cols_ USING (s), tot
     )
     SELECT CAST(MAX(n) AS BIGINT) AS n_orders,
            CAST(COUNT(*) AS BIGINT) AS n_cells,
-           ROUND(SUM(
-             CAST(CAST(o AS BIGINT) * n - rp * cs AS DOUBLE)
-             * CAST(CAST(o AS BIGINT) * n - rp * cs AS DOUBLE)
-             / (CAST(rp AS DOUBLE) * cs * n)
-           ), 6) AS chi2
+           ROUND(list_reduce(
+             list_prepend(0.0::DOUBLE,
+               list(CAST(CAST(o AS BIGINT) * n - rp * cs AS DOUBLE)
+                    * CAST(CAST(o AS BIGINT) * n - rp * cs AS DOUBLE)
+                    / (CAST(rp AS DOUBLE) * cs * n)
+                    ORDER BY p, s)),
+             (acc, v) -> acc + v), 6) AS chi2
     FROM cells
     """,
 )
@@ -1612,14 +1626,25 @@ def x_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
     )
     dev = F.col("o").cast("long") * F.col("n") - F.col("rp") * F.col("cs")
+    term = (
+        dev.cast("double")
+        * dev.cast("double")
+        / (F.col("rp").cast("double") * F.col("cs") * F.col("n"))
+    )
+    # Fold the ~15 cell terms in canonical (p, s) order so the float
+    # sum is partition-order-independent and matches the oracle's
+    # ordered list_reduce bit-for-bit (ss_centroid_drift's recipe).
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("p"), F.col("s"), term.alias("term")))
+    )
     return cells.agg(
         F.max("n").cast("long").alias("n_orders"),
         F.count("*").cast("long").alias("n_cells"),
         F.round(
-            F.sum(
-                dev.cast("double")
-                * dev.cast("double")
-                / (F.col("rp").cast("double") * F.col("cs") * F.col("n"))
+            F.aggregate(
+                ordered,
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x["term"],
             ),
             6,
         ).alias("chi2"),
@@ -2031,9 +2056,9 @@ def x_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subj
     ), tbl AS (
       SELECT t, d,
-             tot.n - COALESCE(SUM(ct) OVER (ORDER BY t
+             CAST(tot.n - COALESCE(SUM(ct) OVER (ORDER BY t
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS at_risk
+               AS BIGINT) AS at_risk
       FROM risk, tot
     ), factors AS (
       SELECT t, d, at_risk,
@@ -2386,16 +2411,39 @@ def x_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz curve of customer spend by decile: the cumulative-share
     table behind x_gini_spend's single coefficient (the Gini is 1−2·∫
     of exactly this curve) — what an analyst actually plots. Spend
-    accumulates in DECIMAL; the NTILE runs over the per-customer
-    aggregate (|customers| rows, custkey tiebreak → deterministic
-    decile boundaries); shares round to 6dp after one exact cumulative
-    window over 10 rows."""
+    accumulates in DECIMAL; decile boundaries are deterministic
+    (custkey tiebreak); shares round to 6dp after one exact cumulative
+    window over 10 rows. The decile assignment itself avoids a
+    single-reducer NTILE over |customers|: the global rank comes from
+    the distributed-prefix decomposition (per-spend-band windows +
+    broadcast band offsets), and NTILE's standard first-r-buckets-
+    get-one-extra rule is spelled explicitly from (rank, n) — integer
+    arithmetic, identical to both engines' NTILE."""
     orders = _t(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("s")
     )
-    ranked = spend.select(
-        "s", F.ntile(10).over(Window.orderBy("s", "o_custkey")).alias("decile")
+    ranked = ranks.with_global_prefix(
+        spend,
+        bucket=F.floor(F.col("s") / 65536),
+        order_cols=[F.col("s"), F.col("o_custkey")],
+        rn="i",
+        total_count="n",
+    ).select(
+        "s",
+        # Standard NTILE(10): r = n%10 leading buckets of size
+        # n div 10 + 1, the rest of size n div 10 — derived from the
+        # exact global rank with pure integer ops (CASE is evaluated
+        # lazily per-row, so the small-bucket branch's division never
+        # runs when n < 10 would make it 0).
+        F.expr(
+            "CASE WHEN i <= (n % 10) * (n div 10 + 1) "
+            "THEN (i - 1) div (n div 10 + 1) + 1 "
+            "ELSE (n % 10) + (i - 1 - (n % 10) * (n div 10 + 1)) "
+            "     div (n div 10) + 1 END"
+        )
+        .cast("int")
+        .alias("decile"),
     )
     agg = ranked.groupBy("decile").agg(
         F.sum("s").alias("ds"), F.count("*").alias("n")
@@ -2455,18 +2503,21 @@ def sp_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick the SAME documents; big documents are proportionally more
     likely, the property curriculum token budgets want (complements
     sp_weighted_sample's randomized A-ES with the deterministic
-    systematic design). One prefix-sum window over the |docs| series.
+    systematic design). The token prefix sums come from the
+    distributed-prefix decomposition over 4Ki-wide doc_id bands (per-
+    band windows + broadcast band offsets) — no single-reducer window
+    over the |docs| series.
     """
     docs = _t(spark, sf_dir, "documents")
     w = docs.select(
         "doc_id", text.token_count(F.col("text")).cast("long").alias("tok")
     )
-    win = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    cum = w.select(
-        "doc_id",
-        "tok",
-        F.sum("tok").over(win).alias("cw"),
-        F.sum("tok").over(Window.partitionBy()).alias("tw"),
+    cum = ranks.with_global_prefix(
+        w,
+        bucket=F.floor(F.col("doc_id") / 4096),
+        order_cols=[F.col("doc_id")],
+        running_sums={"cw": F.col("tok")},
+        total_sums={"tw": F.col("tok")},
     )
     # Integer division on both sides: Spark `div`, DuckDB `//` — a
     # float `/` would turn the pick test into a rounding lottery.

@@ -15,13 +15,18 @@ from .conftest import SF_SMOKE
 
 def test_no_cartesian_products(spark):
     offenders = []
+    broken = []
     for name, fn in suite.QUERIES.items():
         if name.startswith("st_"):
             continue  # streaming queries execute on construction
         try:
             plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
-        except Exception:  # noqa: BLE001 — runnability is tested elsewhere
+        except Exception as exc:  # noqa: BLE001
+            # A query that fails to even BUILD must not silently escape
+            # the lint — surface it so the lint's coverage is visible.
+            broken.append(f"{name}: {type(exc).__name__}: {exc}")
             continue
         if "CartesianProduct" in plan:
             offenders.append(name)
+    assert not broken, f"queries failed to construct (lint not applied): {broken}"
     assert not offenders, f"cartesian products planned in: {offenders}"
