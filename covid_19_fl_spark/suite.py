@@ -326,3 +326,4 @@ from . import suite_tpch  # noqa: E402,F401
 from . import suite_llmops  # noqa: E402,F401
 from . import suite_advanced  # noqa: E402,F401
 from . import suite_r3  # noqa: E402,F401
+from . import suite_r4  # noqa: E402,F401
