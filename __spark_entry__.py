@@ -51,6 +51,7 @@ SHOWCASE = [
     "sp_pps_systematic",
     "st_stream_daily_counts",
     "st_cusum_drift",
+    "ss_ivf_recall_sweep",
     # (c) never driver-attested, families interleaved
     "q2_min_cost_supplier",
     "q4_priority_with_exists",

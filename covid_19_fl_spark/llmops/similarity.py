@@ -158,11 +158,14 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-style ANN: route each query to its nearest centroid, then
-    score only that cluster's vectors (nprobe=1). At 100 TB the corpus
-    is hash-partitioned by cluster id, so a query touches one
-    partition's worth of vectors instead of the whole corpus."""
+    """IVF-style ANN: route each query to its ``nprobe`` nearest
+    centroids, then score only those clusters' vectors. At 100 TB the
+    corpus is hash-partitioned by cluster id, so a query touches
+    nprobe partitions' worth of vectors instead of the whole corpus —
+    nprobe is the recall/cost knob (recall@k is monotone
+    non-decreasing in it; see ss_ivf_recall_sweep)."""
     centroids = label_centroids(emb, label_col, vec_col)
     queries = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
@@ -178,7 +181,7 @@ def ivf_topk(
                 )
             ),
         )
-        .filter(F.col("crank") == 1)
+        .filter(F.col("crank") <= F.lit(int(nprobe)))
         .select("query_id", "qvec", F.col(label_col).alias("probe_label"))
     )
     cluster = emb.select(id_col, vec_col, label_col)
@@ -234,12 +237,13 @@ def ivf_topk_indexed(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Top-k over a persisted :func:`build_ivf_index` index, nprobe=1.
+    """Top-k over a persisted :func:`build_ivf_index` index.
     Ranking matches ``ivf_topk`` exactly (rounded cosine desc, id asc).
 
-    Routing collects one (query, cluster) pair per query id — a
-    handful of driver-side rows by contract — so the probe scan's
+    Routing collects ``nprobe`` (query, cluster) pairs per query id —
+    a handful of driver-side rows by contract — so the probe scan's
     ``cluster IN (...)`` lands as a literal PartitionFilter and only
     the routed partition directories are read (asserted in tests)."""
     centroids = spark.read.parquet(f"{path}/centroids")
@@ -258,7 +262,7 @@ def ivf_topk_indexed(
                 )
             ),
         )
-        .filter(F.col("crank") == 1)
+        .filter(F.col("crank") <= F.lit(int(nprobe)))
         .select("query_id", "qvec", F.col("label").alias("probe_label"))
     )
     probe_labels = sorted({r.probe_label for r in routed.select("probe_label").collect()})

@@ -55,3 +55,60 @@ def write_overwrite(df: DataFrame, cfg: EngineConfig, collection: str) -> None:
     df.write.format("mongodb").mode("overwrite").options(
         **mongo_options(cfg, collection)
     ).save()
+
+
+# ---------------------------------------------------------------------------
+# Pushdown contract (recorded-options level): what the connector sends
+# server-side for the reference's hand-written Mongo calls. Verified
+# against the reference shapes in tests without a Mongo server.
+# ---------------------------------------------------------------------------
+
+_OPS = {
+    "=": None,  # bare equality — Mongo's implicit form
+    "<": "$lt",
+    "<=": "$lte",
+    ">": "$gt",
+    ">=": "$gte",
+    "!=": "$ne",
+    "in": "$in",
+}
+
+
+def filters_to_mongo(filters: list[tuple[str, str, object]]) -> dict:
+    """Translate pushed-down (column, op, value) predicates into the
+    Mongo filter document the connector would send. Conjunction is
+    Mongo's implicit top-level AND; ``=`` uses the bare
+    ``{field: value}`` form the reference writes by hand
+    (cv.py:113 ``find({"travel": "Under Investigation"}, ...)``,
+    cv-stats.py:38-51 ``find({"date_added": {"$lt": today}})``)."""
+    doc: dict = {}
+    for col, op, value in filters:
+        if op not in _OPS:
+            raise ValueError(f"unsupported pushdown op: {op!r}")
+        if op == "=":
+            doc[col] = value
+        else:
+            doc.setdefault(col, {})[_OPS[op]] = value
+    return doc
+
+
+def find_to_pipeline(
+    filters: list[tuple[str, str, object]] | None = None,
+    projection: list[str] | None = None,
+) -> list[dict]:
+    """Aggregation-pipeline equivalent of a pushed filter+projection
+    scan — the server-side work V2ScanRelationPushDown hands the
+    connector for ``read_collection(...).filter(...).select(...)``."""
+    stages: list[dict] = []
+    if filters:
+        stages.append({"$match": filters_to_mongo(filters)})
+    if projection:
+        stages.append({"$project": {f: 1 for f in projection}})
+    return stages
+
+
+def group_max_pipeline(field: str) -> list[dict]:
+    """The reference's max-watermark aggregate (cv.py:93-100
+    ``aggregate([{"$group": {"_id": None, "max_case": {"$max":
+    "$case_number"}}}])``) — what ``df.agg(F.max(field))`` subsumes."""
+    return [{"$group": {"_id": None, f"max_{field}": {"$max": f"${field}"}}}]

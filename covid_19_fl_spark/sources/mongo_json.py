@@ -67,3 +67,86 @@ def read_cases_export(spark: SparkSession, path: str) -> DataFrame:
     return parsed.withColumn(
         "date_added", F.timestamp_millis(F.col("date_added"))
     )
+
+
+def parse_cases_export(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse a DataFrame of raw Extended-JSON lines into the canonical
+    cases frame — the distributed core of :func:`read_cases_export`,
+    split out so the WRITE path can round-trip through it without
+    touching disk."""
+    parsed = lines.select(
+        F.from_json(
+            unwrap_extended_json(F.col(value_col)), _CASES_EXPORT
+        ).alias("r")
+    ).select("r.*")
+    return parsed.withColumn(
+        "date_added", F.timestamp_millis(F.col("date_added"))
+    )
+
+
+def _wrap_int(c: F.Column) -> F.Column:
+    return F.when(
+        c.isNotNull(), F.struct(c.cast("string").alias("$numberInt"))
+    ).otherwise(F.lit(None))
+
+
+def to_extended_json(df: DataFrame) -> DataFrame:
+    """WRITE path: canonical cases frame → Mongo Extended-JSON NDJSON
+    lines, the exact grammar of the reference's persisted exports
+    (``{"$oid": …}``, ``{"$numberInt": "…"}``,
+    ``{"$date": {"$numberLong": "…"}}``, ``{"$numberDouble": "…"}``;
+    datasets/json/032820202114.json:1). Everything is Column
+    expressions feeding one ``to_json`` — distributed, no Python row
+    loop — and ``parse_cases_export(to_extended_json(df))`` is the
+    identity on the canonical frame (pinned by test), which is what
+    lets the K2 full-refresh and K4 keyed-merge semantics be asserted
+    against the reference's own golden state without a Mongo server
+    (cv-api.py:184-207 delete_many + insert_many ≡ state replace).
+
+    Returns a single-column (``value``) DataFrame of NDJSON lines.
+    """
+    loc = F.when(
+        F.col("location").isNotNull(),
+        F.struct(
+            F.col("location.type").alias("type"),
+            F.transform(
+                F.col("location.coordinates"),
+                lambda v: F.struct(v.cast("string").alias("$numberDouble")),
+            ).alias("coordinates"),
+        ),
+    ).otherwise(F.lit(None))
+    doc = F.struct(
+        F.when(
+            F.col("_id").isNotNull(), F.struct(F.col("_id").alias("$oid"))
+        )
+        .otherwise(F.lit(None))
+        .alias("_id"),
+        _wrap_int(F.col("case_number")).alias("case_number"),
+        F.col("county").alias("county"),
+        _wrap_int(F.col("age")).alias("age"),
+        F.col("sex").alias("sex"),
+        F.col("travel").alias("travel"),
+        F.col("travel_detail").alias("travel_detail"),
+        F.col("contact_with_confirmed_case").alias(
+            "contact_with_confirmed_case"
+        ),
+        F.when(
+            F.col("date_added").isNotNull(),
+            F.struct(
+                F.struct(
+                    F.unix_millis(F.col("date_added"))
+                    .cast("string")
+                    .alias("$numberLong")
+                ).alias("$date")
+            ),
+        )
+        .otherwise(F.lit(None))
+        .alias("date_added"),
+        F.col("deceased").alias("deceased"),
+        loc.alias("location"),
+        F.col("hospitalized").alias("hospitalized"),
+        F.col("ed_visit").alias("ed_visit"),
+    )
+    return df.select(
+        F.to_json(doc, {"ignoreNullFields": "false"}).alias("value")
+    )

@@ -365,11 +365,12 @@ def _cos_expr(a: str, b: str) -> str:
     return f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
 
 
-def _ivf_oracle(k: int = 5) -> str:
+def _ivf_oracle(k: int = 5, nprobe: int = 1) -> str:
     """DuckDB replica of the IVF ANN — exact because centroids are
     computed with the quantize-sum-divide scheme (int64 accumulation,
     similarity.label_centroids), not a float Σ whose partition order
-    the two engines could never agree on."""
+    the two engines could never agree on. ``nprobe`` widens routing to
+    the n nearest centroids, same as the Spark knob."""
     ids = ", ".join(str(i) for i in _QUERY_IDS)
     Q = int(similarity.CENTROID_Q)
     return f"""
@@ -397,7 +398,7 @@ def _ivf_oracle(k: int = 5) -> str:
                  ORDER BY ROUND({_cos_expr("q.qvec", "c.centroid")}, 6) DESC,
                           c.label ASC) AS crank
         FROM q CROSS JOIN cent c)
-      WHERE crank = 1
+      WHERE crank <= {nprobe}
     ),
     scored AS (
       SELECT r.query_id, e.vec_id AS neighbor_id,

@@ -24,6 +24,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .llmops import similarity
 from .streaming import stateful
 from .suite import _t, query
 
@@ -155,4 +156,89 @@ def st_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("cusum_up", "n_seen").alias("cusum_up"),
         F.max_by("cusum_down", "n_seen").alias("cusum_down"),
         F.max_by("alarms", "n_seen").alias("alarms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe sweep: recall@5 vs probe width
+# ---------------------------------------------------------------------------
+
+
+def _ivf_sweep_oracle() -> str:
+    # Deferred import dance mirrors ss_ivf_recall: suite_llmops is
+    # loaded before this module, so its oracle builders are available.
+    from .suite_llmops import _ivf_oracle
+    from .suite import ORACLES as _OR
+
+    approx_union = "\n      UNION ALL\n".join(
+        f"      SELECT {n} AS nprobe, * FROM ({_ivf_oracle(k=5, nprobe=n)}) iv{n}"
+        for n in (1, 2, 4)
+    )
+    return f"""
+    WITH exact AS (
+      SELECT * FROM ({_OR["ss_cosine_topk"]}) e
+    ), approx AS (
+{approx_union}
+    ), grid AS (
+      SELECT n.nprobe, e.query_id, e.neighbor_id
+      FROM exact e CROSS JOIN (SELECT DISTINCT nprobe FROM approx) n
+    )
+    SELECT g.nprobe,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM grid g LEFT JOIN approx a
+      ON a.nprobe = g.nprobe AND a.query_id = g.query_id
+     AND a.neighbor_id = g.neighbor_id
+    GROUP BY g.nprobe
+    """
+
+
+@query("ss_ivf_recall_sweep", oracle=_ivf_sweep_oracle())
+def ss_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF retriever at nprobe ∈ {1, 2, 4} against the
+    exact brute-force ranker — the cost/recall curve that decides the
+    one knob an IVF deployment tunes. nprobe=1 was the round-3 gap
+    (recall capped by single-cell probing); widening to 2-4 cells
+    recovers neighbors that straddle cell boundaries at 2-4× probe
+    cost, and recall is monotone non-decreasing in nprobe by
+    construction (each wider routing is a superset of candidates —
+    asserted in tests). Evaluation joins result sets only
+    (|queries|·k·|sweep| rows), never re-scans the corpus; each IVF
+    run itself probes nprobe clusters, so the sweep's total scan cost
+    is Σ nprobe/nlist of the corpus."""
+    from .suite_llmops import _QUERY_IDS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, _QUERY_IDS, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    runs = None
+    for n in (1, 2, 4):
+        r = (
+            similarity.ivf_topk(emb, _QUERY_IDS, k=5, nprobe=n)
+            .select(
+                F.lit(n).alias("a_np"),
+                F.col("query_id").alias("a_qid"),
+                F.col("neighbor_id").alias("a_nid"),
+            )
+        )
+        runs = r if runs is None else runs.unionByName(r)
+    grid = exact.crossJoin(
+        F.broadcast(runs.select(F.col("a_np").alias("nprobe")).distinct())
+    )
+    joined = grid.join(
+        runs,
+        (F.col("nprobe") == F.col("a_np"))
+        & (F.col("query_id") == F.col("a_qid"))
+        & (F.col("neighbor_id") == F.col("a_nid")),
+        "left",
+    )
+    hit = F.sum(F.col("a_nid").isNotNull().cast("long"))
+    return joined.groupBy("nprobe").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        hit.alias("n_hit"),
+        F.round(hit.cast("double") / F.count("*"), 6).alias("recall"),
     )

@@ -189,3 +189,18 @@ def test_no_unpartitioned_window_over_data(spark):
     assert "partitionspec=[__gp_bkt" in plan.replace(" ", "").lower() or (
         "__gp_bkt" in plan
     )
+
+
+def test_ivf_recall_monotone_in_nprobe(spark):
+    # ss_ivf_recall_sweep's contract: widening the probe set can only
+    # add candidates, so recall@5 is non-decreasing in nprobe.
+    from covid_19_fl_spark import suite
+
+    rows = (
+        suite.QUERIES["ss_ivf_recall_sweep"](spark, SF_SMOKE)
+        .orderBy("nprobe")
+        .collect()
+    )
+    recalls = [r.recall for r in rows]
+    assert [r.nprobe for r in rows] == [1, 2, 4]
+    assert recalls == sorted(recalls)
