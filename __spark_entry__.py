@@ -52,6 +52,13 @@ SHOWCASE = [
     "st_stream_daily_counts",
     "st_cusum_drift",
     "ss_ivf_recall_sweep",
+    "x_rfm_segmentation",
+    "sp_ppl_bucket_mix",
+    "x_mann_whitney",
+    "x_equidepth_histogram",
+    "tx_zipf_fit",
+    "x_market_basket",
+    "tx_pmi_collocations",
     # (c) never driver-attested, families interleaved
     "q2_min_cost_supplier",
     "q4_priority_with_exists",
@@ -163,9 +170,7 @@ SHOWCASE = [
     "x_ohlc_bars",
     "x_pagerank",
     "x_triangle_count",
-    "x_rfm_segmentation",
     "x_cusum_changepoint",
-    "x_equidepth_histogram",
     "ml_naive_bayes",
     "dd_exact_dedup",
     "dd_ngram_jaccard_pairs",
@@ -191,12 +196,9 @@ SHOWCASE = [
     "ml_linear_trend",
     "ml_knn_accuracy",
     "ml_decision_stump",
-    "tx_zipf_fit",
     "x_rolling_median",
     "ss_ivf_recall",
     "ml_pca_power",
-    "x_market_basket",
-    "tx_pmi_collocations",
     "x_holt_smoothing",
     "x_bfs_distances",
     "tx_contamination",
@@ -206,7 +208,6 @@ SHOWCASE = [
     "ss_ndcg_eval",
     "dd_prefix_dup",
     "dd_containment_pairs",
-    "sp_ppl_bucket_mix",
     "x_rolling_corr",
     "ml_logreg_gd",
     "dd_semantic_dedup",
@@ -226,7 +227,6 @@ SHOWCASE = [
     "x_slump_streaks",
     "sp_epoch_shuffle",
     "x_wilson_ci",
-    "x_mann_whitney",
     "dd_minhash_calibration",
     "x_degree_distribution",
     "x_revenue_waterfall",

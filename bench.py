@@ -129,6 +129,8 @@ HEADLINE = [
     "ss_vector_norms",
     "x_trimmed_mean",
     "st_stream_daily_counts",
+    "st_cusum_drift",
+    "ss_ivf_recall_sweep",
     "x_funnel_latency",
     "x_seasonal_decompose",
     "tx_novelty_curve",
@@ -178,8 +180,11 @@ def main() -> None:
     # Two timed passes, keep the per-query MINIMUM: the min of repeated
     # steady-state runs estimates plan cost with the machine-load noise
     # floor removed (a co-tenant burst inflates one pass, never both).
+    # SPARK_GRAFT_BENCH_PASSES overrides for the 10× scale check, where
+    # one pass over 10× data already dominates any noise floor.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(passes):
         for name in ok_names:
             if name in errors:
                 continue  # failed a timed pass — drop, don't re-time

@@ -126,6 +126,43 @@ def with_global_prefix(
     return out.drop(_BKT, "__off_cnt", *[f"__off_{n}" for n in running_sums])
 
 
+def with_ntile(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: Sequence,
+    k: int,
+    name: str,
+    *,
+    partition_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Exact NTILE(k) over ``(bucket ASC, *order_cols)`` without a
+    single-partition sort: the global rank comes from
+    :func:`with_global_prefix`, and the standard SQL NTILE rule
+    (first ``n % k`` buckets get ``n div k + 1`` rows, the rest
+    ``n div k``) is spelled explicitly from (rank, n) with pure
+    integer arithmetic — agreeing with both Spark's and DuckDB's
+    built-in NTILE row-for-row (pinned by test). The CASE is
+    evaluated lazily per-row, so the small-bucket branch's division
+    by ``n div k`` never runs when n < k would make it zero."""
+    out = with_global_prefix(
+        df,
+        bucket,
+        order_cols,
+        partition_cols=partition_cols,
+        rn="__nt_i",
+        total_count="__nt_n",
+    )
+    expr = (
+        f"CASE WHEN __nt_i <= (__nt_n % {k}) * (__nt_n div {k} + 1) "
+        f"THEN (__nt_i - 1) div (__nt_n div {k} + 1) + 1 "
+        f"ELSE (__nt_n % {k}) + (__nt_i - 1 - (__nt_n % {k}) * (__nt_n div {k} + 1)) "
+        f"     div (__nt_n div {k}) + 1 END"
+    )
+    return out.withColumn(name, F.expr(expr).cast("int")).drop(
+        "__nt_i", "__nt_n"
+    )
+
+
 def with_prior_running_max(
     df: DataFrame,
     bucket: Column,

@@ -190,18 +190,38 @@ def x_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("monetary"),
         )
     )
-    scored = cust.select(
-        "o_custkey",
-        "monetary",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency_days").desc(), F.col("o_custkey")))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("frequency").asc(), F.col("o_custkey")))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary").asc(), F.col("o_custkey")))
-        .alias("m_score"),
+    # Three independent NTILE(5) scorings over |customers| — each via
+    # the distributed-prefix decomposition (per-bucket rank + broadcast
+    # spine offsets, operators/ranks.py), joined back on custkey; no
+    # single-reducer sort anywhere. Buckets follow each axis's bounded
+    # domain (days / order counts / 64Ki spend bands).
+    base = cust.select("o_custkey", "recency_days", "frequency", "monetary")
+    r5 = ranks.with_ntile(
+        base.select("o_custkey", "recency_days"),
+        bucket=-F.col("recency_days"),
+        order_cols=[F.col("recency_days").desc(), F.col("o_custkey")],
+        k=5,
+        name="r_score",
+    ).select("o_custkey", "r_score")
+    f5 = ranks.with_ntile(
+        base.select("o_custkey", "frequency"),
+        bucket=F.col("frequency"),
+        order_cols=[F.col("frequency").asc(), F.col("o_custkey")],
+        k=5,
+        name="f_score",
+    ).select("o_custkey", "f_score")
+    m5 = ranks.with_ntile(
+        base.select("o_custkey", "monetary"),
+        bucket=F.floor(F.col("monetary") / 65536),
+        order_cols=[F.col("monetary").asc(), F.col("o_custkey")],
+        k=5,
+        name="m_score",
+    ).select("o_custkey", "m_score")
+    scored = (
+        base.select("o_custkey", "monetary")
+        .join(r5, "o_custkey")
+        .join(f5, "o_custkey")
+        .join(m5, "o_custkey")
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_customers"),
@@ -508,15 +528,20 @@ def x_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("price"), "l_orderkey", "l_linenumber"
     )
     per_price = li.groupBy("price").agg(F.count("*").alias("cnt"))
-    offsets = per_price.select(
+    # The distinct-price spine is itself data-sized for a continuous
+    # column, so its prefix sum ALSO goes through the distributed
+    # decomposition (1Ki price bands + broadcast band offsets) instead
+    # of one Window.orderBy over |distinct prices|.
+    offsets = ranks.with_global_prefix(
+        per_price,
+        bucket=F.floor(F.col("price") / 1024),
+        order_cols=[F.col("price")],
+        running_sums={"cum": F.col("cnt")},
+        total_sums={"total": F.col("cnt")},
+    ).select(
         "price",
-        F.coalesce(
-            F.sum("cnt").over(
-                Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("offset"),
-        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+        (F.col("cum") - F.col("cnt")).alias("offset"),
+        "total",
     )
     local_w = Window.partitionBy("price").orderBy("l_orderkey", "l_linenumber")
     seq = (
@@ -1010,12 +1035,16 @@ def tx_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("f"))
     )
-    ranked = freq.select(
-        "f",
-        F.row_number()
-        .over(Window.orderBy(F.col("f").desc(), F.col("term").asc()))
-        .alias("r"),
-    )
+    # Full vocab ranking without a single-reducer sort: bucket by the
+    # NEGATED frequency (monotone along the desc order; the distinct-
+    # frequency spine is tiny under Zipf — most mass at f=1,2,3…) and
+    # compose per-bucket ranks with broadcast prefix offsets.
+    ranked = ranks.with_global_prefix(
+        freq,
+        bucket=-F.col("f"),
+        order_cols=[F.col("f").desc(), F.col("term").asc()],
+        rn="r",
+    ).select("f", "r")
     q = ranked.select(
         F.round(F.log(F.col("r").cast("double")) * 10000, 0).cast("long").alias("lr_u"),
         F.round(F.log(F.col("f").cast("double")) * 10000, 0).cast("long").alias("lf_u"),
@@ -1418,8 +1447,12 @@ def x_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
-    w = Window.orderBy(F.col("lift").desc(), F.col("ante").asc(), F.col("cons").asc())
-    return rules.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)
+    # Top-20 via orderBy+limit — Catalyst plans TakeOrderedAndProject
+    # (per-partition heaps + driver merge), never a global sort of the
+    # |rules| table; the rank window then runs over ≤20 rows.
+    order = [F.col("lift").desc(), F.col("ante").asc(), F.col("cons").asc()]
+    top = rules.orderBy(*order).limit(20)
+    return top.withColumn("rk", F.row_number().over(Window.orderBy(*order)))
 
 
 # ---------------------------------------------------------------------------
@@ -1530,8 +1563,11 @@ def tx_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
-    wv = Window.orderBy(F.col("pmi").desc(), F.col("t1").asc(), F.col("t2").asc())
-    return pmi.withColumn("rk", F.row_number().over(wv)).filter(F.col("rk") <= 20)
+    # Top-20 via orderBy+limit (TakeOrderedAndProject — distributed
+    # partial top-k), then rank over the ≤20 survivors only.
+    order = [F.col("pmi").desc(), F.col("t1").asc(), F.col("t2").asc()]
+    top = pmi.orderBy(*order).limit(20)
+    return top.withColumn("rk", F.row_number().over(Window.orderBy(*order)))
 
 
 # ---------------------------------------------------------------------------

@@ -423,16 +423,21 @@ def sp_ppl_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram log-prob quality proxy (tx_unigram_logprob's exact score),
     then deterministically sample 3 docs per quintile by md5(doc_id)
     rank — the stratified take that keeps a curated subset's quality
-    mix representative instead of clipping the tails. The NTILE runs
-    over the per-doc score series (|docs| rows, post-agg — not raw
-    tokens); the per-bucket pick is one partitioned window. The md5
-    sort key is content-derived, so re-runs and engines agree."""
+    mix representative instead of clipping the tails. The NTILE over
+    the |docs|-row score series uses the distributed-prefix
+    decomposition (⅛-logprob score bands + broadcast band offsets,
+    operators/ranks.py) — no single-reducer sort even though the
+    series is data-sized; the per-bucket pick is one partitioned
+    window. The md5 sort key is content-derived, so re-runs and
+    engines agree."""
     docs = _t(spark, sf_dir, "documents")
     lp = text.unigram_logprob(docs, "text", "doc_id")
-    bucketed = lp.select(
-        "doc_id",
-        "avg_logprob",
-        F.ntile(5).over(Window.orderBy("avg_logprob", "doc_id")).alias("bucket"),
+    bucketed = ranks.with_ntile(
+        lp.select("doc_id", "avg_logprob"),
+        bucket=F.floor(F.col("avg_logprob") * 8),
+        order_cols=[F.col("avg_logprob"), F.col("doc_id")],
+        k=5,
+        name="bucket",
     )
     picked = bucketed.withColumn(
         "pick_rank",
@@ -2178,25 +2183,37 @@ def x_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic U1×2 stay BIGINT end-to-end; the normal-approximation z
     divides int64-exact quantities with correctly-rounded float ops
     only at the very end (no tie-variance correction — stated, and
-    identical on both engines). One global ranking window over the
-    filtered series + one conditional hash agg."""
+    identical on both engines). SQL's RANK() over the raw series is a
+    single-reducer sort at scale, so ranks come from the per-distinct-
+    value reduction instead: rank(v) = 1 + Σ tc(v'<v) via the
+    distributed-prefix decomposition over value bands
+    (operators/ranks.py) — the doubled tie-average 2·rk + tc − 1
+    simplifies to 2·cum − tc + 1 with cum the inclusive count prefix.
+    Two map-combined shuffles + one tiny agg; no row-level window."""
     events = _t(spark, sf_dir, "events")
-    s = events.filter(
-        F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
-    ).select(
-        "event_type",
-        "value",
-        F.rank().over(Window.orderBy("value")).alias("rk"),
-        F.count("*").over(Window.partitionBy("value")).alias("tc"),
+    per_val = (
+        events.filter(
+            F.col("event_type").isin("click", "view")
+            & F.col("value").isNotNull()
+        )
+        .groupBy("value")
+        .agg(
+            F.count("*").alias("tc"),
+            F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
+            F.sum((F.col("event_type") == "view").cast("long")).alias("c2"),
+        )
     )
-    sums = s.agg(
-        F.sum((F.col("event_type") == "click").cast("long")).cast("long").alias("n1"),
-        F.sum((F.col("event_type") == "view").cast("long")).cast("long").alias("n2"),
+    cum = ranks.with_global_prefix(
+        per_val,
+        bucket=F.floor(F.col("value")),
+        order_cols=[F.col("value")],
+        running_sums={"cumtc": F.col("tc")},
+    )
+    sums = cum.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
         F.sum(
-            F.when(
-                F.col("event_type") == "click",
-                2 * F.col("rk") + F.col("tc") - 1,
-            ).otherwise(F.lit(0))
+            F.col("c1") * (2 * F.col("cumtc") - F.col("tc") + 1)
         )
         .cast("long")
         .alias("r1x2"),
@@ -2423,28 +2440,13 @@ def x_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("s")
     )
-    ranked = ranks.with_global_prefix(
+    ranked = ranks.with_ntile(
         spend,
         bucket=F.floor(F.col("s") / 65536),
         order_cols=[F.col("s"), F.col("o_custkey")],
-        rn="i",
-        total_count="n",
-    ).select(
-        "s",
-        # Standard NTILE(10): r = n%10 leading buckets of size
-        # n div 10 + 1, the rest of size n div 10 — derived from the
-        # exact global rank with pure integer ops (CASE is evaluated
-        # lazily per-row, so the small-bucket branch's division never
-        # runs when n < 10 would make it 0).
-        F.expr(
-            "CASE WHEN i <= (n % 10) * (n div 10 + 1) "
-            "THEN (i - 1) div (n div 10 + 1) + 1 "
-            "ELSE (n % 10) + (i - 1 - (n % 10) * (n div 10 + 1)) "
-            "     div (n div 10) + 1 END"
-        )
-        .cast("int")
-        .alias("decile"),
-    )
+        k=10,
+        name="decile",
+    ).select("s", "decile")
     agg = ranked.groupBy("decile").agg(
         F.sum("s").alias("ds"), F.count("*").alias("n")
     )
