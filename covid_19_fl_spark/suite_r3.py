@@ -783,26 +783,30 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SEM_TAU = 0.35
+# Component quantization: floor(v·2^20) per dimension. 64-dim dot
+# products of quantized components stay < 2^46 — exact in int64 under
+# ANY summation order (so numpy's matmul, DuckDB's list_sum, and a
+# sequential fold all agree bit-for-bit), and exact again after the
+# int64 → float64 conversion.
+_SEM_Q = 1 << 20
 
 
-def _sem_dot(a: str, b: str) -> str:
-    """Strict left-fold dot product — the exact DuckDB twin of
-    similarity.dot's ``aggregate`` fold (list_sum's summation order is
-    an implementation detail; list_reduce over the 0-seeded list is
-    not)."""
+def _sem_qdot(a: str, b: str) -> str:
+    """Order-free integer dot product of 2^20-quantized components —
+    associative BIGINT addition, so list_sum is exact (unlike a float
+    list_sum, whose summation order is an implementation detail)."""
     return (
-        f"list_reduce(list_prepend(0.0::DOUBLE,"
-        f" [CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
-        f"  for i in generate_series(1, len({a}))]),"
-        f" (acc, v) -> acc + v)"
+        f"list_sum([CAST(FLOOR(CAST({a}[i] AS DOUBLE) * {_SEM_Q}) AS BIGINT)"
+        f" * CAST(FLOOR(CAST({b}[i] AS DOUBLE) * {_SEM_Q}) AS BIGINT)"
+        f"  for i in generate_series(1, len({a}))])"
     )
 
 
 def _semantic_dedup_oracle(tau: float = _SEM_TAU) -> str:
     cos = (
-        f"{_sem_dot('a.embedding', 'b.embedding')}"
-        f" / (sqrt({_sem_dot('a.embedding', 'a.embedding')})"
-        f" * sqrt({_sem_dot('b.embedding', 'b.embedding')}))"
+        f"CAST({_sem_qdot('a.embedding', 'b.embedding')} AS DOUBLE)"
+        f" / (sqrt(CAST({_sem_qdot('a.embedding', 'a.embedding')} AS DOUBLE))"
+        f" * sqrt(CAST({_sem_qdot('b.embedding', 'b.embedding')} AS DOUBLE)))"
     )
     return f"""
     WITH pairs AS (
@@ -826,51 +830,68 @@ def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster (the label — in production, the IVF cell), reporting the
     lowest-id kept partner per dropped vector. The pairwise pass is
     label-blocked — cells bound the quadratic term exactly like the
-    SemDeDup paper's k-means cells, and the self-join key is the
-    cluster id so each executor compares only its own cell. Cosines
-    round to 6dp BEFORE thresholding (identical boundary decisions on
-    both engines); dot products are strict left folds (aggregate ≡
-    list_reduce), so the oracle is exact, not approximate.
-    """
+    SemDeDup paper's k-means cells.
+
+    Execution (r4): each cell's pairwise pass is ONE Arrow-batched
+    applyInPandas doing a blocked int64 matmul over 2^20-quantized
+    components — exact under any summation order, so the numpy path
+    and the oracle's list_sum agree bit-for-bit (the r3 version spent
+    25M interpreted per-pair HOF folds at 10×; the matmul is the same
+    arithmetic vectorized). The survivor reduction happens INSIDE the
+    cell (ids sort ascending; the first qualifying row below the
+    diagonal is the min keep_id), so the operator ships |dropped|
+    rows, not |pairs|. At 100 TB the cell is the IVF cluster and
+    nlist bounds the quadratic term — the knob the SemDeDup paper
+    tunes; cells shuffle independently, one task each."""
+    import numpy as np
+    import pandas as pd
+
     emb = _t(spark, sf_dir, "embeddings")
-    # Norms hoist to ONE fold per row before the self-join (the same
-    # strict fold the oracle runs per pair — identical doubles, ~3×
-    # fewer interpreted HOF evaluations than a per-pair cosine).
-    base = emb.select(
-        F.col("label").alias("lbl"),
+    q = emb.select(
+        "label",
         "vec_id",
-        "embedding",
-        similarity.norm(F.col("embedding")).alias("nrm"),
+        F.transform(
+            "embedding",
+            lambda v: F.floor(v.cast("double") * _SEM_Q).cast("long"),
+        ).alias("qv"),
     )
-    a = base.select(
-        "lbl",
-        F.col("vec_id").alias("keep_id"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = base.select(
-        "lbl",
-        F.col("vec_id").alias("drop_id"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    pairs = (
-        a.join(b, "lbl")
-        .filter(F.col("drop_id") > F.col("keep_id"))
-        .select(
-            "keep_id",
-            "drop_id",
-            F.round(
-                similarity.dot(F.col("ea"), F.col("eb"))
-                / (F.col("na") * F.col("nb")),
-                6,
-            ).alias("cos_sim"),
+    tau = _SEM_TAU
+
+    def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        M = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"drop_id": [], "kept_partner": [], "partner_cos": []}
+            ).astype({"drop_id": "int64", "kept_partner": "int64",
+                      "partner_cos": "float64"})
+        norms = np.sqrt((M * M).sum(axis=1).astype(np.float64))
+        drops, keeps, coss = [], [], []
+        # Column blocks bound the n×block similarity slab (memory-safe
+        # for large cells); the int64 matmul keeps every dot exact.
+        for j0 in range(1, n, 2048):
+            j1 = min(j0 + 2048, n)
+            D = (M @ M[j0:j1].T).astype(np.float64)
+            C = np.round(D / (norms[:, None] * norms[None, j0:j1]), 6)
+            for jj in range(j0, j1):
+                hits = np.nonzero(C[:jj, jj - j0] >= tau)[0]
+                if len(hits):
+                    i = hits[0]  # ids ascend → first hit = min keep_id
+                    drops.append(ids[jj])
+                    keeps.append(ids[i])
+                    coss.append(C[i, jj - j0])
+        return pd.DataFrame(
+            {
+                "drop_id": np.array(drops, dtype=np.int64),
+                "kept_partner": np.array(keeps, dtype=np.int64),
+                "partner_cos": np.array(coss, dtype=np.float64),
+            }
         )
-        .filter(F.col("cos_sim") >= _SEM_TAU)
-    )
-    return pairs.groupBy("drop_id").agg(
-        F.min("keep_id").alias("kept_partner"),
-        F.expr("min_by(cos_sim, keep_id)").alias("partner_cos"),
+
+    return q.groupBy("label").applyInPandas(
+        cell, "drop_id long, kept_partner long, partner_cos double"
     )
 
 

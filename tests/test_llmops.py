@@ -108,7 +108,11 @@ def test_multimodal_batch_plumbing(spark):
 
 
 def test_multimodal_decode_stub_raises(spark):
+    # PNG decodes for REAL since r4 (tests/test_multimodal_decode.py);
+    # codec-bound mimes without a library still raise.
     with pytest.raises(NotImplementedError):
+        multimodal._decode_payload(b"\x00\x01", "video/mp4")
+    with pytest.raises(ValueError):  # corrupt payload, real decoder
         multimodal._decode_payload(b"\x89PNG", "image/png")
 
 
