@@ -385,20 +385,41 @@ def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-family window functions (row_number/rank/dense_rank/ntile)
     with a fully deterministic order (price desc, key asc tiebreak).
-    Partitioned by priority — stays distributed at any scale."""
-    from pyspark.sql import Window
+
+    The naive plan partitions raw orders by the 5-value priority key —
+    ⅕ of the fact table per window reducer, the low-cardinality-
+    partition scale trap. Instead the whole family derives from ONE
+    distributed global rank per priority (price-band bucket windows +
+    broadcast band offsets, operators/ranks.py): with a unique full
+    ORDER BY tuple (orderkey tiebreak) no two rows are peers, so by
+    definition RANK = DENSE_RANK = ROW_NUMBER (both engines agree —
+    peers are rows equal on ALL order expressions), and NTILE(4)
+    follows from (rank, partition count) via the standard
+    first-r-buckets rule."""
+    from .operators import ranks
 
     orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    ranked = ranks.with_global_prefix(
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        bucket=-F.floor(F.col("o_totalprice") / 1024),
+        order_cols=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        partition_cols=["o_orderpriority"],
+        rn="rn",
+        total_count="__n",
     )
-    return orders.select(
+    quartile = F.expr(
+        "CASE WHEN rn <= (__n % 4) * (__n div 4 + 1) "
+        "THEN (rn - 1) div (__n div 4 + 1) + 1 "
+        "ELSE (__n % 4) + (rn - 1 - (__n % 4) * (__n div 4 + 1)) "
+        "     div (__n div 4) + 1 END"
+    ).cast("int")
+    return ranked.select(
         "o_orderkey",
         "o_orderpriority",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        "rn",
+        F.col("rn").alias("rnk"),
+        F.col("rn").alias("drnk"),
+        quartile.alias("quartile"),
     )
 
 
