@@ -59,6 +59,7 @@ SHOWCASE = [
     "tx_zipf_fit",
     "x_market_basket",
     "tx_pmi_collocations",
+    "x_window_ranks",
     # (c) never driver-attested, families interleaved
     "q2_min_cost_supplier",
     "q4_priority_with_exists",
@@ -166,7 +167,6 @@ SHOWCASE = [
     "x_gap_fill_ffill",
     "x_grouping_sets",
     "x_percentiles",
-    "x_window_ranks",
     "x_ohlc_bars",
     "x_pagerank",
     "x_triangle_count",

@@ -159,14 +159,18 @@ def ivf_topk(
     vec_col: str = "embedding",
     label_col: str = "label",
     nprobe: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: route each query to its ``nprobe`` nearest
     centroids, then score only those clusters' vectors. At 100 TB the
     corpus is hash-partitioned by cluster id, so a query touches
     nprobe partitions' worth of vectors instead of the whole corpus —
     nprobe is the recall/cost knob (recall@k is monotone
-    non-decreasing in it; see ss_ivf_recall_sweep)."""
-    centroids = label_centroids(emb, label_col, vec_col)
+    non-decreasing in it; see ss_ivf_recall_sweep). Pass a
+    pre-computed ``centroids`` table to amortize the quantize-sum
+    shuffle across repeated probes (index build / nprobe sweeps)."""
+    if centroids is None:
+        centroids = label_centroids(emb, label_col, vec_col)
     queries = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )

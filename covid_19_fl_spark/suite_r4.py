@@ -215,10 +215,13 @@ def ss_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.cosine_topk(emb, _QUERY_IDS, k=5).select(
         "query_id", "neighbor_id"
     )
+    # One centroid build shared by all three probe widths — the
+    # quantize-sum explode shuffle runs once, not per sweep point.
+    cents = similarity.label_centroids(emb).localCheckpoint(eager=False)
     runs = None
     for n in (1, 2, 4):
         r = (
-            similarity.ivf_topk(emb, _QUERY_IDS, k=5, nprobe=n)
+            similarity.ivf_topk(emb, _QUERY_IDS, k=5, nprobe=n, centroids=cents)
             .select(
                 F.lit(n).alias("a_np"),
                 F.col("query_id").alias("a_qid"),
