@@ -60,6 +60,11 @@ SHOWCASE = [
     "x_market_basket",
     "tx_pmi_collocations",
     "x_window_ranks",
+    # (b2) brand-new this round — need first-ever driver evidence
+    "x_peak_concurrency",
+    "ml_ols_normal_eq",
+    "dd_exact_substr_spans",
+    "st_dedup_distinct_users",
     # (c) never driver-attested, families interleaved
     "q2_min_cost_supplier",
     "q4_priority_with_exists",

@@ -131,6 +131,10 @@ HEADLINE = [
     "st_stream_daily_counts",
     "st_cusum_drift",
     "ss_ivf_recall_sweep",
+    "x_peak_concurrency",
+    "ml_ols_normal_eq",
+    "dd_exact_substr_spans",
+    "st_dedup_distinct_users",
     "x_funnel_latency",
     "x_seasonal_decompose",
     "tx_novelty_curve",

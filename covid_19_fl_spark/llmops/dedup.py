@@ -725,3 +725,64 @@ def containment_pairs(
             (F.col("contain_a") >= threshold) | (F.col("contain_b") >= threshold)
         )
     )
+
+
+def exact_substr_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document merged duplicated-substring spans — an
+    ExactSubstr-style signal (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): every k-token window whose rolling
+    hash occurs in ≥ ``min_docs`` distinct documents is a duplicated
+    span, and overlapping/adjacent spans within a document are merged
+    into maximal islands (gaps-and-islands), giving the duplicated-token
+    extent exact dedup and Jaccard both miss (long verbatim passages
+    inside otherwise-distinct documents).
+
+    Plan shape: positional gram hashes are scan-stage Horner HOFs
+    (``hashed_word_grams`` — tokens md5-hash once, grams combine by
+    integer arithmetic); document frequency aggregates the per-doc
+    DISTINCT gram view (array_distinct before the explode, so the
+    dedup happens map-side inside the row); the dup-position join is a
+    hash equi-join on the 8-byte gram key; island numbering is a
+    window PARTITIONED BY doc_id (bounded by document length — never a
+    global sort). Every value is BIGINT until the caller's final
+    ratio, so a DuckDB oracle reproduces the whole pipeline
+    bit-for-bit. At 100 TB the gram-frequency shuffle is the only
+    corpus-sized exchange and it carries (hash, count) pairs, not text.
+
+    Returns (doc_id, n_spans, dup_tokens) for documents with ≥1
+    duplicated span; callers LEFT JOIN back for full coverage.
+    """
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        hashed_word_grams(F.col(text_col), k).alias("gs"),
+    )
+    pos = grams.select("doc_id", F.posexplode("gs").alias("pos", "g"))
+    dset = grams.select(
+        "doc_id", F.explode(F.array_distinct("gs")).alias("g")
+    )
+    dup_grams = (
+        dset.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("g")
+    )
+    dup = pos.join(dup_grams, "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("pos").over(w)
+    new_island = F.when(prev.isNull() | (F.col("pos") - prev > k), 1).otherwise(0)
+    islands = (
+        dup.withColumn("island", F.sum(new_island).over(wrun))
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), F.max("pos").alias("e"))
+    )
+    return islands.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + k).cast("long").alias("dup_tokens"),
+    )

@@ -245,3 +245,325 @@ def ss_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit.alias("n_hit"),
         F.round(hit.cast("double") / F.count("*"), 6).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch additions: sweep-line concurrency, normal-equation OLS,
+# ExactSubstr span dedup, streaming dedup distinct counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_peak_concurrency",
+    oracle="""
+    WITH edges AS (
+      SELECT event_type, epoch_us(ts) AS t_us, 1 AS d, event_id FROM events
+      UNION ALL
+      SELECT event_type,
+             epoch_us(ts) + CAST(FLOOR(CAST(value AS DOUBLE)) AS BIGINT) * 1000000,
+             -1, event_id
+      FROM events
+    ), c AS (
+      SELECT event_type, t_us,
+             SUM(d) OVER (PARTITION BY event_type ORDER BY t_us, d, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      FROM edges
+    ), p AS (
+      SELECT event_type, MAX(conc) AS peak FROM c GROUP BY 1
+    )
+    SELECT c.event_type, CAST(p.peak AS BIGINT) AS peak,
+           MIN(c.t_us) AS peak_at_us
+    FROM c JOIN p ON c.event_type = p.event_type AND c.conc = p.peak
+    GROUP BY 1, 2
+    """,
+)
+def x_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency per event_type: each event holds a
+    resource for floor(value) seconds; the classic +1/-1 edge stream
+    running sum gives the live-interval count, and its max is the
+    capacity-planning headline (rooms occupied, sessions live,
+    connections open). Ends sort before starts at the same instant
+    (d = -1 < +1), i.e. half-open [start, end) intervals.
+
+    Scale: the naive plan is a running sum over 2|events| edges per
+    event_type — a handful of data-sized window partitions. Here the
+    prefix is decomposed via operators/ranks.with_global_prefix: a
+    per-(type, day-bucket) window distributes the sort, and a
+    broadcast spine of per-bucket subtotals (bounded by the DATE
+    domain, not the data) restores the exact global running sum. The
+    peak row is then one map-combined struct-max aggregate — at no
+    point does a single reducer see more than one (type, day) slice.
+    All arithmetic is BIGINT microseconds: bit-identical to the
+    oracle's naive global window.
+    """
+    from .operators import ranks
+
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("t0"),
+        (
+            F.unix_micros(F.col("ts"))
+            + F.floor(F.col("value").cast("double")).cast("long") * 1_000_000
+        ).alias("t1"),
+    )
+    edges = base.select(
+        "event_type", F.col("t0").alias("t_us"), F.lit(1).alias("d"), "event_id"
+    ).unionByName(
+        base.select(
+            "event_type", F.col("t1").alias("t_us"), F.lit(-1).alias("d"), "event_id"
+        )
+    )
+    pref = ranks.with_global_prefix(
+        edges,
+        bucket=F.floor(F.col("t_us") / F.lit(86_400_000_000)),
+        order_cols=[F.col("t_us"), F.col("d"), F.col("event_id")],
+        partition_cols=["event_type"],
+        running_sums={"conc": F.col("d").cast("long")},
+    )
+    best = F.max(
+        F.struct(
+            F.col("conc").cast("long").alias("c"), (-F.col("t_us")).alias("nt")
+        )
+    )
+    return (
+        pref.groupBy("event_type")
+        .agg(best.alias("b"))
+        .select(
+            "event_type",
+            F.col("b.c").alias("peak"),
+            (-F.col("b.nt")).alias("peak_at_us"),
+        )
+    )
+
+
+@query(
+    "ml_ols_normal_eq",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(d) AS BIGINT) AS sd,
+             CAST(SUM(q*q) AS BIGINT) AS sqq, CAST(SUM(q*d) AS BIGINT) AS sqd,
+             CAST(SUM(d*d) AS BIGINT) AS sdd,
+             CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(q*y) AS BIGINT) AS sqy,
+             CAST(SUM(d*y) AS BIGINT) AS sdy
+      FROM (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS q,
+                   CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem)
+    ), f AS (
+      SELECT n,
+             CAST(n AS DOUBLE) AS a, CAST(sq AS DOUBLE) AS b, CAST(sd AS DOUBLE) AS c,
+             CAST(sqq AS DOUBLE) AS e, CAST(sqd AS DOUBLE) AS g, CAST(sdd AS DOUBLE) AS i,
+             CAST(sy AS DOUBLE) AS v0, CAST(sqy AS DOUBLE) AS v1, CAST(sdy AS DOUBLE) AS v2
+      FROM m
+    )
+    SELECT n,
+           ROUND((v0*(e*i - g*g) - b*(v1*i - g*v2) + c*(v1*g - e*v2))
+                 / (a*(e*i - g*g) - b*(b*i - g*c) + c*(b*g - e*c)), 6) AS beta0,
+           ROUND((a*(v1*i - g*v2) - v0*(b*i - g*c) + c*(b*v2 - v1*c))
+                 / (a*(e*i - g*g) - b*(b*i - g*c) + c*(b*g - e*c)), 6) AS beta_q,
+           ROUND((a*(e*v2 - v1*g) - b*(b*v2 - v1*c) + v0*(b*g - e*c))
+                 / (a*(e*i - g*g) - b*(b*i - g*c) + c*(b*g - e*c)), 6) AS beta_d
+    FROM f
+    """,
+)
+def ml_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature OLS by normal equations: extendedprice_cents ~
+    quantity + discount_pct, solved exactly via Cramer's rule on the
+    3x3 moment matrix. The distributed part is ONE map-combined
+    aggregate of nine integer moments (all inputs quantized to
+    integer cents/percent, sums BIGINT-exact at any SF — the largest,
+    Σq·y, is ~3e15 at sf1, well under 2^53 and int64); the solve is
+    scalar arithmetic on that single row. This is the textbook
+    "sufficient statistics" pattern: at 100 TB the model fit costs one
+    scan + one 9-number reduce, no iteration, no driver loop —
+    contrast ml_logreg_gd's per-epoch passes.
+
+    Exactness: both engines convert the identical BIGINT moments to
+    double (exact, < 2^53) and evaluate the SAME Cramer expression
+    tree left-to-right in IEEE-754 — bit-identical determinants, then
+    a 6dp round. Coefficient units: cents per unit quantity / per
+    discount point.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity")).cast("long")
+    d = F.round(F.col("l_discount") * 100).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    m = li.agg(
+        F.count("*").alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(d).alias("sd"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(q * d).alias("sqd"),
+        F.sum(d * d).alias("sdd"),
+        F.sum(y).alias("sy"),
+        F.sum(q * y).alias("sqy"),
+        F.sum(d * y).alias("sdy"),
+    )
+    a = F.col("n").cast("double")
+    b = F.col("sq").cast("double")
+    c = F.col("sd").cast("double")
+    e = F.col("sqq").cast("double")
+    g = F.col("sqd").cast("double")
+    i = F.col("sdd").cast("double")
+    v0 = F.col("sy").cast("double")
+    v1 = F.col("sqy").cast("double")
+    v2 = F.col("sdy").cast("double")
+    det = a * (e * i - g * g) - b * (b * i - g * c) + c * (b * g - e * c)
+    det0 = v0 * (e * i - g * g) - b * (v1 * i - g * v2) + c * (v1 * g - e * v2)
+    det1 = a * (v1 * i - g * v2) - v0 * (b * i - g * c) + c * (b * v2 - v1 * c)
+    det2 = a * (e * v2 - v1 * g) - b * (b * v2 - v1 * c) + v0 * (b * g - e * c)
+    return m.select(
+        "n",
+        F.round(det0 / det, 6).alias("beta0"),
+        F.round(det1 / det, 6).alias("beta_q"),
+        F.round(det2 / det, 6).alias("beta_d"),
+    )
+
+
+def _exact_substr_oracle(k: int = 8, min_docs: int = 2) -> str:
+    """DuckDB replica of dedup.exact_substr_spans + full-corpus left
+    join — identical md5-token Horner gram hashes, identical island
+    merge rule (gap > k starts a new span), pure BIGINT until the
+    final rounded fraction."""
+    from .llmops import dedup
+
+    P = dedup.PORTABLE_PRIME
+    B = dedup.SHINGLE_BASE
+    horner = "ths[i]"
+    for j in range(1, k):
+        horner = f"(({horner})*{B} + ths[i+{j}]) % {P}"
+    return f"""
+    WITH th AS (
+      SELECT doc_id,
+             [ (('0x'||substr(md5(t),1,15))::BIGINT) % {P}
+               for t in regexp_split_to_array(trim(text), '\\s+') ] AS ths
+      FROM documents
+    ), g AS (
+      SELECT doc_id, len(ths) AS n_tokens,
+             [ {horner}
+               for i in generate_series(1, greatest(len(ths)-{k - 1}, 0)) ] AS gs
+      FROM th
+    ), pe AS (
+      SELECT doc_id, unnest(gs) AS gg,
+             unnest([i-1 for i in generate_series(1, len(gs))]) AS p
+      FROM g
+    ), dfreq AS (
+      SELECT gg FROM (SELECT DISTINCT doc_id, gg FROM pe)
+      GROUP BY gg HAVING COUNT(*) >= {min_docs}
+    ), dup AS (
+      SELECT doc_id, p FROM pe JOIN dfreq USING (gg)
+    ), isl AS (
+      SELECT doc_id, p,
+             SUM(CASE WHEN prev_p IS NULL OR p - prev_p > {k} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM (SELECT doc_id, p,
+                   LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev_p
+            FROM dup)
+    ), sp AS (
+      SELECT doc_id, island, MIN(p) AS s, MAX(p) AS e FROM isl GROUP BY 1, 2
+    ), agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(e - s + {k}) AS BIGINT) AS dup_tokens
+      FROM sp GROUP BY 1
+    )
+    SELECT g.doc_id, CAST(g.n_tokens AS BIGINT) AS n_tokens,
+           COALESCE(a.n_spans, 0) AS n_spans,
+           COALESCE(a.dup_tokens, 0) AS dup_tokens,
+           CASE WHEN g.n_tokens > 0
+                THEN ROUND(CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / g.n_tokens, 6)
+                ELSE 0.0 END AS dup_frac
+    FROM g LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@query("dd_exact_substr_spans", oracle=_exact_substr_oracle())
+def dd_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span report: per document, the
+    merged extent of 8-token windows whose rolling hash appears in ≥2
+    distinct documents — the long-verbatim-passage signal (Lee et al.
+    2022) that document-level exact dedup and Jaccard both miss. See
+    dedup.exact_substr_spans for the plan-shape / 100 TB notes; this
+    query left-joins the span report back to the corpus so clean
+    documents report zeros.
+    """
+    from .llmops import dedup, text
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = dedup.exact_substr_spans(docs, "text", "doc_id", k=8, min_docs=2)
+    base = docs.select(
+        "doc_id", text.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    joined = base.join(spans, "doc_id", "left")
+    dup_tokens = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        dup_tokens.alias("dup_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(dup_tokens.cast("double") / F.col("n_tokens"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )
+
+
+@query(
+    "st_dedup_distinct_users",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def st_dedup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates promoted to the exact-oracle gate: the
+    event stream is deduplicated on (user_id, event_type) with
+    streaming state, drained with availableNow into an append-mode
+    memory sink, and the surviving rows counted per type — the online
+    twin of COUNT(DISTINCT user_id) GROUP BY event_type, hash-matched
+    against the batch oracle (SURVEY §2.11 watermark dedup, here
+    attested end-to-end rather than pytest-only).
+
+    The dedup state is hash-partitioned on the key pair and each
+    surviving row is emitted exactly once regardless of micro-batch
+    boundaries, so the final count is deterministic. Production
+    unbounded streams would bound the state with
+    dropDuplicatesWithinWatermark; this bounded drain keeps full state
+    so the oracle equality is exact (a watermark variant could
+    re-admit a duplicate whose first sighting was evicted).
+    """
+    stage = _stage_stream_dir(sf_dir, "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    src = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    sink = f"st_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        src.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(120):
+            raise TimeoutError(
+                "st_dedup_distinct_users: availableNow drain did not "
+                "finish within 120s — refusing to count a partial sink"
+            )
+    finally:
+        q.stop()
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

@@ -519,3 +519,35 @@ def test_bigram_logprob_properties(spark):
 
     expect = round((math.log(1.0) + math.log(1 / 3)) / 2, 6)
     assert abs(out[2].avg_logprob - expect) < 1e-9
+
+
+def test_exact_substr_spans_semantics(spark):
+    """Hand-computed span merge: k=2 windows duplicated across docs,
+    overlapping/adjacent islands merged, clean docs absent."""
+    from covid_19_fl_spark.llmops import dedup
+
+    docs = spark.createDataFrame(
+        [
+            # docs 1 & 2 share "x y z w" (3 duplicated 2-grams at pos
+            # 0,1,2 in doc 1 → one island of 4 tokens) and "q r" later
+            # in doc 1 (pos 5) matching doc 3 — a second island.
+            (1, "x y z w a q r"),
+            (2, "x y z w"),
+            (3, "b q r c"),
+            (4, "unique tokens only here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.exact_substr_spans(
+            docs, "text", "doc_id", k=2, min_docs=2
+        ).collect()
+    }
+    # doc 1: island {0,1,2} → tokens 0..3 (4), island {5} → tokens 5..6 (2)
+    assert out[1].n_spans == 2 and out[1].dup_tokens == 6
+    # doc 2: single island covering the whole doc
+    assert out[2].n_spans == 1 and out[2].dup_tokens == 4
+    # doc 3: "q r" at pos 1 → 2 tokens
+    assert out[3].n_spans == 1 and out[3].dup_tokens == 2
+    assert 4 not in out
