@@ -65,6 +65,9 @@ SHOWCASE = [
     "ml_ols_normal_eq",
     "dd_exact_substr_spans",
     "st_dedup_distinct_users",
+    "ml_pr_curve",
+    "x_mann_kendall",
+    "st_stream_stream_join",
     # (c) never driver-attested, families interleaved
     "q2_min_cost_supplier",
     "q4_priority_with_exists",

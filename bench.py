@@ -135,6 +135,9 @@ HEADLINE = [
     "ml_ols_normal_eq",
     "dd_exact_substr_spans",
     "st_dedup_distinct_users",
+    "ml_pr_curve",
+    "x_mann_kendall",
+    "st_stream_stream_join",
     "x_funnel_latency",
     "x_seasonal_decompose",
     "tx_novelty_curve",

@@ -1364,22 +1364,28 @@ def st_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"st_daily_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not q.awaitTermination(120):
-            raise TimeoutError(
-                "st_stream_daily_counts: availableNow drain did not "
-                "finish within 120s — refusing to read a partial "
-                "complete-mode aggregate"
-            )
-    finally:
-        q.stop()
+    # Late import: suite_r4 loads after this module, but by call time
+    # both are registered. The pin bounds per-partition state-store
+    # maintenance during the bounded drain (see suite_r4).
+    from .suite_r4 import _stream_shuffle_partitions
+
+    with _stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(120):
+                raise TimeoutError(
+                    "st_stream_daily_counts: availableNow drain did not "
+                    "finish within 120s — refusing to read a partial "
+                    "complete-mode aggregate"
+                )
+        finally:
+            q.stop()
     return spark.table(sink).select(
         F.col("w.start").cast("date").alias("event_date"),
         "n_events",

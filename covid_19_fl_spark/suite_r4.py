@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .llmops import similarity
@@ -37,12 +37,42 @@ _CUSUM_SLACK = 10.0
 _CUSUM_THRESHOLD = 5000.0
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_shuffle_partitions(spark: SparkSession, n: int = 16):
+    """Pin a modest shuffle width for a bounded streaming drain.
+
+    Streaming state costs per-PARTITION (a state store instance plus
+    commit/delta files per micro-batch), so a bare 200-partition
+    session spends more on store maintenance than on rows during an
+    availableNow drain (measured 20s → 3.3s at sf0.1 for the
+    stream-stream join). The streaming query latches the value at
+    start; restoring afterwards leaves batch plans untouched. A real
+    cluster sizes this to state volume ÷ target per-store size —
+    the pin is drain-harness tuning, not operator semantics."""
+    old = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _stage_stream_dir(sf_dir: str, table: str) -> str:
     """File streaming sources need a DIRECTORY; the corpus ships
     read-only single files — stage a symlink dir under /tmp (no data
-    copy, corpus untouched)."""
+    copy, corpus untouched). One directory PER TABLE: a file-stream
+    source reads every parquet in its directory, so mixing tables in
+    one staging dir would splice mismatched schemas into the stream."""
     stage = os.path.join(
-        "/tmp/covid_19_fl_spark-stream", sf_dir.strip("/").replace("/", "_")
+        "/tmp/covid_19_fl_spark-stream-t",
+        sf_dir.strip("/").replace("/", "_"),
+        table,
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, f"{table}.parquet")
@@ -133,22 +163,23 @@ def st_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_CUSUM_THRESHOLD,
     )
     sink = f"st_cusum_{uuid.uuid4().hex[:8]}"
-    q = (
-        mon.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not q.awaitTermination(120):
-            raise TimeoutError(
-                "st_cusum_drift: availableNow drain did not finish "
-                "within 120s — refusing to read partial update-mode "
-                "state"
-            )
-    finally:
-        q.stop()
+    with _stream_shuffle_partitions(spark):
+        q = (
+            mon.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(120):
+                raise TimeoutError(
+                    "st_cusum_drift: availableNow drain did not finish "
+                    "within 120s — refusing to read partial update-mode "
+                    "state"
+                )
+        finally:
+            q.stop()
     out = spark.table(sink)
     # Final state per key: the update-mode row with the largest n_seen.
     return out.groupBy("key").agg(
@@ -547,23 +578,278 @@ def st_dedup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["user_id", "event_type"])
     )
     sink = f"st_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        src.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        if not q.awaitTermination(120):
-            raise TimeoutError(
-                "st_dedup_distinct_users: availableNow drain did not "
-                "finish within 120s — refusing to count a partial sink"
-            )
-    finally:
-        q.stop()
+    with _stream_shuffle_partitions(spark):
+        q = (
+            src.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(120):
+                raise TimeoutError(
+                    "st_dedup_distinct_users: availableNow drain did not "
+                    "finish within 120s — refusing to count a partial sink"
+                )
+        finally:
+            q.stop()
     return (
         spark.table(sink)
         .groupBy("event_type")
         .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+@query(
+    "ml_pr_curve",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(CAST(value AS DOUBLE)) AS BIGINT) AS threshold,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(pos) AS BIGINT) AS tp_total
+      FROM b
+    ), c AS (
+      SELECT threshold,
+             CAST(COALESCE(SUM(n) OVER w, 0) AS BIGINT) AS ln,
+             CAST(COALESCE(SUM(pos) OVER w, 0) AS BIGINT) AS lp
+      FROM b
+      WINDOW w AS (ORDER BY threshold
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT threshold,
+           tp_total - lp AS tp,
+           (tn - ln) - (tp_total - lp) AS fp,
+           lp AS fn,
+           ROUND(CAST(tp_total - lp AS DOUBLE) / (tn - ln), 6) AS precision_,
+           CASE WHEN tp_total > 0
+                THEN ROUND(CAST(tp_total - lp AS DOUBLE) / tp_total, 6)
+                ELSE 0.0 END AS recall_,
+           CASE WHEN 2*(tp_total - lp) + ((tn - ln) - (tp_total - lp)) + lp > 0
+                THEN ROUND(CAST(2*(tp_total - lp) AS DOUBLE)
+                           / (2*(tp_total - lp) + ((tn - ln) - (tp_total - lp)) + lp), 6)
+                ELSE 0.0 END AS f1
+    FROM c CROSS JOIN t
+    """,
+)
+def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 curve for the rule "predict purchase iff
+    value ≥ t" at EVERY occupied integer threshold — the model-eval
+    companion to ml_decision_stump, built with the same histogram
+    trick: one map-combined shuffle bins the facts, then exclusive
+    prefix-sum windows over the |bins| series (bounded by the VALUE
+    DOMAIN ≈ 490 rows, not the data) yield TP/FP/FN for every
+    threshold simultaneously — no per-threshold rescan, no sort of the
+    fact table. The classic sufficient-statistics sweep: at 100 TB the
+    curve costs one scan plus a 500-row window.
+
+    Exactness: all counts BIGINT; precision/recall/F1 are single
+    double divisions of exact integers rounded 6dp (F1 in its
+    2TP/(2TP+FP+FN) integer form — one division, no P·R compounding).
+    Predicted-positive count is ≥ the threshold bin's own n, so the
+    precision denominator is never zero.
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bins = ev.groupBy(
+        F.floor(F.col("value").cast("double")).cast("long").alias("threshold")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("pos"),
+    )
+    tot = bins.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("pos").cast("long").alias("tp_total"),
+    )
+    wpre = Window.orderBy("threshold").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = bins.select(
+        "threshold",
+        F.coalesce(F.sum("n").over(wpre), F.lit(0)).cast("long").alias("ln"),
+        F.coalesce(F.sum("pos").over(wpre), F.lit(0)).cast("long").alias("lp"),
+    ).crossJoin(F.broadcast(tot))
+    tp = F.col("tp_total") - F.col("lp")
+    fp = (F.col("tn") - F.col("ln")) - tp
+    fn = F.col("lp")
+    denom_f1 = 2 * tp + fp + fn
+    return cum.select(
+        "threshold",
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        F.round(tp.cast("double") / (F.col("tn") - F.col("ln")), 6).alias(
+            "precision_"
+        ),
+        F.when(
+            F.col("tp_total") > 0,
+            F.round(tp.cast("double") / F.col("tp_total"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall_"),
+        F.when(denom_f1 > 0, F.round((2 * tp).cast("double") / denom_f1, 6))
+        .otherwise(F.lit(0.0))
+        .alias("f1"),
+    )
+
+
+@query(
+    "x_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             SUM(CAST(value AS DECIMAL(28,4))) AS v
+      FROM events GROUP BY 1, 2
+    ), nd AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1
+    ), s AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.v > a.v THEN 1
+                           WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+      GROUP BY 1
+    )
+    SELECT nd.event_type, nd.n_days,
+           COALESCE(s.s_stat, 0) AS s_stat,
+           CAST(nd.n_days * (nd.n_days - 1) / 2 AS BIGINT) AS n_pairs,
+           CASE WHEN nd.n_days > 1
+                THEN ROUND(CAST(COALESCE(s.s_stat, 0) AS DOUBLE)
+                           / CAST(nd.n_days * (nd.n_days - 1) / 2 AS BIGINT), 6) + 0.0
+                ELSE 0.0 END AS tau
+    FROM nd LEFT JOIN s USING (event_type)
+    """,
+)
+def x_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event_type over the daily-total
+    series: S = Σ sign(v_j − v_i) over all day pairs i<j, plus
+    Kendall's tau-a — the nonparametric "is this metric trending"
+    statistic (monotone-trend robust, no normality assumption; the
+    rank-based sibling of ml_linear_trend's OLS slope).
+
+    Scale: the pairwise comparison is quadratic in DAYS — a
+    domain-bounded series (|dates| ≈ 2.4k regardless of SF), never the
+    fact table; the facts reduce to dailies in one map-combined
+    shuffle first. The day-level self-join broadcasts the tiny daily
+    table, so pair generation is a broadcast hash join on event_type
+    fanning out map-side across partitions — no single reducer owns a
+    type's whole pair set during generation, and the per-type S is a
+    map-combined sum. Daily totals are DECIMAL-exact, so every
+    three-way comparison agrees bit-for-bit with the oracle; tau's
+    single double division rounds 6dp (+0.0 normalizes IEEE -0.0,
+    which the two engines sign differently).
+    """
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(28,4)")).alias("v"))
+    nd = daily.groupBy("event_type").agg(F.count("*").cast("long").alias("n_days"))
+    right = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("d").alias("d2"),
+        F.col("v").alias("v2"),
+    )
+    sgn = (
+        F.when(F.col("v2") > F.col("v"), 1)
+        .when(F.col("v2") < F.col("v"), -1)
+        .otherwise(0)
+    )
+    s = (
+        daily.join(
+            F.broadcast(right),
+            (F.col("event_type") == F.col("et2")) & (F.col("d") < F.col("d2")),
+        )
+        .groupBy("event_type")
+        .agg(F.sum(sgn).cast("long").alias("s_stat"))
+    )
+    n_pairs = (F.col("n_days") * (F.col("n_days") - 1) / 2).cast("long")
+    s_stat = F.coalesce(F.col("s_stat"), F.lit(0).cast("long"))
+    return nd.join(s, "event_type", "left").select(
+        "event_type",
+        "n_days",
+        s_stat.alias("s_stat"),
+        n_pairs.alias("n_pairs"),
+        F.when(
+            F.col("n_days") > 1,
+            F.round(s_stat.cast("double") / n_pairs, 6) + 0.0,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("tau"),
+    )
+
+
+@query(
+    "st_stream_stream_join",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+)
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner equi-join under the exactness gate: the
+    orders and lineitem streams join on orderkey with symmetric
+    streaming state, the joined rows append into a memory sink, and
+    the drained sink aggregates to per-returnflag counts + DECIMAL-
+    exact revenue — hash-matched against the batch join oracle
+    (SURVEY §2.11 stream-stream join, previously pytest-only).
+
+    Join state is hash-partitioned on the key, each matched pair
+    emits exactly once whichever side arrives first, and the final
+    aggregate is micro-batch-order-invariant — so the bounded
+    availableNow drain reproduces the batch join bit-for-bit.
+    Production unbounded streams would add event-time watermarks to
+    both sides so the state store evicts matched keys; the bounded
+    drain keeps full state to preserve exact oracle equality.
+    """
+    ostage = _stage_stream_dir(sf_dir, "orders")
+    lstage = _stage_stream_dir(sf_dir, "lineitem")
+    oschema = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).schema
+    lschema = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).schema
+    orders = (
+        spark.readStream.schema(oschema)
+        .parquet(ostage)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    items = (
+        spark.readStream.schema(lschema)
+        .parquet(lstage)
+        .select("l_orderkey", "l_returnflag", "l_extendedprice")
+    )
+    joined = items.join(orders, items.l_orderkey == orders.o_orderkey).select(
+        "l_returnflag", "l_extendedprice"
+    )
+    sink = f"st_ssj_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(120):
+                raise TimeoutError(
+                    "st_stream_stream_join: availableNow drain did not "
+                    "finish within 120s — refusing to aggregate a partial sink"
+                )
+        finally:
+            q.stop()
+    return (
+        spark.table(sink)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
     )
