@@ -68,6 +68,7 @@ SHOWCASE = [
     "ml_pr_curve",
     "x_mann_kendall",
     "st_stream_stream_join",
+    "x_kruskal_wallis",
     # (c) never driver-attested, families interleaved
     "q2_min_cost_supplier",
     "q4_priority_with_exists",

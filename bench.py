@@ -138,6 +138,7 @@ HEADLINE = [
     "ml_pr_curve",
     "x_mann_kendall",
     "st_stream_stream_join",
+    "x_kruskal_wallis",
     "x_funnel_latency",
     "x_seasonal_decompose",
     "tx_novelty_curve",

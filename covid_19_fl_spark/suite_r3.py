@@ -1335,16 +1335,13 @@ def st_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
     path = _os.path.join(sf_dir, "events.parquet")
-    # The file stream source requires a DIRECTORY; the corpus ships
-    # single read-only files, so stage a symlink dir under /tmp (no
-    # data copy, corpus untouched).
-    stage = _os.path.join(
-        "/tmp/covid_19_fl_spark-stream", sf_dir.strip("/").replace("/", "_")
-    )
-    _os.makedirs(stage, exist_ok=True)
-    link = _os.path.join(stage, "events.parquet")
-    if not _os.path.exists(link):
-        _os.symlink(path, link)
+    # The file stream source requires a DIRECTORY; stage via the
+    # shared helper (symlink dir for single-file corpora, the table's
+    # own part-file directory for Spark-written ones). Late import:
+    # suite_r4 loads after this module but before any query runs.
+    from .suite_r4 import _stage_stream_dir
+
+    stage = _stage_stream_dir(sf_dir, "events")
     # Same physical-type normalization as tables.load (nanos long vs
     # micros timestamp_ntz), applied to the STREAM.
     spark.conf.set("spark.sql.session.timeZone", "UTC")

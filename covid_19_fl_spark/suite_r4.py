@@ -69,6 +69,13 @@ def _stage_stream_dir(sf_dir: str, table: str) -> str:
     copy, corpus untouched). One directory PER TABLE: a file-stream
     source reads every parquet in its directory, so mixing tables in
     one staging dir would splice mismatched schemas into the stream."""
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(src):
+        # Spark-written table (e.g. the 10x scale corpus): already a
+        # single-table directory of part files — stream it directly.
+        # A symlink to the DIRECTORY inside a staging dir would nest
+        # it one level down where the file-stream source won't list it.
+        return src
     stage = os.path.join(
         "/tmp/covid_19_fl_spark-stream-t",
         sf_dir.strip("/").replace("/", "_"),
@@ -77,7 +84,7 @@ def _stage_stream_dir(sf_dir: str, table: str) -> str:
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, f"{table}.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+        os.symlink(src, link)
     return stage
 
 
@@ -327,7 +334,7 @@ def x_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     All arithmetic is BIGINT microseconds: bit-identical to the
     oracle's naive global window.
     """
-    from .operators import ranks
+    from .operators import sweepline
 
     events = _t(spark, sf_dir, "events")
     base = events.select(
@@ -339,33 +346,8 @@ def x_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.floor(F.col("value").cast("double")).cast("long") * 1_000_000
         ).alias("t1"),
     )
-    edges = base.select(
-        "event_type", F.col("t0").alias("t_us"), F.lit(1).alias("d"), "event_id"
-    ).unionByName(
-        base.select(
-            "event_type", F.col("t1").alias("t_us"), F.lit(-1).alias("d"), "event_id"
-        )
-    )
-    pref = ranks.with_global_prefix(
-        edges,
-        bucket=F.floor(F.col("t_us") / F.lit(86_400_000_000)),
-        order_cols=[F.col("t_us"), F.col("d"), F.col("event_id")],
-        partition_cols=["event_type"],
-        running_sums={"conc": F.col("d").cast("long")},
-    )
-    best = F.max(
-        F.struct(
-            F.col("conc").cast("long").alias("c"), (-F.col("t_us")).alias("nt")
-        )
-    )
-    return (
-        pref.groupBy("event_type")
-        .agg(best.alias("b"))
-        .select(
-            "event_type",
-            F.col("b.c").alias("peak"),
-            (-F.col("b.nt")).alias("peak_at_us"),
-        )
+    return sweepline.peak_concurrency(
+        base, "event_type", "t0", "t1", "event_id"
     )
 
 
@@ -852,4 +834,116 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue"),
         )
+    )
+
+
+@query(
+    "x_kruskal_wallis",
+    oracle="""
+    WITH pv AS (
+      SELECT value AS v, event_type, CAST(COUNT(*) AS BIGINT) AS cg
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+      SELECT v, CAST(SUM(cg) AS BIGINT) AS tc FROM pv GROUP BY 1
+    ), cum AS (
+      SELECT v, tc,
+             CAST(SUM(tc) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumtc
+      FROM tot
+    ), grp AS (
+      SELECT p.event_type, CAST(SUM(p.cg) AS BIGINT) AS n_g,
+             CAST(SUM(p.cg * (2 * c.cumtc - c.tc + 1)) AS BIGINT) AS r2x
+      FROM pv p JOIN cum c ON p.v = c.v GROUP BY 1
+    ), agg AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list((CAST(r2x AS DOUBLE) / 2) * (CAST(r2x AS DOUBLE) / 2) / n_g
+                    ORDER BY event_type)),
+               (acc, v) -> acc + v) AS s
+      FROM grp
+    ), h AS (
+      SELECT n,
+             ROUND(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * s
+                   - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h_stat
+      FROM agg
+    )
+    SELECT g.event_type, g.n_g,
+           ROUND(CAST(g.r2x AS DOUBLE) / (2 * g.n_g), 6) AS mean_rank,
+           h.n, h.h_stat
+    FROM grp g, h
+    """,
+)
+def x_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test across ALL event types on `value` — the
+    k-group generalization of x_mann_whitney's rank-sum test (is any
+    type's value distribution shifted?), with per-group mean ranks as
+    the effect-size readout. Tie handling is the same exact-integer
+    doubled-average-rank identity (2·cum − tc + 1), so every per-group
+    doubled rank sum is BIGINT end-to-end; no tie-variance correction
+    (stated, identical on both engines).
+
+    Scale: SQL's RANK() over the raw series would be a single-reducer
+    sort, so ranks come from the per-distinct-value reduction plus the
+    distributed prefix over value bands (operators/ranks.py — the
+    x_mann_whitney plan, widened to k groups). The (value, type)
+    grid and the per-value totals co-partition on value for the rank
+    join; the k per-group moments then fold in canonical group order
+    (chi2's ordered-fold recipe) so the float H is partition-order-
+    independent and bit-identical to the oracle's list_reduce.
+    """
+    from .operators import ranks
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pv = ev.groupBy(F.col("value").alias("v"), "event_type").agg(
+        F.count("*").alias("cg")
+    )
+    tot = pv.groupBy("v").agg(F.sum("cg").cast("long").alias("tc"))
+    cum = ranks.with_global_prefix(
+        tot,
+        bucket=F.floor(F.col("v")),
+        order_cols=[F.col("v")],
+        running_sums={"cumtc": F.col("tc")},
+    )
+    grp = (
+        pv.join(cum, "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cg").cast("long").alias("n_g"),
+            F.sum(F.col("cg") * (2 * F.col("cumtc") - F.col("tc") + 1))
+            .cast("long")
+            .alias("r2x"),
+        )
+    )
+    term = (
+        (F.col("r2x").cast("double") / 2)
+        * (F.col("r2x").cast("double") / 2)
+        / F.col("n_g")
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("event_type"), term.alias("term")))
+    )
+    aggd = grp.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.aggregate(
+            ordered, F.lit(0.0).cast("double"), lambda a, x: a + x["term"]
+        ).alias("s"),
+    )
+    nd = F.col("n").cast("double")
+    h = aggd.select(
+        "n",
+        F.round(
+            F.lit(12.0) / (nd * (nd + F.lit(1.0))) * F.col("s")
+            - F.lit(3.0) * (nd + F.lit(1.0)),
+            6,
+        ).alias("h_stat"),
+    )
+    return grp.crossJoin(F.broadcast(h)).select(
+        "event_type",
+        "n_g",
+        F.round(F.col("r2x").cast("double") / (2 * F.col("n_g")), 6).alias(
+            "mean_rank"
+        ),
+        "n",
+        "h_stat",
     )
