@@ -69,6 +69,7 @@ SHOWCASE = [
     "x_mann_kendall",
     "st_stream_stream_join",
     "x_kruskal_wallis",
+    "st_session_windows",
     # (c) never driver-attested, families interleaved
     "q2_min_cost_supplier",
     "q4_priority_with_exists",

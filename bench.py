@@ -139,6 +139,7 @@ HEADLINE = [
     "x_mann_kendall",
     "st_stream_stream_join",
     "x_kruskal_wallis",
+    "st_session_windows",
     "x_funnel_latency",
     "x_seasonal_decompose",
     "tx_novelty_curve",

@@ -947,3 +947,94 @@ def x_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "h_stat",
     )
+
+
+@query(
+    "st_session_windows",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), marked AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_seq
+      FROM seq
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS session_value
+    FROM marked GROUP BY user_id, session_seq
+    """,
+)
+def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows under the exactness gate: the event
+    stream aggregates into per-user gap-merged sessions
+    (``session_window(ts, 30 minutes)`` — Spark's dynamic-gap merging
+    state), drained availableNow in complete mode so the final sink
+    state is the full session table, hash-matched against a
+    gaps-and-islands batch oracle. The §2.11 session-window operator,
+    previously pytest-only, now oracle-attested end-to-end.
+
+    Two semantic details the oracle mirrors exactly: Spark's session
+    END is last-event-time + gap (the oracle adds INTERVAL 30 MINUTE
+    to MAX(ts)), and two events exactly 30 minutes apart do NOT merge
+    (the windows [t, t+30) and [t+30, …) touch without overlapping —
+    the oracle splits on gap_us >= 1800e6, where the batch
+    x_sessionization twin's convention splits on strictly-greater).
+    DECIMAL session values make the merge partition-order-invariant.
+
+    Scale: session state is per (user, open-session) and merges are
+    key-local after the hash shuffle; production unbounded streams
+    bound it with a watermark (append mode) — the bounded complete-
+    mode drain keeps the oracle equality exact instead.
+    """
+    stage = _stage_stream_dir(sf_dir, "events")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    src = spark.readStream.schema(schema).parquet(stage)
+    ts_type = schema["ts"].dataType.simpleString()
+    if ts_type in ("bigint", "long"):
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type != "timestamp":
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        src.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,4)")).alias("tv"),
+        )
+    )
+    sink = f"st_sw_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(120):
+                raise TimeoutError(
+                    "st_session_windows: availableNow drain did not "
+                    "finish within 120s — refusing to read a partial "
+                    "complete-mode session table"
+                )
+        finally:
+            q.stop()
+    return spark.table(sink).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        F.col("tv").cast("double").alias("session_value"),
+    )

@@ -140,3 +140,25 @@ def test_documents_shorter_than_shingle_width(spark):
     # agg path simply emits no signature row for such docs)
     assert set(sigs[0].sig) == {None} and sigs[0].sh == []
     assert set(sigs[1].sig) == {None} and sigs[1].sh == []
+
+
+def test_exact_substr_spans_on_empty_and_single(empty_docs, one_doc):
+    assert dedup.exact_substr_spans(empty_docs, "text", "doc_id").count() == 0
+    # one document → no gram occurs in >= 2 docs → no spans
+    assert dedup.exact_substr_spans(one_doc, "text", "doc_id").count() == 0
+
+
+def test_exact_substr_spans_short_docs(spark):
+    """Documents shorter than the shingle width produce no grams (the
+    _gram_positions empty-sequence guard), not a crash."""
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "too short")], DOC_SCHEMA
+    )
+    assert dedup.exact_substr_spans(docs, "text", "doc_id", k=8).count() == 0
+
+
+def test_sweepline_on_empty(spark):
+    from covid_19_fl_spark.operators import sweepline
+
+    df = spark.createDataFrame([], "k string, s long, e long, id long")
+    assert sweepline.peak_concurrency(df, "k", "s", "e", "id").count() == 0

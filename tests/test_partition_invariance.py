@@ -28,6 +28,12 @@ REPRESENTATIVES = [
     "tx_boilerplate_ngrams",
     "ss_pq_quantize",
     "x_agg_state_rollup",
+    # r4: ordered-fold float H + distributed doubled-rank prefix
+    "x_kruskal_wallis",
+    # r4: bucket-spine running sum + struct-max peak selection
+    "x_peak_concurrency",
+    # r4: corpus-frequency join + per-doc island merge
+    "dd_exact_substr_spans",
 ]
 
 
