@@ -70,6 +70,7 @@ SHOWCASE = [
     "st_stream_stream_join",
     "x_kruskal_wallis",
     "st_session_windows",
+    "x_spatial_neighbors",
     # (c) never driver-attested, families interleaved
     "q2_min_cost_supplier",
     "q4_priority_with_exists",

@@ -1038,3 +1038,99 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("tv").cast("double").alias("session_value"),
     )
+
+
+@query(
+    "x_spatial_neighbors",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+             CAST(ROUND(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vq
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT a.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(ABS(a.vq - b.vq)) AS DOUBLE) / (100 * COUNT(*)), 6)
+             AS mean_value_dist
+    FROM e a JOIN e b
+      ON a.event_type = b.event_type AND b.event_id > a.event_id
+     AND ABS(a.d - b.d) <= 2 AND ABS(a.vq - b.vq) <= 300
+    GROUP BY 1
+    """,
+)
+def x_spatial_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-neighbor join on a 2D plane (day axis × value axis): count
+    same-type event pairs within 2 days AND 3.00 value units, plus
+    their mean value distance — the generic grid-blocked spatial
+    join (geohash/S2-cell pattern, and the 2D generalization of the
+    1D banding every dd_* candidate generator uses). The ORACLE is
+    the naive inequality self-join, so the hash check proves the
+    grid blocking is LOSSLESS: cells are sized to the radius (2-day ×
+    300-unit), one side explodes its 3×3 neighbor cells, the join is
+    a pure equi-join on (type, cell_d, cell_v), and the exact ε
+    conditions run as a residual filter — no range join, no nested
+    loop, bounded fan-out.
+
+    Values quantize to integer hundredths before ANY arithmetic
+    (|Δv| compares and distance sums are BIGINT — no float-sum order
+    sensitivity; the one double division rounds 6dp). Scale note: an
+    exact ε-neighbor join is Θ(per-cell density²) by definition — at
+    a fixed time range, 10× the events means ~100× the qualifying
+    pairs (the answer itself grows); production paths shrink ε or
+    pre-aggregate per cell as density rises, which is why this stays
+    a suite/driver query rather than a bench-gate one.
+    """
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("d"),
+            F.round(F.col("value").cast("double") * 100)
+            .cast("long")
+            .alias("vq"),
+        )
+    )
+    left = ev.select(
+        F.col("event_id").alias("id_a"),
+        "event_type",
+        F.col("d").alias("da"),
+        F.col("vq").alias("va"),
+        F.floor(F.col("d") / 2).alias("cd"),
+        F.floor(F.col("vq") / 300).alias("cv"),
+    )
+    offsets = [(i, j) for i in (-1, 0, 1) for j in (-1, 0, 1)]
+    right = ev.select(
+        F.col("event_id").alias("id_b"),
+        "event_type",
+        F.col("d").alias("db"),
+        F.col("vq").alias("vb"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.floor(F.col("d") / 2) + i).alias("cd"),
+                        (F.floor(F.col("vq") / 300) + j).alias("cv"),
+                    )
+                    for i, j in offsets
+                ]
+            )
+        ).alias("cell"),
+    ).select("id_b", "event_type", "db", "vb", "cell.cd", "cell.cv")
+    pairs = left.join(right, ["event_type", "cd", "cv"]).filter(
+        (F.col("id_b") > F.col("id_a"))
+        & (F.abs(F.col("db") - F.col("da")) <= 2)
+        & (F.abs(F.col("vb") - F.col("va")) <= 300)
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(F.abs(F.col("vb") - F.col("va"))).cast("double")
+            / (100 * F.count("*")),
+            6,
+        ).alias("mean_value_dist"),
+    )
