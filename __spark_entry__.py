@@ -71,6 +71,7 @@ SHOWCASE = [
     "x_kruskal_wallis",
     "st_session_windows",
     "x_spatial_neighbors",
+    "ml_dbscan_grid",
     # (c) never driver-attested, families interleaved
     "q2_min_cost_supplier",
     "q4_priority_with_exists",

@@ -1134,3 +1134,152 @@ def x_spatial_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_value_dist"),
     )
+
+
+@query(
+    "ml_dbscan_grid",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+             CAST(ROUND(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vq
+      FROM events WHERE value IS NOT NULL
+    ), nb AS (
+      SELECT a.event_id AS ia, b.event_id AS ib
+      FROM e a JOIN e b
+        ON a.event_type = b.event_type AND a.d = b.d
+       AND b.event_id <> a.event_id AND ABS(a.vq - b.vq) <= 50
+    ), deg AS (
+      SELECT ia AS id, COUNT(*) AS k FROM nb GROUP BY 1
+    ), core AS (
+      SELECT id FROM deg WHERE k >= 3
+    ), ce AS (
+      SELECT nb.ia, nb.ib FROM nb
+      JOIN core c1 ON nb.ia = c1.id
+      JOIN core c2 ON nb.ib = c2.id
+    ), labels AS (
+      WITH RECURSIVE r(id, lbl) AS (
+        SELECT id, id FROM core
+        UNION
+        SELECT ce.ia, r.lbl FROM ce JOIN r ON ce.ib = r.id
+      )
+      SELECT id, MIN(lbl) AS cluster_id FROM r GROUP BY 1
+    ), border AS (
+      SELECT nb.ia AS id, MIN(l.cluster_id) AS cluster_id
+      FROM nb JOIN labels l ON nb.ib = l.id
+      WHERE nb.ia NOT IN (SELECT id FROM core)
+      GROUP BY 1
+    )
+    SELECT id AS event_id, 'core' AS role,
+           CAST(cluster_id AS BIGINT) AS cluster_id
+    FROM labels
+    UNION ALL
+    SELECT id, 'border', CAST(cluster_id AS BIGINT) FROM border
+    """,
+)
+def ml_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DBSCAN, distributed, composed from the suite's two proven
+    primitives: the grid-blocked ε-neighbor join (x_spatial_neighbors'
+    cell pattern — here same-day cells with 1×3 value-cell probes, a
+    pure equi-join) and min-label-propagation connected components
+    (dedup.dup_clusters). Points are same-type events on the value
+    axis within a day; ε = 0.50 value units, minPts = 3 neighbors.
+    Core points (≥ minPts ε-neighbors) cluster by the transitive
+    closure of core-core ε-edges; border points (non-core with a core
+    neighbor) adopt the smallest neighboring cluster id; noise is
+    omitted. The oracle recomputes everything naively — inequality
+    self-join neighbors and a recursive-CTE reachability closure — so
+    the hash match proves both the blocking AND the iterative
+    propagation converged to the exact clustering.
+
+    Scale: neighbors and degrees are one grid equi-join + one hash
+    agg; label propagation is O(cluster diameter) rounds of equi-join
+    + min-agg on the CORE-core edge list only (dense-region points,
+    not the corpus). The deterministic min-id labels and border
+    tie-break make output partition-order-invariant. Parameters are
+    density-bounded by design — at much higher per-cell density one
+    shrinks ε / raises minPts (or swaps pointer-jumping CC in for
+    propagation), which is the standard DBSCAN scaling story.
+    """
+    from .llmops import dedup
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("d"),
+            F.round(F.col("value").cast("double") * 100)
+            .cast("long")
+            .alias("vq"),
+        )
+    )
+    left = ev.select(
+        F.col("event_id").alias("ia"),
+        "event_type",
+        F.col("d"),
+        F.col("vq").alias("va"),
+        F.floor(F.col("vq") / 50).alias("cv"),
+    )
+    right = ev.select(
+        F.col("event_id").alias("ib"),
+        "event_type",
+        F.col("d"),
+        F.col("vq").alias("vb"),
+        F.explode(
+            F.array(*[F.floor(F.col("vq") / 50) + j for j in (-1, 0, 1)])
+        ).alias("cv"),
+    )
+    nb = (
+        left.join(right, ["event_type", "d", "cv"])
+        .filter(
+            (F.col("ib") != F.col("ia"))
+            & (F.abs(F.col("vb") - F.col("va")) <= 50)
+        )
+        .select("ia", "ib")
+        .localCheckpoint(eager=False)
+    )
+    deg = nb.groupBy("ia").agg(F.count("*").alias("k"))
+    cores = deg.filter(F.col("k") >= 3).select(F.col("ia").alias("id"))
+    ce = (
+        nb.join(cores.withColumnRenamed("id", "ia"), "ia")
+        .join(cores.withColumnRenamed("id", "ib"), "ib")
+        .filter(F.col("ia") < F.col("ib"))
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"))
+    )
+    prop = dedup.dup_clusters(ce, max_iter=50).withColumnRenamed(
+        "doc_id", "id"
+    )
+    labels = (
+        cores.join(prop, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
+        )
+    )
+    border = (
+        nb.join(
+            labels.select(
+                F.col("id").alias("ib"), F.col("cluster_id")
+            ),
+            "ib",
+        )
+        .join(cores.withColumnRenamed("id", "ia"), "ia", "left_anti")
+        .groupBy("ia")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .select(F.col("ia").alias("id"), "cluster_id")
+    )
+    out_core = labels.select(
+        F.col("id").alias("event_id"),
+        F.lit("core").alias("role"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+    out_border = border.select(
+        F.col("id").alias("event_id"),
+        F.lit("border").alias("role"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+    return out_core.unionByName(out_border)
