@@ -72,6 +72,7 @@ SHOWCASE = [
     "st_session_windows",
     "x_spatial_neighbors",
     "ml_dbscan_grid",
+    "x_apportionment",
     # (c) never driver-attested, families interleaved
     "q2_min_cost_supplier",
     "q4_priority_with_exists",

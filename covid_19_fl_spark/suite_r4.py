@@ -1283,3 +1283,79 @@ def ml_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").cast("long").alias("cluster_id"),
     )
     return out_core.unionByName(out_border)
+
+
+_APPORTION_SEATS = 1000
+
+
+@query(
+    "x_apportionment",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY 1
+    ), t AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c
+    ), q AS (
+      SELECT source, cnt,
+             CAST((cnt * {_APPORTION_SEATS}) // total AS BIGINT) AS base,
+             CAST((cnt * {_APPORTION_SEATS}) % total AS BIGINT) AS rem
+      FROM c, t
+    ), r AS (
+      SELECT source, cnt, base, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rnk,
+             CAST({_APPORTION_SEATS} - SUM(base) OVER () AS BIGINT) AS leftover
+      FROM q
+    )
+    SELECT source, cnt, base,
+           CAST(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS seats
+    FROM r
+    """,
+)
+def x_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: split a fixed budget
+    of 1000 slots across document sources exactly proportionally —
+    the integer primitive behind every "sample N items with these
+    source weights" plan (sp_source_mix_weights gives the weights;
+    this turns them into whole-number quotas that sum EXACTLY to N).
+    Floor quotas first, then the leftover slots go to the largest
+    fractional remainders (tie → source name asc, deterministic).
+
+    All arithmetic is integer: the remainder comparison uses
+    cnt·N mod total directly, so there is no floating-point quota
+    anywhere and the oracle matches bit-for-bit. The ranking window
+    runs over |sources| rows (a handful post-agg — domain-bounded),
+    after one map-combined count shuffle; at 100 TB the plan is one
+    scan + one tiny spine.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count("*").cast("long").alias("cnt"))
+    t = c.agg(F.sum("cnt").cast("long").alias("total"))
+    q = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "cnt",
+        F.expr(f"(cnt * {_APPORTION_SEATS}) div total").alias("base"),
+        ((F.col("cnt") * _APPORTION_SEATS) % F.col("total")).alias("rem"),
+    )
+    w = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    r = q.select(
+        "source",
+        "cnt",
+        "base",
+        F.row_number().over(w).alias("rnk"),
+        (
+            F.lit(_APPORTION_SEATS)
+            - F.sum("base").over(Window.partitionBy())
+        ).alias("leftover"),
+    )
+    return r.select(
+        "source",
+        "cnt",
+        "base",
+        (
+            F.col("base")
+            + F.when(F.col("rnk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("seats"),
+    )
