@@ -73,6 +73,7 @@ SHOWCASE = [
     "x_spatial_neighbors",
     "ml_dbscan_grid",
     "x_apportionment",
+    "ml_auc_exact",
     # (c) never driver-attested, families interleaved
     "q2_min_cost_supplier",
     "q4_priority_with_exists",

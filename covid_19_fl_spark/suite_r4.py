@@ -1359,3 +1359,79 @@ def x_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("seats"),
     )
+
+
+@query(
+    "ml_auc_exact",
+    oracle="""
+    WITH pv AS (
+      SELECT value AS v,
+             CAST(COUNT(*) AS BIGINT) AS tc,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), cum AS (
+      SELECT v, tc, pos,
+             CAST(SUM(tc) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumtc
+      FROM pv
+    ), s AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(tc - pos) AS BIGINT) AS n_neg,
+             CAST(SUM(pos * (2 * cumtc - tc + 1)) AS BIGINT) AS r2x
+      FROM cum
+    )
+    SELECT n_pos, n_neg,
+           ROUND(CAST(r2x - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (2 * n_pos * n_neg), 6) AS auc
+    FROM s
+    """,
+)
+def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of "value predicts purchase" via the rank-sum
+    identity AUC = U/(n₊·n₋) — the probability a random positive
+    outscores a random negative, with ties counted half. Closes the
+    eval triptych: ml_decision_stump picks the split, ml_pr_curve
+    sweeps the operating points, this is the threshold-free summary.
+
+    Same exact-integer machinery as x_mann_whitney: per-distinct-value
+    reduction, inclusive count prefix, doubled tie-average rank
+    2·cum − tc + 1, so the doubled positive rank sum and U stay BIGINT
+    end-to-end and the single final division rounds 6dp. The prefix
+    here runs over the per-value series directly (the oracle's naive
+    window shape) — at data-sized value cardinality the bucket-spine
+    decomposition drops in as in x_kruskal_wallis; exactness is
+    unchanged either way.
+
+    Scale: one map-combined shuffle to per-value counts, one
+    domain-bounded prefix, one scalar reduce.
+    """
+    from .operators import ranks
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pv = ev.groupBy(F.col("value").alias("v")).agg(
+        F.count("*").alias("tc"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("pos"),
+    )
+    cum = ranks.with_global_prefix(
+        pv,
+        bucket=F.floor(F.col("v")),
+        order_cols=[F.col("v")],
+        running_sums={"cumtc": F.col("tc")},
+    )
+    s = cum.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.col("tc") - F.col("pos")).cast("long").alias("n_neg"),
+        F.sum(F.col("pos") * (2 * F.col("cumtc") - F.col("tc") + 1))
+        .cast("long")
+        .alias("r2x"),
+    )
+    u2 = F.col("r2x") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return s.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            u2.cast("double") / (2 * F.col("n_pos") * F.col("n_neg")), 6
+        ).alias("auc"),
+    )
