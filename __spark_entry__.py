@@ -74,6 +74,7 @@ SHOWCASE = [
     "ml_dbscan_grid",
     "x_apportionment",
     "ml_auc_exact",
+    "x_max_drawdown",
     # (c) never driver-attested, families interleaved
     "q2_min_cost_supplier",
     "q4_priority_with_exists",

@@ -1435,3 +1435,81 @@ def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             u2.cast("double") / (2 * F.col("n_pos") * F.col("n_neg")), 6
         ).alias("auc"),
     )
+
+
+@query(
+    "x_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             SUM(CAST(value AS DECIMAL(28,4))) AS v
+      FROM events GROUP BY 1, 2
+    ), eq AS (
+      SELECT event_type, d,
+             SUM(v) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS equity
+      FROM daily
+    ), dd AS (
+      SELECT event_type, d, equity,
+             MAX(equity) OVER (PARTITION BY event_type ORDER BY d
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak
+      FROM eq
+    )
+    , g AS (
+      SELECT event_type, d, peak - equity AS gap,
+             MAX(peak - equity) OVER (PARTITION BY event_type) AS mx
+      FROM dd
+    )
+    SELECT event_type,
+           CAST(MAX(gap) AS DOUBLE) AS max_drawdown,
+           MIN(CASE WHEN gap = mx THEN d END) AS trough_date
+    FROM g GROUP BY event_type
+    """,
+)
+def x_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per event type over the cumulative daily-value
+    curve: the largest peak-to-trough drop of the running total, plus
+    the first date the trough depth is reached — the risk statistic
+    behind every equity-curve / backlog / SLA-budget monitor, and the
+    composition of two prefix scans (running SUM builds the curve,
+    running MAX tracks the high-water mark; their gap maxed per key).
+
+    Both windows partition by event_type over the DAILY series
+    (domain-bounded by the date axis after one map-combined shuffle —
+    never the raw facts; at data-sized series the bucket-spine
+    decomposition of operators/ranks.with_prior_running_max drops in).
+    DECIMAL accumulation end-to-end: peak − equity is exact, so the
+    argmin date and the final double cast agree bit-for-bit with the
+    oracle.
+    """
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(28,4)")).alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = (
+        daily.withColumn("equity", F.sum("v").over(w))
+        .withColumn("peak", F.max("equity").over(w))
+        .withColumn("gap", F.col("peak") - F.col("equity"))
+    )
+    best = F.max(
+        F.struct(
+            F.col("gap").alias("g"),
+            (-F.unix_date(F.col("d"))).alias("nd"),
+        )
+    )
+    return (
+        dd.groupBy("event_type")
+        .agg(best.alias("b"))
+        .select(
+            "event_type",
+            F.col("b.g").cast("double").alias("max_drawdown"),
+            F.date_from_unix_date(-F.col("b.nd")).alias("trough_date"),
+        )
+    )
