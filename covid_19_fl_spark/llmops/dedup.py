@@ -391,6 +391,12 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     standard scalable CC formulation; ``localCheckpoint`` truncates the
     growing lineage so round N doesn't replay rounds 1..N-1. The only
     driver-side value per round is the convergence count.
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iter`` rounds (a component whose diameter exceeds the round
+    budget) — returning silently-unconverged partial labels would make
+    downstream exact-oracle comparisons fail mysteriously instead of
+    loudly here.
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = edges.union(
@@ -422,6 +428,13 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = updated.drop("_changed")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dup_clusters: min-label propagation did not converge in "
+            f"{max_iter} rounds ({changed} labels still changing) — a "
+            "component's diameter exceeds the round budget; raise "
+            "max_iter"
+        )
     return labels
 
 

@@ -33,6 +33,28 @@ from pyspark.sql import functions as F
 _BKT = "__gp_bkt"
 
 
+def _guarded_bucket(bucket: Column) -> Column:
+    """Bucket cast to long with a lazy NULL trap.
+
+    A NULL bucket would silently corrupt the decomposition: the inner
+    equi-join on the bucket tag never matches NULL (rows vanish) while
+    the spine's NULL group would still shift other buckets' offsets —
+    and Spark windows sort NULLS FIRST where DuckDB oracles sort NULLS
+    LAST, so the divergence would be quiet. Fail loudly at execution
+    time instead (``raise_error`` stays inside codegen; the non-null
+    path is unchanged)."""
+    bkt = bucket.cast("long")
+    return F.when(bkt.isNotNull(), bkt).otherwise(
+        F.raise_error(
+            F.lit(
+                "ranks: NULL bucket value — global-order decomposition "
+                "requires a non-null bucket expression; filter NULLs or "
+                "handle the NULL group explicitly"
+            )
+        )
+    )
+
+
 def with_global_prefix(
     df: DataFrame,
     bucket: Column,
@@ -64,7 +86,7 @@ def with_global_prefix(
     pc = list(partition_cols or [])
     running_sums = dict(running_sums or {})
     total_sums = dict(total_sums or {})
-    tagged = df.withColumn(_BKT, bucket.cast("long"))
+    tagged = df.withColumn(_BKT, _guarded_bucket(bucket))
 
     # One map-combined shuffle builds the bucket spine; every summed
     # column rides the same agg.
@@ -178,7 +200,7 @@ def with_prior_running_max(
     PRECEDING AND 1 PRECEDING)``) without a single-partition sort.
     NULL on the first row, matching the empty-prefix window."""
     pc = list(partition_cols or [])
-    tagged = df.withColumn(_BKT, bucket.cast("long"))
+    tagged = df.withColumn(_BKT, _guarded_bucket(bucket))
     spine = tagged.groupBy(*pc, _BKT).agg(F.max(value).alias("__mx"))
     wprev = (
         Window.partitionBy(*pc) if pc else Window.partitionBy()

@@ -80,15 +80,37 @@ def filters_to_mongo(filters: list[tuple[str, str, object]]) -> dict:
     Mongo's implicit top-level AND; ``=`` uses the bare
     ``{field: value}`` form the reference writes by hand
     (cv.py:113 ``find({"travel": "Under Investigation"}, ...)``,
-    cv-stats.py:38-51 ``find({"date_added": {"$lt": today}})``)."""
+    cv-stats.py:38-51 ``find({"date_added": {"$lt": today}})``).
+
+    Mixed predicates on one column compose: ``=`` upgrades to an
+    explicit ``{"$eq": v}`` whenever the column also carries (or later
+    gains) an operator document, since indexing an operator into a
+    bare scalar is malformed — e.g. ``[('age','>=',18),('age','=',30)]``
+    → ``{'age': {'$gte': 18, '$eq': 30}}``. Duplicate operators on the
+    same column (contradictory or range-refining conjuncts) fall back
+    to an explicit top-level ``$and``."""
     doc: dict = {}
+    extra: list[dict] = []  # $and overflow for duplicate ops
     for col, op, value in filters:
         if op not in _OPS:
             raise ValueError(f"unsupported pushdown op: {op!r}")
-        if op == "=":
-            doc[col] = value
+        mongo_op = "$eq" if op == "=" else _OPS[op]
+        cur = doc.get(col)
+        if op == "=" and col not in doc:
+            doc[col] = value  # reference's bare implicit-equality form
+            continue
+        if cur is not None and not isinstance(cur, dict):
+            cur = {"$eq": cur}  # upgrade bare scalar to operator doc
+            doc[col] = cur
+        if cur is None:
+            cur = {}
+            doc[col] = cur
+        if mongo_op in cur:
+            extra.append({col: {mongo_op: value}})
         else:
-            doc.setdefault(col, {})[_OPS[op]] = value
+            cur[mongo_op] = value
+    if extra:
+        return {"$and": [doc, *extra]}
     return doc
 
 

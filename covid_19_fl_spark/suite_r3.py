@@ -808,17 +808,24 @@ def _semantic_dedup_oracle(tau: float = _SEM_TAU) -> str:
         f" / (sqrt(CAST({_sem_qdot('a.embedding', 'a.embedding')} AS DOUBLE))"
         f" * sqrt(CAST({_sem_qdot('b.embedding', 'b.embedding')} AS DOUBLE)))"
     )
+    # τ-comparison on the UNROUNDED cosine (bit-identical across
+    # engines: exact int64 dots → identical IEEE sqrt/mul/div trees);
+    # the display rounding is the explicit half-up ladder
+    # FLOOR(x·1e6 + 0.5)/1e6 — the same IEEE ops numpy applies on the
+    # Spark side, so no dependence on either engine's ROUND tie rule
+    # (DuckDB rounds half away from zero, np.round half to even).
     return f"""
     WITH pairs AS (
       SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
-             ROUND({cos}, 6) AS cos_sim
+             {cos} AS cos_raw
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND b.vec_id > a.vec_id
     )
     SELECT drop_id,
            arg_min(keep_id, keep_id) AS kept_partner,
-           arg_min(cos_sim, keep_id) AS partner_cos
-    FROM pairs WHERE cos_sim >= {tau}
+           FLOOR(arg_min(cos_raw, keep_id) * 1000000 + 0.5) / 1000000
+             AS partner_cos
+    FROM pairs WHERE cos_raw >= {tau}
     GROUP BY drop_id
     """
 
@@ -874,14 +881,19 @@ def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j0 in range(1, n, 2048):
             j1 = min(j0 + 2048, n)
             D = (M @ M[j0:j1].T).astype(np.float64)
-            C = np.round(D / (norms[:, None] * norms[None, j0:j1]), 6)
+            # τ-compare UNROUNDED (bit-identical to the oracle's raw
+            # cosine); round only for display, with the same explicit
+            # floor(x·1e6 + 0.5)/1e6 ladder the oracle SQL spells —
+            # np.round's half-to-even tie rule differs from DuckDB's
+            # ROUND and must not touch either the decision or output.
+            C = D / (norms[:, None] * norms[None, j0:j1])
             for jj in range(j0, j1):
                 hits = np.nonzero(C[:jj, jj - j0] >= tau)[0]
                 if len(hits):
                     i = hits[0]  # ids ascend → first hit = min keep_id
                     drops.append(ids[jj])
                     keeps.append(ids[i])
-                    coss.append(C[i, jj - j0])
+                    coss.append(np.floor(C[i, jj - j0] * 1e6 + 0.5) / 1e6)
         return pd.DataFrame(
             {
                 "drop_id": np.array(drops, dtype=np.int64),

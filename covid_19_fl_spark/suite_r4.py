@@ -151,7 +151,17 @@ def st_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    src = spark.readStream.schema(schema).parquet(stage)
+    # The CUSUM fold is order-sensitive ACROSS micro-batches: the
+    # oracle assumes one global event_id-ordered fold, but the monitor
+    # only sorts within a batch. Pin maxFilesPerTrigger above any
+    # corpus's file count so availableNow drains the whole directory
+    # in ONE batch (asserted below) — a multi-batch drain whose files
+    # arrive out of event_id order would fold out of order.
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1_000_000)
+        .parquet(stage)
+    )
     # Integer-floor the value BEFORE the monitor's ×1e6 quantization:
     # floor(value) ≤ 2^53/1e6, so round(float(v)*1e6) is exact and the
     # state fold is bit-identical to the oracle's BIGINT arithmetic.
@@ -186,7 +196,18 @@ def st_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "state"
                 )
         finally:
+            data_batches = sum(
+                1
+                for p in q.recentProgress
+                if p and p.get("numInputRows", 0) > 0
+            )
             q.stop()
+    if data_batches > 1:
+        raise AssertionError(
+            f"st_cusum_drift: drain took {data_batches} data batches — "
+            "the single-batch fold-order assumption is violated; raise "
+            "maxFilesPerTrigger"
+        )
     out = spark.table(sink)
     # Final state per key: the update-mode row with the largest n_seen.
     return out.groupBy("key").agg(

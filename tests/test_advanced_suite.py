@@ -161,7 +161,9 @@ def test_naive_bayes_confusion_partitions_corpus(spark):
 def test_knn_accuracy_counts_consistent(spark):
     rows = suite.QUERIES["ml_knn_accuracy"](spark, SF_SMOKE).collect()
     emb = suite._t(spark, SF_SMOKE, "embeddings")
-    assert sum(r.n_vectors for r in rows) == emb.count()
+    # r5: the harness evaluates a fixed-size md5-ranked probe sample
+    # (256 rows) so cost is O(probe·corpus), not all-pairs.
+    assert sum(r.n_vectors for r in rows) == min(256, emb.count())
     for r in rows:
         assert 0 <= r.n_correct <= r.n_vectors
         assert abs(r.accuracy - r.n_correct / r.n_vectors) < 1e-6

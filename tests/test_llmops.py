@@ -551,3 +551,19 @@ def test_exact_substr_spans_semantics(spark):
     # doc 3: "q r" at pos 1 → 2 tokens
     assert out[3].n_spans == 1 and out[3].dup_tokens == 2
     assert 4 not in out
+
+
+def test_dup_clusters_raises_on_unconverged(spark):
+    # ADVICE r4: exhausting max_iter with labels still moving must
+    # raise, not return silently-partial components. A 4-node path
+    # needs >1 min-label round to converge.
+    chain = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_clusters(chain, max_iter=1)
+    # and with budget it converges to the path's min label
+    rows = dedup.dup_clusters(chain, max_iter=10).collect()
+    assert {(r.doc_id, r.cluster_id) for r in rows} == {
+        (1, 1), (2, 1), (3, 1), (4, 1)
+    }

@@ -147,3 +147,20 @@ def test_pushdown_group_max_matches_reference():
     assert mongo.group_max_pipeline("case_number") == [
         {"$group": {"_id": None, "max_case_number": {"$max": "$case_number"}}}
     ]
+
+
+def test_pushdown_mixed_eq_and_operator_on_one_column():
+    # ADVICE r4: '=' combined with another op on the same column must
+    # compose as an explicit $eq, in either arrival order.
+    assert mongo.filters_to_mongo(
+        [("age", ">=", 18), ("age", "=", 30)]
+    ) == {"age": {"$gte": 18, "$eq": 30}}
+    assert mongo.filters_to_mongo(
+        [("age", "=", 30), ("age", ">=", 18)]
+    ) == {"age": {"$eq": 30, "$gte": 18}}
+    # bare reference form preserved when '=' stands alone
+    assert mongo.filters_to_mongo([("age", "=", 30)]) == {"age": 30}
+    # duplicate operator on one column falls back to explicit $and
+    assert mongo.filters_to_mongo(
+        [("age", "=", 1), ("age", "=", 2)]
+    ) == {"$and": [{"age": {"$eq": 1}}, {"age": {"$eq": 2}}]}

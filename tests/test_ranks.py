@@ -204,3 +204,33 @@ def test_ivf_recall_monotone_in_nprobe(spark):
     recalls = [r.recall for r in rows]
     assert [r.nprobe for r in rows] == [1, 2, 4]
     assert recalls == sorted(recalls)
+
+
+def test_null_bucket_raises_loudly(spark):
+    # ADVICE r4: a NULL bucket used to vanish from the equi-join while
+    # still shifting the spine — now it must fail at execution time.
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "id long, v double"
+    )
+    out = ranks.with_global_prefix(
+        df, bucket=F.floor(F.col("v") / 8), order_cols=[F.col("v")], rn="i"
+    )
+    with pytest.raises(Exception, match="NULL bucket"):
+        out.collect()
+    out2 = ranks.with_prior_running_max(
+        df, F.floor(F.col("v") / 8), [F.col("v")], F.col("v"), "mx"
+    )
+    with pytest.raises(Exception, match="NULL bucket"):
+        out2.collect()
+    # non-null inputs are unaffected
+    clean = df.filter(F.col("v").isNotNull())
+    rows = (
+        ranks.with_global_prefix(
+            clean, F.floor(F.col("v") / 8), [F.col("v")], rn="i"
+        )
+        .orderBy("i")
+        .collect()
+    )
+    assert [r.id for r in rows] == [1, 3]

@@ -31,11 +31,13 @@ def main() -> None:
     ap.add_argument(
         "--expect-quadratic",
         nargs="*",
-        default=["ml_knn_accuracy"],
+        default=[],
         help="exact pairwise evaluation harnesses whose per-row cost "
-        "legitimately grows with data (documented: their production "
-        "path is the pruned/ANN variant, e.g. ss_ivf_topk for "
-        "ml_knn_accuracy) — reported, not failed",
+        "legitimately grows with data — reported, not failed. Empty "
+        "by default since round 5: ml_knn_accuracy (the one former "
+        "entry) now evaluates a fixed-size md5-ranked probe sample, "
+        "so its cost is O(probe·corpus) and it sits under the "
+        "standard per-row gate",
     )
     args = ap.parse_args()
 
