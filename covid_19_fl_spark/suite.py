@@ -327,3 +327,4 @@ from . import suite_llmops  # noqa: E402,F401
 from . import suite_advanced  # noqa: E402,F401
 from . import suite_r3  # noqa: E402,F401
 from . import suite_r4  # noqa: E402,F401
+from . import suite_r5  # noqa: E402,F401
