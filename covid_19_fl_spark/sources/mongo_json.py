@@ -21,11 +21,13 @@ from pyspark.sql import types as T
 from .. import schemas
 
 # Unwrap order matters: $date nests a $numberLong, so it rewrites first.
+# The $numberDouble class includes '-' inside the exponent (Java
+# Double.toString writes e.g. "1.0E-5").
 _REWRITES = [
     (r'\{"\$date":\{"\$numberLong":"(-?\d+)"\}\}', "$1"),
     (r'\{"\$numberInt":"(-?\d+)"\}', "$1"),
     (r'\{"\$numberLong":"(-?\d+)"\}', "$1"),
-    (r'\{"\$numberDouble":"(-?[0-9.eE+]+)"\}', "$1"),
+    (r'\{"\$numberDouble":"(-?[0-9.eE+\-]+)"\}', "$1"),
     (r'\{"\$oid":"([0-9a-f]+)"\}', '"$1"'),
 ]
 
@@ -150,3 +152,135 @@ def to_extended_json(df: DataFrame) -> DataFrame:
     return df.select(
         F.to_json(doc, {"ignoreNullFields": "false"}).alias("value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema-generic Extended-JSON round-trip — the reference's DERIVED
+# collections (cv-stats.py:89-132 florida_growth / florida_growth_rates,
+# cv-county-stats.py:88-94 top_five_counties, cv-api.py:169 other_stats)
+# are flat documents of int counts, double rates, and datetime keys, so
+# one type-driven wrapper covers all of them. Same grammar as the cases
+# path; same identity contract parse(write(df)) == df, pinned by test.
+# ---------------------------------------------------------------------------
+
+# Reference collection schemas (field order = the reference's dict
+# insertion order, which pymongo preserves in the stored document):
+FLORIDA_GROWTH = T.StructType(
+    [
+        T.StructField("date", T.TimestampType(), True),
+        T.StructField("count", T.LongType(), True),
+        T.StructField("series", T.StringType(), True),
+    ]
+)
+FLORIDA_GROWTH_RATES = T.StructType(
+    [
+        T.StructField("date", T.TimestampType(), True),
+        T.StructField("rate", T.DoubleType(), True),
+    ]
+)
+TOP_FIVE_COUNTIES = T.StructType(
+    [
+        T.StructField("county", T.StringType(), True),
+        T.StructField("date", T.TimestampType(), True),
+        T.StructField("count", T.LongType(), True),
+        T.StructField("normalized_count", T.DoubleType(), True),
+    ]
+)
+OTHER_STATS = T.StructType(
+    [
+        T.StructField("date", T.TimestampType(), True),
+        T.StructField("tests", T.LongType(), True),
+        T.StructField("new_tests", T.LongType(), True),
+        T.StructField("deaths", T.LongType(), True),
+        T.StructField("new_deaths", T.LongType(), True),
+        T.StructField("deaths_growth", T.DoubleType(), True),
+        T.StructField("hospitalized", T.LongType(), True),
+        T.StructField("new_hospitalized", T.LongType(), True),
+        T.StructField("hospitalized_growth", T.DoubleType(), True),
+    ]
+)
+
+COLLECTION_SCHEMAS = {
+    "florida_growth": FLORIDA_GROWTH,
+    "florida_growth_rates": FLORIDA_GROWTH_RATES,
+    "top_five_counties": TOP_FIVE_COUNTIES,
+    "other_stats": OTHER_STATS,
+}
+
+
+def _wrap_value(c: F.Column, dtype: T.DataType) -> F.Column:
+    """Extended-JSON wrapper for one scalar by catalyst type."""
+    if isinstance(dtype, T.TimestampType):
+        return F.when(
+            c.isNotNull(),
+            F.struct(
+                F.struct(
+                    F.unix_millis(c).cast("string").alias("$numberLong")
+                ).alias("$date")
+            ),
+        ).otherwise(F.lit(None))
+    if isinstance(dtype, (T.IntegerType, T.LongType)):
+        # pymongo stores int-range Python ints as $numberInt — the
+        # grammar the reference's own florida export uses for counts
+        return F.when(
+            c.isNotNull(), F.struct(c.cast("string").alias("$numberInt"))
+        ).otherwise(F.lit(None))
+    if isinstance(dtype, T.DoubleType):
+        # CAST(double AS STRING) is Java Double.toString — shortest
+        # round-trip form, re-parses to the identical double
+        return F.when(
+            c.isNotNull(), F.struct(c.cast("string").alias("$numberDouble"))
+        ).otherwise(F.lit(None))
+    return c
+
+
+def to_collection_json(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """WRITE path for a flat derived collection: wrap every field per
+    its schema type and emit one NDJSON ``value`` column — pure Column
+    expressions into one ``to_json``, distributed, no Python rows."""
+    doc = F.struct(
+        *[
+            _wrap_value(F.col(f.name), f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+    return df.select(
+        F.to_json(doc, {"ignoreNullFields": "false"}).alias("value")
+    )
+
+
+def parse_collection_json(
+    lines: DataFrame, schema: T.StructType, value_col: str = "value"
+) -> DataFrame:
+    """READ path: unwrap the Extended-JSON grammar and parse against
+    ``schema`` (timestamps arrive as epoch millis post-unwrap and are
+    converted back)."""
+    parse_fields = [
+        T.StructField(
+            f.name,
+            T.LongType()
+            if isinstance(f.dataType, T.TimestampType)
+            else f.dataType,
+            True,
+        )
+        for f in schema.fields
+    ]
+    parsed = lines.select(
+        F.from_json(
+            unwrap_extended_json(F.col(value_col)),
+            T.StructType(parse_fields),
+        ).alias("r")
+    ).select("r.*")
+    for f in schema.fields:
+        if isinstance(f.dataType, T.TimestampType):
+            parsed = parsed.withColumn(
+                f.name, F.timestamp_millis(F.col(f.name))
+            )
+    return parsed
+
+
+def read_collection_export(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Golden derived-collection export → typed frame."""
+    return parse_collection_json(spark.read.text(path), schema)

@@ -164,3 +164,135 @@ def test_pushdown_mixed_eq_and_operator_on_one_column():
     assert mongo.filters_to_mongo(
         [("age", "=", 1), ("age", "=", 2)]
     ) == {"$and": [{"age": {"$eq": 1}}, {"age": {"$eq": 2}}]}
+
+
+# ---------------------------------------------------------------------------
+# Derived collections (round-5 verdict item 8): the four collections the
+# reference maintains beyond `florida` — florida_growth /
+# florida_growth_rates (cv-stats.py:89-132), top_five_counties
+# (cv-county-stats.py:88-94), other_stats (cv-api.py:169) — round-trip
+# the same Extended-JSON grammar, and the K3 selective-delete rebuild
+# (delete_many({"series": "actual"})) holds against generated goldens.
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+from pyspark.sql import types as T
+from covid_19_fl_spark.sources.mongo_json import (
+    COLLECTION_SCHEMAS,
+    parse_collection_json,
+    read_collection_export,
+    to_collection_json,
+)
+
+
+def _ts(day):
+    return _dt.datetime(2020, 3, day)
+
+
+def _derived_frames(spark):
+    """Reference-shaped rows for every derived collection, with the
+    florida_growth 'actual' series generated from the golden export's
+    own daily cumulative counts (cv-stats.py:95 cum_sum)."""
+    golden = read_cases_export(spark, GOLDEN)
+    daily = (
+        golden.groupBy(F.col("date_added").alias("date"))
+        .count()
+        .orderBy("date")
+        .collect()
+    )
+    cum, growth = 0, []
+    for r in daily:
+        cum += r["count"]
+        growth.append((r.date, cum, "actual"))
+    growth.append((growth[-1][0] + _dt.timedelta(days=1),
+                   int(cum * 1.2), "predicted"))
+    frames = {
+        "florida_growth": spark.createDataFrame(
+            growth, COLLECTION_SCHEMAS["florida_growth"]
+        ),
+        "florida_growth_rates": spark.createDataFrame(
+            [(_ts(20), 1.25), (_ts(21), 1.0 + 1e-05), (_ts(22), 0.5)],
+            COLLECTION_SCHEMAS["florida_growth_rates"],
+        ),
+        "top_five_counties": spark.createDataFrame(
+            [("Dade", _ts(20), 169, round(169 / (2715516 / 1000), 2)),
+             ("Broward", _ts(20), 150, round(150 / (1909151 / 1000), 2))],
+            COLLECTION_SCHEMAS["top_five_counties"],
+        ),
+        "other_stats": spark.createDataFrame(
+            [(_ts(20), 1533, 533, 9, 4, 9 / 5, 0, 0, 0.0)],
+            COLLECTION_SCHEMAS["other_stats"],
+        ),
+    }
+    return frames
+
+
+def test_derived_collections_roundtrip_identity(spark):
+    for name, df in _derived_frames(spark).items():
+        schema = COLLECTION_SCHEMAS[name]
+        back = parse_collection_json(to_collection_json(df, schema), schema)
+        assert back.schema == df.schema, name
+        key = [f.name for f in schema.fields]
+        a = sorted(map(tuple, back.collect()))
+        b = sorted(map(tuple, df.collect()))
+        assert a == b, name
+
+
+def test_k3_selective_delete_rebuilds_actual_series(spark, tmp_path):
+    """cv-stats.py:89 push_stats: delete_many({"series": "actual"})
+    keeps the predicted series and replaces only the actuals — the
+    reference's K3 selective delete, replayed as engine-side state."""
+    schema = COLLECTION_SCHEMAS["florida_growth"]
+    state = _derived_frames(spark)["florida_growth"]
+    out = str(tmp_path / "florida_growth")
+    to_collection_json(state, schema).write.mode("overwrite").text(out)
+
+    # rebuild: new actuals (shifted counts), predicted untouched
+    prev = read_collection_export(spark, out, schema)
+    # materialize before overwriting the path we just read from
+    survivors = prev.filter(
+        F.col("series") != "actual"
+    ).localCheckpoint()  # K3 delete
+    new_actual = (
+        state.filter(F.col("series") == "actual")
+        .withColumn("count", F.col("count") + F.lit(7))
+    )
+    to_collection_json(survivors.unionByName(new_actual), schema).write.mode(
+        "overwrite"
+    ).text(out)
+
+    back = read_collection_export(spark, out, schema).cache()
+    n_actual_before = state.filter(F.col("series") == "actual").count()
+    assert back.filter(F.col("series") == "predicted").count() == 1
+    assert back.filter(F.col("series") == "actual").count() == n_actual_before
+    # every surviving actual carries the rebuilt (+7) count
+    joined = (
+        back.filter(F.col("series") == "actual")
+        .alias("b")
+        .join(
+            state.filter(F.col("series") == "actual").alias("s"),
+            F.col("b.date") == F.col("s.date"),
+        )
+        .select((F.col("b.count") - F.col("s.count")).alias("d"))
+        .collect()
+    )
+    assert joined and all(r.d == 7 for r in joined)
+
+
+def test_full_rebuild_delete_all_collections(spark, tmp_path):
+    """cv-stats.py:90 / cv-county-stats.py:91: delete_many({}) +
+    insert_many = full state replace for growth_rates and
+    top_five_counties."""
+    for name in ("florida_growth_rates", "top_five_counties"):
+        schema = COLLECTION_SCHEMAS[name]
+        df = _derived_frames(spark)[name]
+        out = str(tmp_path / name)
+        to_collection_json(df.limit(1), schema).write.mode(
+            "overwrite"
+        ).text(out)
+        to_collection_json(df, schema).write.mode("overwrite").text(out)
+        back = read_collection_export(spark, out, schema)
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, df.collect())
+        ), name
