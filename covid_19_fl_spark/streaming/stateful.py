@@ -87,7 +87,25 @@ def running_totals_tws(stream: DataFrame, key_col: str) -> DataFrame:
     Runtime note: the transformWithState worker protocol needs
     ``protobuf`` on the Python workers; environments without it should
     use ``running_totals`` (applyInPandasWithState) — same semantics.
+    The processor itself (:func:`make_running_total_processor`) and
+    the plan-level schema plumbing are protobuf-free and contract-
+    tested everywhere; only the executed drain needs the wheel.
     """
+    keyed = stream.withColumn("__rt_key", F.col(key_col).cast("string"))
+    return keyed.groupBy("__rt_key").transformWithStateInPandas(
+        make_running_total_processor(),
+        outputStructType=RUNNING_TOTAL_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def make_running_total_processor():
+    """The ``StatefulProcessor`` behind :func:`running_totals_tws`,
+    exposed at module level so its lifecycle contract (init →
+    handleInputRows carrying typed value state across calls → close)
+    is directly testable against a stub handle without the
+    transformWithState worker protocol (which needs protobuf)."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -111,13 +129,7 @@ def running_totals_tws(stream: DataFrame, key_col: str) -> DataFrame:
         def close(self) -> None:
             pass
 
-    keyed = stream.withColumn("__rt_key", F.col(key_col).cast("string"))
-    return keyed.groupBy("__rt_key").transformWithStateInPandas(
-        RunningTotal(),
-        outputStructType=RUNNING_TOTAL_SCHEMA,
-        outputMode="Update",
-        timeMode="None",
-    )
+    return RunningTotal()
 
 
 CUSUM_SCHEMA = StructType(

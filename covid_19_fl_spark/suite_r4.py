@@ -1026,6 +1026,9 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type != "timestamp":
         src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Pre-project to the three columns the session agg consumes so the
+    # stream ships no dead columns into the merging-state shuffle.
+    src = src.select("user_id", "ts", "value")
     agg = (
         src.groupBy(
             F.session_window("ts", "30 minutes").alias("w"), "user_id"

@@ -67,17 +67,82 @@ def _has_protobuf() -> bool:
         return False
 
 
-@pytest.mark.skipif(
-    not _has_protobuf(),
-    reason="transformWithStateInPandas needs protobuf on the Python "
-    "worker (absent in this container); the operator is exercised "
-    "wherever the runtime ships it",
-)
+class _StubValueState:
+    """Driver-side stand-in for the transformWithState typed value
+    state: same exists/get/update surface the processor uses."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class _StubHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema):
+        self.states[name] = (_StubValueState(), schema)
+        return self.states[name][0]
+
+
+def test_tws_processor_contract_without_worker_protocol():
+    """The StatefulProcessor lifecycle contract (init registers typed
+    value state; handleInputRows folds across calls through it) runs
+    against a stub handle — protobuf-free, so the processor logic is
+    exercised even where the worker protocol wheel is absent."""
+    import pandas as pd
+
+    from covid_19_fl_spark.streaming.stateful import (
+        make_running_total_processor,
+    )
+
+    proc = make_running_total_processor()
+    handle = _StubHandle()
+    proc.init(handle)
+    assert list(handle.states) == ["total"]
+    assert handle.states["total"][1] == "total LONG"
+
+    # batch 1: two rows for Dade (arriving as two Arrow chunks)
+    out1 = list(
+        proc.handleInputRows(
+            ("Dade",),
+            iter([pd.DataFrame({"x": [1]}), pd.DataFrame({"x": [2]})]),
+            None,
+        )
+    )
+    # batch 2: one more row — state must carry the prior total
+    out2 = list(
+        proc.handleInputRows(("Dade",), iter([pd.DataFrame({"x": [3]})]), None)
+    )
+    proc.close()
+    assert out1[0].to_dict("records") == [
+        {"key": "Dade", "batch_rows": 2, "running_total": 2}
+    ]
+    assert out2[0].to_dict("records") == [
+        {"key": "Dade", "batch_rows": 1, "running_total": 3}
+    ]
+
+
 def test_running_totals_tws_across_batches(spark, tmp_path):
-    """Same contract as running_totals, on the Spark 4
-    transformWithStateInPandas API: typed value state carries the
-    total across micro-batches."""
-    from covid_19_fl_spark.streaming.stateful import running_totals_tws
+    """transformWithStateInPandas end to end. The plan-level plumbing
+    (grouping, output schema, streaming-ness) analyzes without
+    protobuf and is asserted everywhere; the executed drain needs
+    protobuf on the Python workers, so where the wheel is absent this
+    test instead PROVES the documented limitation: starting the query
+    surfaces the protobuf import failure (container evidence, not a
+    silent skip)."""
+    from covid_19_fl_spark.streaming.stateful import (
+        RUNNING_TOTAL_SCHEMA,
+        running_totals_tws,
+    )
 
     d = tmp_path / "in"
     d.mkdir()
@@ -98,15 +163,34 @@ def test_running_totals_tws_across_batches(spark, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .json(str(d))
     )
+    plan_df = running_totals_tws(stream, "county")
+    # Catalyst analysis of the TWS operator is protobuf-free: the
+    # declared output schema and streaming-ness hold everywhere.
+    assert plan_df.isStreaming
+    assert plan_df.schema == RUNNING_TOTAL_SCHEMA
+
     out = ParquetTable(spark, str(tmp_path / "out"))
     q = (
-        running_totals_tws(stream, "county")
-        .writeStream.outputMode("update")
+        plan_df.writeStream.outputMode("update")
         .foreachBatch(lambda b, _: out.append(b) if not b.isEmpty() else None)
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
+    if not _has_protobuf():
+        # documented container evidence: without protobuf the TWS
+        # driver worker (whose wire protocol imports it) dies at
+        # startup — the query fails on the worker process, not on our
+        # operator (Spark reports the crashed worker, not the inner
+        # ImportError)
+        with pytest.raises(
+            Exception,
+            match="(?i)protobuf|google|TransformWithState.*worker",
+        ):
+            q.awaitTermination(120)
+            q.processAllAvailable()
+        q.stop()
+        return
     q.awaitTermination(120)
 
     per_key = {}
