@@ -176,6 +176,13 @@ HEADLINE = [
     "x_retention_cohorts",
     "x_topk_per_group",
     "x_window_ranks",
+    # round-5 additions
+    "st_stream_stream_join_wm",
+    "st_windowed_counts_append_wm",
+    "ml_ridge_regression",
+    "x_nelson_aalen",
+    "x_percent_rank_global",
+    "x_connected_components",
 ]
 
 

@@ -876,10 +876,15 @@ def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "partner_cos": "float64"})
         norms = np.sqrt((M * M).sum(axis=1).astype(np.float64))
         drops, keeps, coss = [], [], []
-        # Column blocks bound the n×block similarity slab (memory-safe
-        # for large cells); the int64 matmul keeps every dot exact.
-        for j0 in range(1, n, 2048):
-            j1 = min(j0 + 2048, n)
+        # Column blocks bound the n×block similarity slab; the int64
+        # matmul keeps every dot exact. Block width adapts to the cell
+        # so the slab AREA stays ~8M elements (64 MB of int64) no
+        # matter how large the cell grows — a fixed 2048-wide block
+        # crashed workers at the 100× corpus (20k-row cells → 660 MB
+        # slabs per task).
+        blk = max(256, 8_000_000 // max(n, 1))
+        for j0 in range(1, n, blk):
+            j1 = min(j0 + blk, n)
             D = (M @ M[j0:j1].T).astype(np.float64)
             # τ-compare UNROUNDED (bit-identical to the oracle's raw
             # cosine); round only for display, with the same explicit

@@ -158,3 +158,460 @@ def st_stream_stream_join_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+# Watermark delay for the append-mode windowed aggregation. The final
+# watermark is max(ts) − delay; append mode emits exactly the windows
+# whose END <= that watermark (boundary semantics pinned empirically:
+# equality EMITS — see tests/test_streaming_append_wm.py).
+_WMAGG_DELAY_MIN = 101
+
+
+@query(
+    "st_windowed_counts_append_wm",
+    oracle=f"""
+    WITH wm AS (
+      SELECT MAX(ts) - INTERVAL {_WMAGG_DELAY_MIN} MINUTE AS w FROM events
+    )
+    SELECT CAST(ts AS DATE) AS event_date,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+    FROM events, wm
+    GROUP BY 1, wm.w
+    HAVING CAST(event_date AS TIMESTAMP) + INTERVAL 1 DAY <= wm.w
+    """,
+)
+def st_windowed_counts_append_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked APPEND-mode tumbling-window aggregation under the
+    exactness gate — the late-data discipline §2.11 calls for, now
+    oracle-attested (st_stream_daily_counts is the complete-mode twin
+    that never drops state). The stream declares
+    ``withWatermark(ts, {_WMAGG_DELAY_MIN} minutes)``; append mode
+    withholds every window until the watermark passes its end, so the
+    drained sink holds exactly the FINALIZED windows: those with
+    ``window.end <= max(ts) − delay`` (inclusive boundary — pinned
+    empirically and by test). The oracle computes the same frontier
+    in SQL: group by day, keep days whose end clears the final
+    watermark. The trailing availableNow batch is what flushes the
+    finalized windows — the single-data-batch pin (asserted) makes the
+    final watermark a pure function of the data, so the emitted set is
+    deterministic.
+
+    Scale: this is THE unbounded-stream shape — state is bounded by
+    the windows inside the watermark horizon, finalized windows leave
+    the store as they emit, and the same plan runs against Kafka with
+    no code change. Late rows beyond the delay would be dropped by
+    contract (none exist in the bounded drain, which is why the oracle
+    equality is exact rather than approximate).
+    """
+    stage = _stage_stream_dir(sf_dir, "events")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1_000_000)
+        .parquet(stage)
+    )
+    ts_type = schema["ts"].dataType.simpleString()
+    if ts_type in ("bigint", "long"):
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type != "timestamp":
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        src.select("ts", "value")
+        .withWatermark("ts", f"{_WMAGG_DELAY_MIN} minutes")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,4)")).alias("tv"),
+        )
+    )
+    sink = f"st_wmagg_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(120):
+                raise TimeoutError(
+                    "st_windowed_counts_append_wm: availableNow drain "
+                    "did not finish within 120s — refusing to read a "
+                    "partial append-mode sink"
+                )
+        finally:
+            data_batches = sum(
+                1
+                for p in q.recentProgress
+                if p and p.get("numInputRows", 0) > 0
+            )
+            q.stop()
+    if data_batches > 1:
+        raise AssertionError(
+            f"st_windowed_counts_append_wm: drain took {data_batches} "
+            "data batches — the deterministic-watermark assumption is "
+            "violated; raise maxFilesPerTrigger"
+        )
+    return spark.table(sink).select(
+        F.col("w.start").cast("date").alias("event_date"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("tv").cast("double").alias("total_value"),
+    )
+
+
+# Ridge regularization strength, in the quantized integer moment units
+# (cents / percent-points). Large enough to move the coefficients
+# visibly away from the OLS solution at every shipped SF.
+_RIDGE_LAMBDA = 10_000_000
+
+
+@query(
+    "ml_ridge_regression",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(d) AS BIGINT) AS sd,
+             CAST(SUM(q*q) + {_RIDGE_LAMBDA} AS BIGINT) AS sqq,
+             CAST(SUM(q*d) AS BIGINT) AS sqd,
+             CAST(SUM(d*d) + {_RIDGE_LAMBDA} AS BIGINT) AS sdd,
+             CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(q*y) AS BIGINT) AS sqy,
+             CAST(SUM(d*y) AS BIGINT) AS sdy
+      FROM (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS q,
+                   CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem)
+    ), f AS (
+      SELECT n,
+             CAST(n AS DOUBLE) AS a, CAST(sq AS DOUBLE) AS b, CAST(sd AS DOUBLE) AS c,
+             CAST(sqq AS DOUBLE) AS e, CAST(sqd AS DOUBLE) AS g, CAST(sdd AS DOUBLE) AS i,
+             CAST(sy AS DOUBLE) AS v0, CAST(sqy AS DOUBLE) AS v1, CAST(sdy AS DOUBLE) AS v2
+      FROM m
+    )
+    SELECT n,
+           ROUND((v0*(e*i - g*g) - b*(v1*i - g*v2) + c*(v1*g - e*v2))
+                 / (a*(e*i - g*g) - b*(b*i - g*c) + c*(b*g - e*c)), 6) AS beta0,
+           ROUND((a*(v1*i - g*v2) - v0*(b*i - g*c) + c*(b*v2 - v1*c))
+                 / (a*(e*i - g*g) - b*(b*i - g*c) + c*(b*g - e*c)), 6) AS beta_q,
+           ROUND((a*(e*v2 - v1*g) - b*(b*v2 - v1*c) + v0*(b*g - e*c))
+                 / (a*(e*i - g*g) - b*(b*i - g*c) + c*(b*g - e*c)), 6) AS beta_d
+    FROM f
+    """,
+)
+def ml_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge (L2-regularized) regression by the same sufficient-
+    statistics pattern as ml_ols_normal_eq: extendedprice_cents ~
+    quantity + discount_pct with penalty λ on the two slope
+    coefficients (the intercept is unpenalized — the standard
+    formulation). The normal matrix gains λ on its two feature
+    diagonal entries; since the moments are BIGINT-exact and λ is an
+    integer constant, the regularized matrix is STILL integer-exact,
+    and both engines run the identical Cramer expression tree on
+    identical doubles — bit-for-bit, like the OLS twin. One scan +
+    one 9-number reduce at any scale; regularization costs nothing
+    distributed-ly, which is exactly why ridge is the default
+    large-scale linear baseline.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity")).cast("long")
+    d = F.round(F.col("l_discount") * 100).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    m = li.agg(
+        F.count("*").alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(d).alias("sd"),
+        (F.sum(q * q) + F.lit(_RIDGE_LAMBDA)).alias("sqq"),
+        F.sum(q * d).alias("sqd"),
+        (F.sum(d * d) + F.lit(_RIDGE_LAMBDA)).alias("sdd"),
+        F.sum(y).alias("sy"),
+        F.sum(q * y).alias("sqy"),
+        F.sum(d * y).alias("sdy"),
+    )
+    a = F.col("n").cast("double")
+    b = F.col("sq").cast("double")
+    c = F.col("sd").cast("double")
+    e = F.col("sqq").cast("double")
+    g = F.col("sqd").cast("double")
+    i = F.col("sdd").cast("double")
+    v0 = F.col("sy").cast("double")
+    v1 = F.col("sqy").cast("double")
+    v2 = F.col("sdy").cast("double")
+    det = a * (e * i - g * g) - b * (b * i - g * c) + c * (b * g - e * c)
+    det0 = v0 * (e * i - g * g) - b * (v1 * i - g * v2) + c * (v1 * g - e * v2)
+    det1 = a * (v1 * i - g * v2) - v0 * (b * i - g * c) + c * (b * v2 - v1 * c)
+    det2 = a * (e * v2 - v1 * g) - b * (b * v2 - v1 * c) + v0 * (b * g - e * c)
+    return m.select(
+        "n",
+        F.round(det0 / det, 6).alias("beta0"),
+        F.round(det1 / det, 6).alias("beta_q"),
+        F.round(det2 / det, 6).alias("beta_d"),
+    )
+
+
+@query(
+    "x_nelson_aalen",
+    oracle="""
+    WITH span AS (
+      SELECT o_custkey,
+             MIN(date_part('year', CAST(o_orderdate AS DATE)) * 12
+                 + date_part('month', CAST(o_orderdate AS DATE))) AS m0,
+             MAX(date_part('year', CAST(o_orderdate AS DATE)) * 12
+                 + date_part('month', CAST(o_orderdate AS DATE))) AS m1
+      FROM orders GROUP BY 1
+    ), horizon AS (
+      SELECT MAX(m1) AS mh FROM span
+    ), subj AS (
+      SELECT o_custkey, CAST(m1 - m0 AS BIGINT) AS t,
+             (m1 < horizon.mh - 3) AS observed
+      FROM span, horizon
+    ), risk AS (
+      SELECT t,
+             CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS ct
+      FROM subj GROUP BY t
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subj
+    ), tbl AS (
+      SELECT t, d,
+             CAST(tot.n - COALESCE(SUM(ct) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS at_risk
+      FROM risk, tot
+    ), terms AS (
+      SELECT t, d, at_risk,
+             CAST(d AS DOUBLE) / at_risk AS h,
+             CAST(d AS DOUBLE) / (CAST(at_risk AS DOUBLE) * at_risk) AS vh
+      FROM tbl WHERE d > 0
+    ), folded AS (
+      SELECT t, d, at_risk,
+             list_reduce(
+               list_prepend(0.0::DOUBLE,
+                 list(h) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+               (acc, v) -> acc + v) AS ch,
+             list_reduce(
+               list_prepend(0.0::DOUBLE,
+                 list(vh) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+               (acc, v) -> acc + v) AS cv
+      FROM terms
+    )
+    SELECT CAST(t AS BIGINT) AS t_months, at_risk, d AS events,
+           ROUND(ch, 6) AS cum_hazard,
+           ROUND(cv, 9) AS hazard_var
+    FROM folded
+    """,
+)
+def x_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over the same
+    right-censored customer-lifetime construction as x_kaplan_meier
+    (its additive dual: H(t) = Σ dᵢ/nᵢ instead of the product-limit
+    survival), plus the standard Poisson variance Σ dᵢ/nᵢ². Both
+    running sums are ordered left folds over the event-time factor
+    series — Spark ``aggregate`` ≡ DuckDB windowed ``list_reduce``
+    bit-for-bit (the suite's exactness workhorse; a float SUM() OVER
+    would be summation-order-unspecified). Subject reduction is one
+    custkey hash agg; everything after is domain-bounded post-agg."""
+    orders = _t(spark, sf_dir, "orders")
+    mi = F.year(F.col("o_orderdate").cast("date")) * 12 + F.month(
+        F.col("o_orderdate").cast("date")
+    )
+    span = orders.groupBy("o_custkey").agg(
+        F.min(mi).alias("m0"), F.max(mi).alias("m1")
+    )
+    horizon = span.agg(F.max("m1").alias("mh"))
+    subj = span.crossJoin(F.broadcast(horizon)).select(
+        (F.col("m1") - F.col("m0")).cast("long").alias("t"),
+        (F.col("m1") < F.col("mh") - 3).alias("observed"),
+    )
+    risk = subj.groupBy("t").agg(
+        F.sum(F.col("observed").cast("long")).cast("long").alias("d"),
+        F.count("*").cast("long").alias("ct"),
+    )
+    tot = subj.agg(F.count("*").cast("long").alias("n"))
+    from pyspark.sql import Window
+
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    tbl = risk.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (F.col("n") - F.coalesce(F.sum("ct").over(w_prev), F.lit(0))).alias(
+            "at_risk"
+        ),
+    )
+    terms = tbl.filter(F.col("d") > 0).select(
+        "t",
+        "d",
+        "at_risk",
+        (F.col("d").cast("double") / F.col("at_risk")).alias("h"),
+        (
+            F.col("d").cast("double")
+            / (F.col("at_risk").cast("double") * F.col("at_risk"))
+        ).alias("vh"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    folded = (
+        terms.withColumn("hs", F.collect_list("h").over(w_cum))
+        .withColumn("vs", F.collect_list("vh").over(w_cum))
+        .withColumn(
+            "ch",
+            F.expr("aggregate(hs, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"),
+        )
+        .withColumn(
+            "cv",
+            F.expr("aggregate(vs, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"),
+        )
+    )
+    return folded.select(
+        F.col("t").alias("t_months"),
+        "at_risk",
+        F.col("d").alias("events"),
+        F.round("ch", 6).alias("cum_hazard"),
+        F.round("cv", 9).alias("hazard_var"),
+    )
+
+
+@query(
+    "x_percent_rank_global",
+    oracle="""
+    WITH parts AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS revenue
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_partkey, CAST(revenue AS DOUBLE) AS revenue,
+           CAST(RANK() OVER (ORDER BY revenue) AS BIGINT) AS rnk,
+           ROUND(PERCENT_RANK() OVER (ORDER BY revenue), 9) AS pct_rank,
+           ROUND(CUME_DIST() OVER (ORDER BY revenue), 9) AS cume
+    FROM parts
+    """,
+)
+def x_percent_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global PERCENT_RANK / CUME_DIST / tied RANK over per-part
+    revenue WITHOUT the single-partition global sort the naive window
+    plans. Unlike x_window_ranks (unique full sort tuple ⇒ no peers,
+    partitioned by priority), this is the tied, partitionless case:
+    rank must share values across peers and cume_dist counts them.
+
+    Decomposition: revenues pre-aggregate per VALUE (equal revenues
+    collapse — the x_weighted_median recipe), operators/ranks.py adds
+    an exact inclusive running row count and the global total over the
+    distinct-value series via bucketed windows + a broadcast spine,
+    and the rank family falls out arithmetically: RANK = cum − ct + 1
+    (first row of the peer group), PERCENT_RANK = (rank−1)/(n−1),
+    CUME_DIST = cum/n. One join back on the value fans the result to
+    parts. Every division happens on identical exact integers in both
+    engines; n = 1 degenerates through try_divide → 0 exactly as SQL
+    PERCENT_RANK defines."""
+    from .operators import ranks
+
+    li = _t(spark, sf_dir, "lineitem")
+    parts = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).alias("revenue")
+    )
+    vals = parts.groupBy("revenue").agg(F.count("*").alias("ct"))
+    pref = ranks.with_global_prefix(
+        vals,
+        bucket=F.floor(F.col("revenue") / 4096),
+        order_cols=[F.col("revenue")],
+        running_sums={"cum": F.col("ct")},
+        total_count="n",
+    ).select(
+        F.col("revenue").alias("r_val"),
+        (F.col("cum") - F.col("ct") + 1).cast("long").alias("rnk"),
+        F.col("cum").cast("long").alias("cum"),
+        F.col("n"),
+    )
+    return parts.join(pref, parts.revenue == F.col("r_val")).select(
+        "l_partkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        "rnk",
+        F.round(
+            F.coalesce(
+                F.try_divide(
+                    (F.col("rnk") - 1).cast("double"),
+                    (F.col("n") - 1).cast("double"),
+                ),
+                F.lit(0.0),
+            ),
+            9,
+        ).alias("pct_rank"),
+        F.round(
+            F.col("cum").cast("double") / F.col("n").cast("double"), 9
+        ).alias("cume"),
+    )
+
+
+@query(
+    "x_connected_components",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 7 = 0
+    ), edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), und AS (
+      SELECT u, v FROM edges UNION SELECT v, u FROM edges
+    ), nodes AS (
+      SELECT DISTINCT u AS id FROM und
+    ), labels AS (
+      WITH RECURSIVE r(id, lbl) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT und.u, r.lbl FROM und JOIN r ON und.v = r.id
+      )
+      SELECT id, MIN(lbl) AS cluster_id FROM r GROUP BY 1
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS component_id,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM labels GROUP BY 1
+    """,
+)
+def x_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the parts-bought-together graph (the
+    co-occurrence graph x_triangle_count closes triangles on, %7-
+    thinned) — component id = min part key, one row per component
+    with its size. Completes the graph family (PageRank, BFS,
+    triangles, degrees) with the other canonical iterative-closure
+    primitive; llmops reuses the same kernel for duplicate clusters,
+    here it runs on a general co-occurrence graph whose giant
+    component exercises the propagation depth.
+
+    Execution: the edge build is a co-partitioned self-equi-join on
+    the order key (bounded fan-out per order), then
+    dedup.dup_clusters' min-label propagation — O(diameter) rounds of
+    equi-join + partial-min agg with per-round localCheckpoint
+    lineage truncation, raising loudly if unconverged. The ORACLE is
+    a recursive-CTE reachability closure, so the hash match proves
+    the iterative propagation reached the exact fixpoint. Scale: each
+    round shuffles the edge list once on vertex keys; a power-law
+    giant component costs diameter≈log(n) rounds, and the min-id
+    labels are deterministic under any partitioning."""
+    from .llmops import dedup
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("id_a"),
+            F.col("b.l_partkey").alias("id_b"),
+        )
+        .distinct()
+    )
+    labels = dedup.dup_clusters(edges, max_iter=50)
+    return labels.groupBy(
+        F.col("cluster_id").cast("long").alias("component_id")
+    ).agg(F.count("*").cast("long").alias("n_nodes"))
