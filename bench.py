@@ -183,6 +183,8 @@ HEADLINE = [
     "x_nelson_aalen",
     "x_percent_rank_global",
     "x_connected_components",
+    "x_ks_two_sample",
+    "ss_matryoshka_recall",
 ]
 
 

@@ -615,3 +615,204 @@ def x_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(
         F.col("cluster_id").cast("long").alias("component_id")
     ).agg(F.count("*").cast("long").alias("n_nodes"))
+
+
+@query(
+    "x_ks_two_sample",
+    oracle="""
+    WITH pv AS (
+      SELECT value AS v,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c2
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+      GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM pv
+    ), cum AS (
+      SELECT v,
+             CAST(SUM(c1) OVER w AS BIGINT) AS f1,
+             CAST(SUM(c2) OVER w AS BIGINT) AS f2
+      FROM pv
+      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ), gaps AS (
+      SELECT v, ABS(f1 * tot.n2 - f2 * tot.n1) AS dnum, tot.n1, tot.n2
+      FROM cum, tot
+    )
+    SELECT n1, n2,
+           MAX(dnum) AS d_numerator,
+           ROUND(CAST(MAX(dnum) AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 9)
+             AS d_stat,
+           MIN(CASE WHEN dnum = (SELECT MAX(dnum) FROM gaps) THEN v END)
+             AS d_at_value
+    FROM gaps GROUP BY n1, n2
+    """,
+)
+def x_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test (click vs view on
+    events.value): D = sup |F̂₁ − F̂₂|, the distribution-shape
+    complement of x_mann_whitney's location test (completing the
+    nonparametric family: MW, Kruskal-Wallis, chi², Mann-Kendall, KS).
+
+    Exactness: the ECDF gap at value v is |f1·n2 − f2·n1| / (n1·n2) —
+    cross-multiplied so the supremum is taken over pure BIGINT
+    numerators (no float max over divisions); the single division
+    happens once on the winning numerator. The argmax location
+    tie-breaks to the smallest value (MIN over the maximizing set) —
+    deterministic in both engines.
+
+    Scale: counts pre-aggregate per VALUE (one map-combined shuffle);
+    the two running counts decompose through operators/ranks.py's
+    bucketed prefix (value-band windows + broadcast spine) — no
+    single-reducer sort over the distinct-value series, same plan
+    family as x_kruskal_wallis."""
+    from .operators import ranks
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+        & F.col("value").isNotNull()
+    )
+    pv = ev.groupBy(F.col("value").alias("v")).agg(
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("long")
+        .alias("c1"),
+        F.sum((F.col("event_type") == "view").cast("long"))
+        .cast("long")
+        .alias("c2"),
+    )
+    pref = ranks.with_global_prefix(
+        pv,
+        bucket=F.floor(F.col("v")),
+        order_cols=[F.col("v")],
+        running_sums={"f1": F.col("c1"), "f2": F.col("c2")},
+        total_sums={"n1": F.col("c1"), "n2": F.col("c2")},
+    )
+    gaps = pref.select(
+        "v",
+        F.abs(
+            F.col("f1").cast("long") * F.col("n2").cast("long")
+            - F.col("f2").cast("long") * F.col("n1").cast("long")
+        ).alias("dnum"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+    )
+    mx = gaps.groupBy("n1", "n2").agg(F.max("dnum").alias("d_numerator"))
+    return (
+        gaps.join(F.broadcast(mx), ["n1", "n2"])
+        .filter(F.col("dnum") == F.col("d_numerator"))
+        .groupBy("n1", "n2", "d_numerator")
+        .agg(F.min("v").alias("d_at_value"))
+        .select(
+            "n1",
+            "n2",
+            "d_numerator",
+            F.round(
+                F.col("d_numerator").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2")),
+                9,
+            ).alias("d_stat"),
+            "d_at_value",
+        )
+    )
+
+
+# Matryoshka truncation width: search with only the leading 16 of 64
+# dims (MRL-style nested embeddings). A real restriction — recall@5
+# against the full-dim ground truth is the quality/cost readout.
+_MRL_DIMS = 16
+
+
+def _mrl_oracle() -> str:
+    from .suite import ORACLES
+
+    def dot16(x: str, y: str) -> str:
+        return (
+            f"list_sum([CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE) "
+            f"for i in generate_series(1, {_MRL_DIMS})])"
+        )
+
+    cos16 = (
+        f"{dot16('q.embedding', 'c.embedding')} / "
+        f"(sqrt({dot16('q.embedding', 'q.embedding')}) * "
+        f"sqrt({dot16('c.embedding', 'c.embedding')}))"
+    )
+    return f"""
+    WITH exact AS (
+      SELECT * FROM ({ORACLES["ss_cosine_topk"]}) e
+    ), t_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND({cos16}, 6) AS cos_sim
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id IN (0,1,2,3,4,5,6,7)
+    ), t_ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM t_scored
+    ), trunc AS (
+      SELECT query_id, neighbor_id FROM t_ranked WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           COUNT(*) AS k_exact,
+           CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM exact e LEFT JOIN trunc t
+      ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+    GROUP BY 1
+    """
+
+
+@query("ss_matryoshka_recall", oracle=_mrl_oracle())
+def ss_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval eval: recall@5 of a search that
+    uses only the leading {dims} of 64 embedding dimensions against
+    the full-dimension exact top-5 — the MRL question ("how much
+    quality do the first N dims carry?") that decides the cheap-filter
+    / full-rerank split in a two-stage retriever. Both retrievers are
+    the suite's broadcast-query mapInPandas brute force (corpus never
+    shuffles; truncation is a scan-stage slice, 4× less Arrow traffic
+    and matmul work); the oracle recomputes both searches
+    independently, so the hash match certifies the truncated ranking
+    end-to-end, not just the recall arithmetic. Complements
+    ss_ivf_recall (which prunes CANDIDATES; this prunes DIMENSIONS —
+    production systems tune both knobs together)."""
+    from .llmops import similarity
+    from .suite_llmops import _QUERY_IDS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, _QUERY_IDS, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    t16 = emb.select(
+        "vec_id", F.slice("embedding", 1, _MRL_DIMS).alias("embedding")
+    )
+    trunc = similarity.cosine_topk(t16, _QUERY_IDS, k=5).select(
+        F.col("query_id").alias("t_qid"),
+        F.col("neighbor_id").alias("t_nid"),
+    )
+    return (
+        exact.join(
+            trunc,
+            (F.col("query_id") == F.col("t_qid"))
+            & (F.col("neighbor_id") == F.col("t_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("k_exact"),
+            F.sum(F.col("t_nid").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_hit"),
+            F.round(
+                F.sum(F.col("t_nid").isNotNull().cast("long")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("recall"),
+        )
+    )

@@ -121,3 +121,34 @@ def test_append_wm_counts_are_prefix_of_complete_mode(spark):
     # the withheld days are exactly the trailing ones
     emitted_max = max(app)
     assert all(day > emitted_max for day in set(full) - set(app))
+
+
+def test_ks_two_sample_properties(spark):
+    row = suite.QUERIES["x_ks_two_sample"](spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= row.d_stat <= 1.0
+    assert row.d_numerator <= row.n1 * row.n2
+    # D reproduces from the numerator exactly
+    assert row.d_stat == round(row.d_numerator / (row.n1 * row.n2), 9)
+
+
+def test_matryoshka_recall_bounds_and_selfhit(spark):
+    rows = suite.QUERIES["ss_matryoshka_recall"](spark, SF_SMOKE).collect()
+    assert {r.query_id for r in rows} == {0, 1, 2, 3, 4, 5, 6, 7}
+    for r in rows:
+        assert r.k_exact == 5
+        assert 0 <= r.n_hit <= 5
+        assert r.recall == round(r.n_hit / 5, 6)
+    # truncated search with ALL dims must reproduce the exact search
+    from covid_19_fl_spark.llmops import similarity
+
+    emb = suite._t(spark, SF_SMOKE, "embeddings")
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, [0, 1], k=5).collect()
+    }
+    t64 = emb.select("vec_id", F.slice("embedding", 1, 64).alias("embedding"))
+    again = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(t64, [0, 1], k=5).collect()
+    }
+    assert full == again
