@@ -194,7 +194,19 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else None
 
     spark = get_spark("covid_19_fl_spark-bench")
-    names = [n for n in HEADLINE if n in suite.QUERIES]
+    # SPARK_GRAFT_BENCH_SKIP: comma-separated queries to exclude from a
+    # given run — used by the scale harness for queries whose ANSWER
+    # grows superlinearly on the replicated corpus (e.g. the ε-neighbor
+    # join, where every replica is a near-neighbor of every other
+    # replica of the same row, so the output itself is quadratic in the
+    # replica count; per-output-row cost is the meaningful metric and is
+    # tracked in SCALECHECK.md instead).
+    skip = {
+        s.strip()
+        for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",")
+        if s.strip()
+    }
+    names = [n for n in HEADLINE if n in suite.QUERIES and n not in skip]
 
     # One untimed pass first: JIT/codegen compilation, parquet footer
     # caches, and Python-worker startup all land here, so the timed

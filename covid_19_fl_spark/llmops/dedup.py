@@ -384,19 +384,25 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     cluster_id) with cluster_id = min doc id of the component (the
     canonical representative a dedup pass keeps).
 
-    Min-label propagation: every node repeatedly adopts the smallest
-    label among itself and its neighbors; converges in O(diameter)
-    rounds (near-dup components are tiny and dense, so a handful).
-    Each round is one equi-join + partial-min aggregation — the
-    standard scalable CC formulation; ``localCheckpoint`` truncates the
-    growing lineage so round N doesn't replay rounds 1..N-1. The only
-    driver-side value per round is the convergence count.
+    Min-label propagation with POINTER DOUBLING: each round every node
+    adopts the smallest label among itself and its neighbors (one
+    equi-join + partial-min aggregation), then jumps to its label's
+    label (l(v) ← l(l(v)) — a second equi-join). The relax step alone
+    needs O(diameter) rounds; the jump halves the remaining label-
+    chain depth each round, so convergence is O(log diameter) — a
+    long chain-shaped component (observed at sf0.1 in ml_dbscan_grid's
+    value-band graph: diameter > 50) finishes in ~10 rounds instead
+    of blowing the round budget. Same fixpoint: labels only ever
+    decrease toward the component minimum, and both steps preserve
+    "label is a node id inside my component". ``localCheckpoint``
+    truncates the growing lineage so round N doesn't replay rounds
+    1..N-1. The only driver-side value per round is the convergence
+    count.
 
     Raises ``RuntimeError`` if labels are still changing after
-    ``max_iter`` rounds (a component whose diameter exceeds the round
-    budget) — returning silently-unconverged partial labels would make
-    downstream exact-oracle comparisons fail mysteriously instead of
-    loudly here.
+    ``max_iter`` rounds — returning silently-unconverged partial
+    labels would make downstream exact-oracle comparisons fail
+    mysteriously instead of loudly here.
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = edges.union(
@@ -414,18 +420,42 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("cluster_id").alias("neighbor_label"))
         )
+        relaxed = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.src, "left"
+        ).select(
+            "doc_id",
+            F.col("cluster_id").alias("prev_label"),
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("neighbor_label"), F.col("cluster_id")),
+            ).alias("cluster_id"),
+        )
+        # pointer doubling: l(v) ← min(l(v), l(l(v))). Labels are node
+        # ids, so l(l(v)) exists whenever l(v) is a node (always).
+        ptr = relaxed.select(
+            F.col("doc_id").alias("p_id"),
+            F.col("cluster_id").alias("p_label"),
+        )
         updated = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            relaxed.join(ptr, relaxed.cluster_id == ptr.p_id, "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("neighbor_label"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-                (F.col("neighbor_label") < F.col("cluster_id")).alias("_changed"),
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("p_label"), F.col("cluster_id")),
+                ).alias("new_label"),
+                "prev_label",
             )
         ).localCheckpoint()  # eager: materialize round, truncate lineage
-        changed = updated.filter(F.col("_changed")).count()
-        labels = updated.drop("_changed")
+        # convergence compares against the PRE-round label: a round in
+        # which relax moved labels but the jump added nothing must NOT
+        # read as converged
+        changed = updated.filter(
+            F.col("new_label") != F.col("prev_label")
+        ).count()
+        labels = updated.select(
+            "doc_id", F.col("new_label").alias("cluster_id")
+        )
         if changed == 0:
             break
     else:
