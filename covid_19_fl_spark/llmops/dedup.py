@@ -384,88 +384,88 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     cluster_id) with cluster_id = min doc id of the component (the
     canonical representative a dedup pass keeps).
 
-    Min-label propagation with POINTER DOUBLING: each round every node
-    adopts the smallest label among itself and its neighbors (one
-    equi-join + partial-min aggregation), then jumps to its label's
-    label (l(v) ← l(l(v)) — a second equi-join). The relax step alone
-    needs O(diameter) rounds; the jump halves the remaining label-
-    chain depth each round, so convergence is O(log diameter) — a
-    long chain-shaped component (observed at sf0.1 in ml_dbscan_grid's
-    value-band graph: diameter > 50) finishes in ~10 rounds instead
-    of blowing the round budget. Same fixpoint: labels only ever
-    decrease toward the component minimum, and both steps preserve
-    "label is a node id inside my component". ``localCheckpoint``
-    truncates the growing lineage so round N doesn't replay rounds
-    1..N-1. The only driver-side value per round is the convergence
-    count.
+    SPANNING-FOREST CONTRACTION (round 5): each pass runs a local
+    union-find over every partition's edges (Arrow-batched
+    ``mapInPandas``) and emits that partition's spanning forest as
+    (node → partition-local min root) star edges — at most one output
+    row per distinct node in the partition, regardless of how many
+    edges came in. Forest edges from FAN_IN partitions then coalesce
+    (no shuffle) and contract again; after ⌈log_FAN_IN(P)⌉ passes one
+    partition holds a forest of the whole graph and the final
+    union-find labels every node with its component's global minimum.
 
-    Raises ``RuntimeError`` if labels are still changing after
-    ``max_iter`` rounds — returning silently-unconverged partial
-    labels would make downstream exact-oracle comparisons fail
-    mysteriously instead of loudly here.
+    Why this replaced iterative min-label propagation (rounds of
+    equi-join + min-agg): propagation needs O(diameter) rounds — a
+    convergence budget that sf0.1's band-chain graphs blew — and each
+    round shuffles the full edge list and re-materializes labels
+    (observed pathological per-round cost growth under repeated
+    localCheckpoint). Contraction is exact with NO convergence budget:
+    the union of partition spanning forests preserves components
+    (standard forest property), union-by-min keeps every root the
+    minimum seen, and the pass count is fixed by the partition count
+    alone — 2 passes for ≤1024 partitions. Data volume COLLAPSES
+    monotonically: pass k+1's input is ≤ one row per (node, pass-k
+    partition). The single final task touches only the contracted
+    forest (≤ |V| rows), the same posture as a driver-side build but
+    executed on an executor with Arrow batches.
+
+    Per-partition memory is O(distinct nodes in that partition) — the
+    same bound any hash aggregation over the partition would need; at
+    cluster scale the fan-in (32) keeps every intermediate partition
+    node-bounded.
+
+    ``max_iter`` is retained for API compatibility and ignored: the
+    pass count is structural (log of partition count), so there is no
+    unconverged state to guard — silently-partial labels, the failure
+    mode the old round budget raised on, cannot occur.
+
+    Determinism: output is one row per node with the exact component
+    minimum, identical under any input partitioning (pinned by
+    tests/test_partition_invariance.py).
     """
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    import pandas as pd
 
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-    )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("neighbor_label"))
-        )
-        relaxed = labels.join(
-            neighbor_min, labels.doc_id == neighbor_min.src, "left"
-        ).select(
-            "doc_id",
-            F.col("cluster_id").alias("prev_label"),
-            F.least(
-                F.col("cluster_id"),
-                F.coalesce(F.col("neighbor_label"), F.col("cluster_id")),
-            ).alias("cluster_id"),
-        )
-        # pointer doubling: l(v) ← min(l(v), l(l(v))). Labels are node
-        # ids, so l(l(v)) exists whenever l(v) is a node (always).
-        ptr = relaxed.select(
-            F.col("doc_id").alias("p_id"),
-            F.col("cluster_id").alias("p_label"),
-        )
-        updated = (
-            relaxed.join(ptr, relaxed.cluster_id == ptr.p_id, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("p_label"), F.col("cluster_id")),
-                ).alias("new_label"),
-                "prev_label",
+    fan_in = 32
+
+    def forest(batches):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:  # union by min id: root = component min
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        if parent:
+            ids = sorted(parent)
+            yield pd.DataFrame(
+                {"src": ids, "dst": [find(i) for i in ids]}
             )
-        ).localCheckpoint()  # eager: materialize round, truncate lineage
-        # convergence compares against the PRE-round label: a round in
-        # which relax moved labels but the jump added nothing must NOT
-        # read as converged
-        changed = updated.filter(
-            F.col("new_label") != F.col("prev_label")
-        ).count()
-        labels = updated.select(
-            "doc_id", F.col("new_label").alias("cluster_id")
-        )
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"dup_clusters: min-label propagation did not converge in "
-            f"{max_iter} rounds ({changed} labels still changing) — a "
-            "component's diameter exceeds the round budget; raise "
-            "max_iter"
-        )
-    return labels
+
+    df = pairs.select(
+        F.col("id_a").cast("long").alias("src"),
+        F.col("id_b").cast("long").alias("dst"),
+    )
+    parts = max(1, df.rdd.getNumPartitions())
+    schema = "src long, dst long"
+    while parts > 1:
+        parts = max(1, parts // fan_in)
+        df = df.mapInPandas(forest, schema=schema).coalesce(parts)
+    labels = df.mapInPandas(forest, schema=schema)
+    return labels.select(
+        F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -828,4 +828,97 @@ def exact_substr_spans(
     return islands.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + k).cast("long").alias("dup_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join via prefix filtering (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_pct: int = 30,
+) -> DataFrame:
+    """EXACT Jaccard self-join over distinct-word token sets with NO
+    candidate loss — prefix filtering (the PPJoin family) instead of
+    LSH. Returns (id_a, id_b, jaccard) for every pair with
+    J(A,B) ≥ threshold_pct/100, id_a < id_b.
+
+    The pruning identity: J(A,B) ≥ τ requires the two sets to share a
+    token among the FIRST p(x) = |x| − ⌈τ·|x|⌉ + 1 tokens of each set
+    when both are ordered by ascending global document frequency
+    (rarest first; ties broken by token text). Candidates therefore
+    come from a pure EQUI-join on prefix tokens — and because rare
+    tokens lead the order, the join's per-key fan-out is small by
+    construction (the most selective tokens do the blocking). Unlike
+    MinHash/LSH banding this is LOSSLESS: the verify step computes
+    exact Jaccard on the full token arrays, and a naive all-pairs
+    oracle must match bit-for-bit.
+
+    Exactness: prefix lengths use pure BIGINT arithmetic
+    (⌈τ·t⌉ = (pct·t + 99) // 100 — no float ceil at the boundary);
+    the frequency order is a deterministic total order (df, token);
+    Jaccard is an IEEE quotient of exact array-intersection sizes.
+
+    Scale: one explode + global token-frequency aggregate (map-side
+    combinable, vocabulary-sized result), a per-document ranking
+    window (bounded by document length, never data-sized), the prefix
+    equi-join, and one broadcast-or-shuffle join back to the token
+    arrays for verification. All shuffles are equi-keyed; fan-out is
+    bounded by prefix token rarity at any corpus size."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(words(F.col(text_col))).alias("ts"),
+    ).withColumn("t", F.size("ts"))
+    ex = toks.select(
+        "doc_id", "t", F.explode("ts").alias("w")
+    )
+    freq = ex.groupBy("w").agg(F.count("*").alias("df"))
+    rn_w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("w").asc()
+    )
+    plen = (
+        F.col("t")
+        - F.floor((F.lit(threshold_pct) * F.col("t") + 99) / 100).cast(
+            "long"
+        )
+        + 1
+    )
+    prefix = (
+        ex.join(freq, "w")
+        .withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") <= plen)
+        .select("doc_id", "w")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("id_a"), "w")
+        .join(prefix.select(F.col("doc_id").alias("id_b"), "w"), "w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("tsa"))
+    tb = toks.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("tsb"))
+    verified = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("tsa", "tsb")).cast("long")
+        )
+        .withColumn(
+            "uni", F.size(F.array_union("tsa", "tsb")).cast("long")
+        )
+        .filter(
+            F.col("inter") * 100 >= F.lit(threshold_pct) * F.col("uni")
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("inter").cast("double") / F.col("uni").cast("double"), 6
+        ).alias("jaccard"),
     )

@@ -104,3 +104,79 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def grouped_components(
+    edges: DataFrame,
+    group_cols: list[str],
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Exact connected components for a graph whose edges NEVER cross
+    ``group_cols`` boundaries (a blocked/cellular graph: DBSCAN grid
+    cells, per-day sessions, per-tenant graphs). Returns
+    ``group_cols + (id, cluster_id)`` with cluster_id = the smallest
+    node id in the component — the same min-label fixpoint
+    llmops.dedup.dup_clusters converges to, computed without ANY
+    global iteration.
+
+    Why this beats iterative propagation when it applies: the group
+    key shuffles each cell's edge list to one task (one exchange),
+    and a local union-find labels the whole cell in O(E·α(E)) — no
+    per-round join, no lineage growth, no convergence budget. This is
+    the standard "block-local closure" pattern: when blocking already
+    bounds a component to a cell, the transitive closure is
+    embarrassingly parallel across cells. At 100 TB the cells are the
+    unit of parallelism and each stays density-bounded by
+    construction (the same bound that makes the ε-join itself
+    feasible), so a cell's edges fitting one task is the SAME
+    assumption the candidate generator already made.
+
+    For graphs whose components span arbitrary keys (dedup clusters
+    over a whole corpus) this does not apply — use
+    llmops.dedup.dup_clusters.
+    """
+    import pandas as pd  # noqa: F401 — Arrow batch path
+
+    out_fields = ", ".join(
+        f"`{c}` {t}"
+        for c, t in edges.select(*group_cols).dtypes
+    )
+    schema = f"{out_fields}, id bigint, cluster_id bigint"
+
+    def cell_cc(pdf):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(pdf[src].tolist(), pdf[dst].tolist()):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id keeps the root the component minimum
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        ids = sorted(parent)
+        head = pdf.iloc[0]
+        out = {c: [head[c]] * len(ids) for c in group_cols}
+        out["id"] = ids
+        out["cluster_id"] = [find(i) for i in ids]
+        return pd.DataFrame(out)
+
+    return (
+        edges.select(
+            *group_cols,
+            F.col(src).cast("long").alias(src),
+            F.col(dst).cast("long").alias(dst),
+        )
+        .groupBy(*group_cols)
+        .applyInPandas(cell_cc, schema=schema)
+    )

@@ -1119,6 +1119,12 @@ def x_spatial_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("vq"),
         )
     )
+    # Same single-scan-partition hazard as ml_dbscan_grid: force the
+    # grid join to fan out instead of running broadcast-side inside
+    # the one-task parquet scan.
+    ev = ev.repartition(
+        spark.sparkContext.defaultParallelism, "event_type", "d"
+    ).localCheckpoint(eager=False)
     left = ev.select(
         F.col("event_id").alias("id_a"),
         "event_type",
@@ -1205,27 +1211,30 @@ def ml_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact DBSCAN, distributed, composed from the suite's two proven
     primitives: the grid-blocked ε-neighbor join (x_spatial_neighbors'
     cell pattern — here same-day cells with 1×3 value-cell probes, a
-    pure equi-join) and min-label-propagation connected components
-    (dedup.dup_clusters). Points are same-type events on the value
-    axis within a day; ε = 0.50 value units, minPts = 3 neighbors.
-    Core points (≥ minPts ε-neighbors) cluster by the transitive
-    closure of core-core ε-edges; border points (non-core with a core
-    neighbor) adopt the smallest neighboring cluster id; noise is
-    omitted. The oracle recomputes everything naively — inequality
-    self-join neighbors and a recursive-CTE reachability closure — so
-    the hash match proves both the blocking AND the iterative
-    propagation converged to the exact clustering.
+    pure equi-join) and BLOCK-LOCAL connected components
+    (operators.graph.grouped_components). Points are same-type events
+    on the value axis within a day; ε = 0.50 value units, minPts = 3
+    neighbors. Core points (≥ minPts ε-neighbors) cluster by the
+    transitive closure of core-core ε-edges; border points (non-core
+    with a core neighbor) adopt the smallest neighboring cluster id;
+    noise is omitted. The oracle recomputes everything naively —
+    inequality self-join neighbors and a recursive-CTE reachability
+    closure — so the hash match proves both the blocking AND the
+    closure reached the exact clustering.
 
     Scale: neighbors and degrees are one grid equi-join + one hash
-    agg; label propagation is O(cluster diameter) rounds of equi-join
-    + min-agg on the CORE-core edge list only (dense-region points,
-    not the corpus). The deterministic min-id labels and border
-    tie-break make output partition-order-invariant. Parameters are
-    density-bounded by design — at much higher per-cell density one
-    shrinks ε / raises minPts (or swaps pointer-jumping CC in for
-    propagation), which is the standard DBSCAN scaling story.
+    agg. The ε-graph's edges NEVER cross a (event_type, day) cell —
+    neighbor pairs require equal day — so the transitive closure is
+    embarrassingly parallel across cells: one shuffle on the cell key
+    and a per-cell union-find, with NO iterative rounds at all
+    (round 5 replaced min-label propagation here after sf0.1's
+    band-chain components blew a 50-round budget and each global round
+    cost a full edge shuffle). The deterministic min-id labels and
+    border tie-break make output partition-order-invariant. Per-cell
+    density is bounded by the same ε/minPts parameters that make the
+    neighbor join itself feasible — the standard DBSCAN scaling story.
     """
-    from .llmops import dedup
+    from .operators.graph import grouped_components
 
     ev = (
         _t(spark, sf_dir, "events")
@@ -1241,6 +1250,14 @@ def ml_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("vq"),
         )
     )
+    # The corpus ships as one ~tens-of-MB parquet file = ONE scan
+    # partition; without an explicit shuffle Spark broadcasts the
+    # exploded side and the entire pair build runs inside that single
+    # scan task (observed: sf0.1 pinned one core for minutes).
+    # Repartition on the cell key so the grid join fans out.
+    ev = ev.repartition(
+        spark.sparkContext.defaultParallelism, "event_type", "d"
+    ).localCheckpoint(eager=False)
     left = ev.select(
         F.col("event_id").alias("ia"),
         "event_type",
@@ -1263,7 +1280,7 @@ def ml_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ib") != F.col("ia"))
             & (F.abs(F.col("vb") - F.col("va")) <= 50)
         )
-        .select("ia", "ib")
+        .select("event_type", "d", "ia", "ib")
         .localCheckpoint(eager=False)
     )
     deg = nb.groupBy("ia").agg(F.count("*").alias("k"))
@@ -1272,10 +1289,15 @@ def ml_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb.join(cores.withColumnRenamed("id", "ia"), "ia")
         .join(cores.withColumnRenamed("id", "ib"), "ib")
         .filter(F.col("ia") < F.col("ib"))
-        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"))
+        .select(
+            "event_type",
+            "d",
+            F.col("ia").alias("id_a"),
+            F.col("ib").alias("id_b"),
+        )
     )
-    prop = dedup.dup_clusters(ce, max_iter=50).withColumnRenamed(
-        "doc_id", "id"
+    prop = grouped_components(ce, ["event_type", "d"]).select(
+        "id", "cluster_id"
     )
     labels = (
         cores.join(prop, "id", "left")

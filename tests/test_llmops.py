@@ -553,17 +553,19 @@ def test_exact_substr_spans_semantics(spark):
     assert 4 not in out
 
 
-def test_dup_clusters_raises_on_unconverged(spark):
-    # ADVICE r4: exhausting max_iter with labels still moving must
-    # raise, not return silently-partial components. A 4-node path
-    # needs >1 min-label round to converge.
+def test_dup_clusters_chain_exact_under_any_partitioning(spark):
+    # ADVICE r4 asked for loud failure on unconverged labels; the
+    # round-5 forest-contraction kernel made unconverged states
+    # structurally impossible (pass count is log of partition count,
+    # not data-diameter). Pin the replacement contract instead: a
+    # path graph — the old kernel's worst case — labels exactly, even
+    # when its edges are scattered across many partitions, and
+    # max_iter is inert.
+    chain_edges = [(i + 1, i) for i in range(1, 200)]
     chain = spark.createDataFrame(
-        [(2, 1), (3, 2), (4, 3)], "id_a long, id_b long"
-    )
-    with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.dup_clusters(chain, max_iter=1)
-    # and with budget it converges to the path's min label
-    rows = dedup.dup_clusters(chain, max_iter=10).collect()
+        chain_edges, "id_a long, id_b long"
+    ).repartition(16)
+    rows = dedup.dup_clusters(chain, max_iter=1).collect()
     assert {(r.doc_id, r.cluster_id) for r in rows} == {
-        (1, 1), (2, 1), (3, 1), (4, 1)
+        (i, 1) for i in range(1, 201)
     }
