@@ -185,6 +185,12 @@ HEADLINE = [
     "x_connected_components",
     "x_ks_two_sample",
     "ss_matryoshka_recall",
+    "x_rollup_revenue",
+    "x_theil_sen",
+    "x_cross_correlation",
+    "dd_jaccard_prefix_join",
+    "x_bitmap_distinct_rollup",
+    "st_topk_windowed",
 ]
 
 

@@ -816,3 +816,459 @@ def ss_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-2 additions: OLAP surface (rollup), robust statistics
+# (Theil-Sen), time-series (lagged cross-correlation), exact set-similarity
+# join (prefix filtering), bitmap distinct rollup, streaming windowed top-k.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_rollup_revenue",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+             AS total_revenue,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_revenue
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
+)
+def x_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (priority → status → grand
+    total) — the OLAP cube surface (GROUPING SETS family) Spark
+    expresses natively with ``DataFrame.rollup``. Subtotal rows are
+    disambiguated by COALESCE-ing the rolled-up level to a sentinel
+    on BOTH engines (the grouping columns are NULL-free, so the
+    sentinel is unambiguous and no GROUPING_ID bit-layout parity is
+    needed).
+
+    Scale: rollup compiles to a single Expand + hash aggregate —
+    partial aggregation runs map-side for every grouping set at once,
+    one shuffle total, the same plan shape a 100 TB cube build wants.
+    Money sums accumulate in DECIMAL(28,2) (order-independent,
+    bit-reproducible at any partition count — the _dsum recipe)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("total_revenue"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,2)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("avg_revenue"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias(
+                "priority"
+            ),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_revenue",
+            "avg_revenue",
+        )
+    )
+
+
+@query(
+    "x_theil_sen",
+    oracle="""
+    WITH dc AS (
+      SELECT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ), pr AS (
+      SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+      FROM dc a JOIN dc b ON b.d > a.d
+    ), sl AS (
+      SELECT list_sort(LIST(slope)) AS xs, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pr
+    )
+    SELECT n AS n_pairs,
+           ROUND(CASE WHEN n % 2 = 1 THEN xs[CAST((n + 1) // 2 AS INT)]
+                 ELSE (xs[CAST(n // 2 AS INT)]
+                       + xs[CAST(n // 2 + 1 AS INT)]) / 2 END,
+                 9) AS theil_sen_slope
+    FROM sl
+    """,
+)
+def x_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator over the daily click-count
+    series: the MEDIAN of all pairwise slopes (y_j - y_i)/(d_j - d_i),
+    the standard outlier-resistant alternative to the OLS slope
+    (ml_linear_trend). Completes the robust-statistics family (MAD,
+    trimmed mean, rolling median, weighted median).
+
+    Exactness: slopes are IEEE double quotients of exact integer
+    differences — bit-identical across engines — and the median is
+    spelled EXPLICITLY on both sides (sorted array, middle element,
+    or mean of the two middles) rather than trusting engine MEDIAN
+    semantics to agree on interpolation.
+
+    Scale: the pairwise join runs on the DAILY AGGREGATE (domain-
+    bounded: one row per calendar day), not on events — the corpus
+    aggregates down in one map-side-combinable pass, then the O(days²)
+    pair set is trivially small at any corpus size. The crossJoin
+    broadcasts that bounded series (no CartesianProduct over data-
+    sized inputs; same posture as the other domain-bounded series
+    queries). The final median folds one bounded array on a single
+    row."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    dc = (
+        ev.groupBy(
+            F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("d")
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    a = dc.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = dc.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    pr = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("db") > F.col("da"))
+        .select(
+            (
+                (F.col("yb") - F.col("ya")).cast("double")
+                / (F.col("db") - F.col("da")).cast("double")
+            ).alias("slope")
+        )
+    )
+    sl = pr.agg(
+        F.sort_array(F.collect_list("slope")).alias("xs"),
+        F.count("*").cast("long").alias("n"),
+    )
+    mid_odd = F.element_at("xs", ((F.col("n") + 1) / 2).cast("int"))
+    mid_lo = F.element_at("xs", (F.col("n") / 2).cast("int"))
+    mid_hi = F.element_at("xs", (F.col("n") / 2 + 1).cast("int"))
+    return sl.select(
+        F.col("n").alias("n_pairs"),
+        F.round(
+            F.when(F.col("n") % 2 == 1, mid_odd).otherwise(
+                (mid_lo + mid_hi) / 2
+            ),
+            9,
+        ).alias("theil_sen_slope"),
+    )
+
+
+@query(
+    "x_cross_correlation",
+    oracle="""
+    WITH dc AS (
+      SELECT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS y
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+    ), lg AS (
+      SELECT CAST(l.range AS BIGINT) AS lag FROM range(0, 8) l
+    ), m AS (
+      SELECT lg.lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a.x) AS BIGINT) AS sx,
+             CAST(SUM(b.y) AS BIGINT) AS sy,
+             CAST(SUM(a.x * b.y) AS BIGINT) AS sxy,
+             CAST(SUM(a.x * a.x) AS BIGINT) AS sxx,
+             CAST(SUM(b.y * b.y) AS BIGINT) AS syy
+      FROM lg JOIN dc a ON TRUE JOIN dc b ON b.d = a.d + lg.lag
+      GROUP BY 1
+    )
+    SELECT lag,
+           n AS n_days,
+           ROUND(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                 THEN (n * sxy - sx * sy)
+                      / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                             * CAST(n * syy - sy * sy AS DOUBLE))
+                 ELSE NULL END, 9) AS xcorr
+    FROM m ORDER BY lag
+    """,
+)
+def x_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the daily click series and the
+    view series shifted L days forward, L ∈ 0..7 — the lead/lag
+    diagnostic (does click activity predict views?) that completes
+    the time-series family (autocorrelation, EWMA/Holt, seasonal
+    decompose, CUSUM).
+
+    Exactness: all five sufficient moments (Σx, Σy, Σxy, Σx², Σy²)
+    accumulate as BIGINT over exact integer daily counts — order-
+    independent and engine-identical — and doubles appear only in the
+    final Pearson ratio (one SQRT, one division, rounded 9dp, with a
+    zero-variance guard on both sides).
+
+    Scale: events aggregate to the domain-bounded daily series in one
+    map-side-combinable pass; the 8 lag offsets broadcast-join against
+    that bounded series, and the per-lag moments are another
+    partial-aggregable groupBy. Nothing data-sized crosses a shuffle
+    after the first aggregate."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    dc = (
+        ev.groupBy(
+            F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("d")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    lags = spark.range(0, 8).select(F.col("id").cast("long").alias("lag"))
+    a = dc.select(F.col("d").alias("da"), "x")
+    b = dc.select(F.col("d").alias("db"), "y")
+    m = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("dt", F.col("da") + F.col("lag"))
+        .join(b, F.col("dt") == F.col("db"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        m.select(
+            "lag",
+            F.col("n").alias("n_days"),
+            F.round(
+                F.when(
+                    varx * vary > 0,
+                    cov
+                    / F.sqrt(
+                        varx.cast("double") * vary.cast("double")
+                    ),
+                ).otherwise(F.lit(None).cast("double")),
+                9,
+            ).alias("xcorr"),
+        )
+        .orderBy("lag")
+    )
+
+
+@query(
+    "dd_jaccard_prefix_join",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS ts
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.ts, b.ts))), 6)
+             AS jaccard
+    FROM tk a JOIN tk b ON b.doc_id > a.doc_id
+    WHERE len(list_intersect(a.ts, b.ts)) * 100
+          >= 30 * len(list_distinct(list_concat(a.ts, b.ts)))
+    """,
+)
+def dd_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact whole-corpus Jaccard≥0.30 self-join via prefix filtering
+    (dedup.jaccard_prefix_pairs). The ORACLE is the NAIVE all-pairs
+    join with the same integer threshold arithmetic, so the hash match
+    PROVES the prefix pruning is lossless — the exactness guarantee
+    LSH banding (dd_minhash_lsh_pairs) and id-window blocking
+    (dd_ngram_jaccard_pairs) trade away. Threshold compares are pure
+    BIGINT (inter·100 ≥ 30·union): no float boundary can disagree."""
+    from .llmops import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_prefix_pairs(docs, "text", "doc_id", 30)
+
+
+@query(
+    "x_bitmap_distinct_rollup",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+             user_id
+      FROM events WHERE user_id IS NOT NULL
+    ), daily AS (
+      SELECT event_type, d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS c
+      FROM e GROUP BY 1, 2
+    ), total AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS tu
+      FROM e GROUP BY 1
+    )
+    SELECT daily.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(c) AS BIGINT) AS sum_daily_users,
+           MAX(tu) AS total_users
+    FROM daily JOIN total ON daily.event_type = total.event_type
+    GROUP BY 1
+    """,
+)
+def x_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT re-aggregatable distinct counts via BITMAP state — the
+    groupBitmap pattern (ClickHouse/Druid): user ids pack into 63-bit
+    BIGINT words (word = id//63, bit = id%63; shifts capped at 62 for
+    DuckDB range parity), daily per-type distinct = popcount of the
+    word bitmaps, and the per-type TOTAL re-aggregates the SAME daily
+    word state with BIT_OR — no second scan of the raw events, no
+    approximation (contrast x_approx_distinct's HLL, which is
+    rows-only). The oracle recomputes both levels with naive
+    COUNT(DISTINCT), so the hash match proves the bitmap state merges
+    losslessly.
+
+    Scale: this is the cube story for COUNT(DISTINCT) — a shuffle of
+    (type, day, word)-keyed BIGINTs instead of raw user ids, partial
+    BIT_OR map-side, and any rollup level (day → month → all-time)
+    merges existing state in O(words). Bitmap width scales with the
+    id domain / 63, independent of row count."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("d"),
+            F.floor(F.col("user_id") / 63).cast("long").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))"
+            ).alias("bit"),
+        )
+    )
+    # per-(type, day, word) bitmap state: the only shuffle of raw data
+    words = ev.groupBy("event_type", "d", "word").agg(
+        F.bit_or("bit").alias("bits")
+    )
+    daily = words.groupBy("event_type", "d").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("c")
+    )
+    # rollup level: MERGE the daily word state, never rescan events
+    total = (
+        words.groupBy("event_type", "word")
+        .agg(F.bit_or("bits").alias("bits"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bit_count("bits")).cast("long").alias("tu"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("c").cast("long").alias("sum_daily_users"),
+        )
+        .join(total, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "sum_daily_users",
+            F.col("tu").alias("total_users"),
+        )
+    )
+
+
+@query(
+    "st_topk_windowed",
+    oracle="""
+    WITH uc AS (
+      SELECT CAST(ts AS DATE) AS event_date, user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+    ), rk AS (
+      SELECT event_date, user_id, n_events,
+             ROW_NUMBER() OVER (PARTITION BY event_date
+                                ORDER BY n_events DESC, user_id ASC) AS rk
+      FROM uc
+    )
+    SELECT event_date, CAST(rk AS BIGINT) AS rk, user_id, n_events
+    FROM rk WHERE rk <= 3
+    """,
+)
+def st_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-day top-K active users: readStream → event-time
+    1-day tumbling window × user_id counts (complete mode, availableNow
+    drain) — the leaderboard pattern. The STREAM maintains the
+    mergeable (day, user) count state; the top-3 projection
+    (count desc, user id asc tie-break) runs on the drained state,
+    exactly where a production serving layer computes it (per
+    micro-batch in foreachBatch, or at read time). The oracle is the
+    batch twin: daily per-user counts ranked with the same
+    deterministic tie-break.
+
+    Scale: state is keyed by (day, user) — bounded by active users per
+    day, mergeable, watermark-evictable in the unbounded deployment.
+    The rank window partitions by day (domain-bounded) and never sees
+    raw events, only the aggregated state."""
+    import os as _os
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    stage = _stage_stream_dir(sf_dir, "events")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(stage)
+    ts_type = schema["ts"].dataType.simpleString()
+    if ts_type in ("bigint", "long"):
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type != "timestamp":
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        src.filter(F.col("user_id").isNotNull())
+        .groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    sink = f"st_topk_{_uuid.uuid4().hex[:8]}"
+    with _stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(120):
+                raise TimeoutError(
+                    "st_topk_windowed: availableNow drain did not finish "
+                    "within 120s — refusing to read a partial "
+                    "complete-mode aggregate"
+                )
+        finally:
+            q.stop()
+    state = spark.table(sink).select(
+        F.col("w.start").cast("date").alias("event_date"),
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+    rk = Window.partitionBy("event_date").orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    )
+    return (
+        state.withColumn("rk", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("event_date", "rk", "user_id", "n_events")
+    )

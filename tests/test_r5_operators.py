@@ -152,3 +152,110 @@ def test_matryoshka_recall_bounds_and_selfhit(spark):
         for r in similarity.cosine_topk(t64, [0, 1], k=5).collect()
     }
     assert full == again
+
+
+def test_grouped_components_isolation_and_min_labels(spark):
+    # edges NEVER cross groups; labels must be the per-component min
+    # and components in different groups must not merge even when
+    # they share node ids
+    from covid_19_fl_spark.operators.graph import grouped_components
+
+    edges = spark.createDataFrame(
+        [
+            ("a", 1, 2), ("a", 2, 3),          # a: {1,2,3} -> 1
+            ("a", 10, 11),                      # a: {10,11} -> 10
+            ("b", 2, 3), ("b", 3, 7),          # b: {2,3,7} -> 2
+        ],
+        "grp string, id_a long, id_b long",
+    ).repartition(8)
+    out = {
+        (r.grp, r.id): r.cluster_id
+        for r in grouped_components(edges, ["grp"]).collect()
+    }
+    assert out == {
+        ("a", 1): 1, ("a", 2): 1, ("a", 3): 1,
+        ("a", 10): 10, ("a", 11): 10,
+        ("b", 2): 2, ("b", 3): 2, ("b", 7): 2,
+    }
+
+
+def test_jaccard_prefix_pairs_lossless_vs_naive(spark):
+    # prefix filtering must find EXACTLY the naive all-pairs result
+    from covid_19_fl_spark.llmops import dedup
+
+    docs = [
+        (1, "red green blue yellow"),
+        (2, "red green blue purple"),          # J(1,2)=3/5=0.6
+        (3, "red cyan magenta teal lime"),     # low overlap
+        (4, "red green blue yellow"),          # exact dup of 1, J=1
+        (5, "unrelated words entirely here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(4)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_prefix_pairs(df, "text", "doc_id", 50).collect()
+    }
+    # naive check in python
+    sets = {i: set(t.split()) for i, t in docs}
+    want = {}
+    ids = sorted(sets)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sets[ids[i]], sets[ids[j]]
+            inter, uni = len(a & b), len(a | b)
+            if inter * 100 >= 50 * uni:
+                want[(ids[i], ids[j])] = round(inter / uni, 6)
+    assert got == want
+    assert (1, 4) in got and got[(1, 4)] == 1.0
+    assert (1, 2) in got and got[(1, 2)] == 0.6
+
+
+def test_bitmap_distinct_word_boundaries(spark):
+    # ids straddling the 63-bit word boundary must not collide
+    from covid_19_fl_spark import suite  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(i,) for i in [0, 62, 63, 64, 125, 126, 189]],
+        "user_id long",
+    )
+    words = (
+        df.select(
+            F.floor(F.col("user_id") / 63).cast("long").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    total = words.agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("n")
+    ).collect()[0].n
+    assert total == 7
+
+
+def test_theil_sen_known_series(spark):
+    # hand-checkable: days 0..3, counts 1,2,4,3 -> slopes
+    # (1,2,1.5) d=1..; all pairs: (2-1)/1=1,(4-1)/2=1.5,(3-1)/3=2/3,
+    # (4-2)/1=2,(3-2)/2=0.5,(3-4)/1=-1 -> sorted [-1,.5,.667,1,1.5,2]
+    # median = (0.666..+1)/2 = 0.8333333
+    import datetime
+
+    rows = []
+    eid = 0
+    for d, n in [(0, 1), (1, 2), (2, 4), (3, 3)]:
+        for _ in range(n):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1 + d), "click")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        out = suite.QUERIES["x_theil_sen"](spark, td).collect()[0]
+    assert out.n_pairs == 6
+    assert abs(out.theil_sen_slope - 0.833333333) < 1e-8
