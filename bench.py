@@ -191,6 +191,11 @@ HEADLINE = [
     "dd_jaccard_prefix_join",
     "x_bitmap_distinct_rollup",
     "st_topk_windowed",
+    "tx_cdc_chunks",
+    "x_sliding_distinct_users",
+    "x_interarrival_stats",
+    "ml_classification_report",
+    "sp_length_bucket_batches",
 ]
 
 

@@ -840,42 +840,47 @@ def jaccard_prefix_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    threshold_pct: int = 30,
+    threshold_pct: int = 60,
+    n: int = 3,
 ) -> DataFrame:
-    """EXACT Jaccard self-join over distinct-word token sets with NO
-    candidate loss — prefix filtering (the PPJoin family) instead of
-    LSH. Returns (id_a, id_b, jaccard) for every pair with
+    """EXACT Jaccard self-join over distinct word-n-gram SHINGLE sets
+    with NO candidate loss — prefix filtering (the PPJoin family)
+    instead of LSH. Returns (id_a, id_b, jaccard) for every pair with
     J(A,B) ≥ threshold_pct/100, id_a < id_b.
 
-    The pruning identity: J(A,B) ≥ τ requires the two sets to share a
-    token among the FIRST p(x) = |x| − ⌈τ·|x|⌉ + 1 tokens of each set
-    when both are ordered by ascending global document frequency
-    (rarest first; ties broken by token text). Candidates therefore
-    come from a pure EQUI-join on prefix tokens — and because rare
-    tokens lead the order, the join's per-key fan-out is small by
-    construction (the most selective tokens do the blocking). Unlike
-    MinHash/LSH banding this is LOSSLESS: the verify step computes
-    exact Jaccard on the full token arrays, and a naive all-pairs
-    oracle must match bit-for-bit.
+    The pruning stack, all lossless:
+    - PREFIX filter: J(A,B) ≥ τ requires sharing a shingle among the
+      FIRST p(x) = |x| − ⌈τ·|x|⌉ + 1 when both sets are ordered by
+      ascending global shingle frequency (rarest first, hash value as
+      tie-break) — candidates come from a pure EQUI-join on prefix
+      shingles, and the rarest shingles do the blocking so per-key
+      fan-out stays small.
+    - LENGTH filter: τ·|B| ≤ |A| ≤ |B|/τ, applied inside the candidate
+      join as integer arithmetic.
+    Unlike MinHash/LSH banding (dd_minhash_lsh_pairs) this misses
+    NOTHING: the verify step computes exact Jaccard on the full
+    shingle-hash arrays, and a naive all-pairs oracle must match
+    bit-for-bit.
 
-    Exactness: prefix lengths use pure BIGINT arithmetic
-    (⌈τ·t⌉ = (pct·t + 99) // 100 — no float ceil at the boundary);
-    the frequency order is a deterministic total order (df, token);
-    Jaccard is an IEEE quotient of exact array-intersection sizes.
+    Exactness: shingles are the portable md5-affine Horner family
+    (hashed_word_shingles — identical bigints in DuckDB SQL); prefix
+    lengths use pure BIGINT ⌈τ·t⌉ = (pct·t + 99) // 100; threshold
+    compares are inter·100 ≥ pct·union — no float anywhere before the
+    display rounding.
 
-    Scale: one explode + global token-frequency aggregate (map-side
-    combinable, vocabulary-sized result), a per-document ranking
-    window (bounded by document length, never data-sized), the prefix
-    equi-join, and one broadcast-or-shuffle join back to the token
-    arrays for verification. All shuffles are equi-keyed; fan-out is
-    bounded by prefix token rarity at any corpus size."""
+    Scale: one explode + vocabulary-sized shingle-frequency aggregate,
+    a per-document ranking window (bounded by document length), the
+    prefix equi-join with in-join length pruning, one join back to the
+    shingle arrays for verification. Candidate volume tracks the TRUE
+    near-dup mass (every candidate is one shared-rare-shingle pair) —
+    on a corpus where the qualifying OUTPUT itself is quadratic (e.g.
+    wholesale replication), any exact join pays the answer size; τ
+    and n are the knobs that keep the answer meaningful."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.array_distinct(words(F.col(text_col))).alias("ts"),
+        hashed_word_shingles(F.col(text_col), n).alias("ts"),
     ).withColumn("t", F.size("ts"))
-    ex = toks.select(
-        "doc_id", "t", F.explode("ts").alias("w")
-    )
+    ex = toks.select("doc_id", "t", F.explode("ts").alias("w"))
     freq = ex.groupBy("w").agg(F.count("*").alias("df"))
     rn_w = Window.partitionBy("doc_id").orderBy(
         F.col("df").asc(), F.col("w").asc()
@@ -891,12 +896,23 @@ def jaccard_prefix_pairs(
         ex.join(freq, "w")
         .withColumn("rn", F.row_number().over(rn_w))
         .filter(F.col("rn") <= plen)
-        .select("doc_id", "w")
+        .select("doc_id", "t", "w")
     )
     cand = (
-        prefix.select(F.col("doc_id").alias("id_a"), "w")
-        .join(prefix.select(F.col("doc_id").alias("id_b"), "w"), "w")
-        .filter(F.col("id_a") < F.col("id_b"))
+        prefix.select(
+            F.col("doc_id").alias("id_a"), F.col("t").alias("ta"), "w"
+        )
+        .join(
+            prefix.select(
+                F.col("doc_id").alias("id_b"), F.col("t").alias("tb"), "w"
+            ),
+            "w",
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("ta") * 100 >= F.lit(threshold_pct) * F.col("tb"))
+            & (F.col("tb") * 100 >= F.lit(threshold_pct) * F.col("ta"))
+        )
         .select("id_a", "id_b")
         .distinct()
     )

@@ -1076,32 +1076,42 @@ def x_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dd_jaccard_prefix_join",
     oracle="""
-    WITH tk AS (
+    WITH sh AS (
       SELECT doc_id,
-             list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS ts
-      FROM documents
+             list_distinct([ ((ths[i] * 1000003 + ths[i+1]) % 2147483647
+                              * 1000003 + ths[i+2]) % 2147483647
+                             for i in generate_series(1, greatest(len(ths) - 2, 0)) ])
+               AS hs
+      FROM (SELECT doc_id,
+                   [ (('0x' || substr(md5(t), 1, 15))::BIGINT) % 2147483647
+                     for t in regexp_split_to_array(trim(text), '\\s+') ] AS ths
+            FROM documents)
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.ts, b.ts))), 6)
+           ROUND(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.hs, b.hs))), 6)
              AS jaccard
-    FROM tk a JOIN tk b ON b.doc_id > a.doc_id
-    WHERE len(list_intersect(a.ts, b.ts)) * 100
-          >= 30 * len(list_distinct(list_concat(a.ts, b.ts)))
+    FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+    WHERE len(list_intersect(a.hs, b.hs)) * 100
+          >= 60 * len(list_distinct(list_concat(a.hs, b.hs)))
     """,
 )
 def dd_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact whole-corpus Jaccard≥0.30 self-join via prefix filtering
-    (dedup.jaccard_prefix_pairs). The ORACLE is the NAIVE all-pairs
-    join with the same integer threshold arithmetic, so the hash match
-    PROVES the prefix pruning is lossless — the exactness guarantee
-    LSH banding (dd_minhash_lsh_pairs) and id-window blocking
-    (dd_ngram_jaccard_pairs) trade away. Threshold compares are pure
-    BIGINT (inter·100 ≥ 30·union): no float boundary can disagree."""
+    """Exact whole-corpus 3-gram-shingle Jaccard≥0.60 self-join via
+    prefix filtering (dedup.jaccard_prefix_pairs). The ORACLE is the
+    NAIVE all-pairs join over the same portable Horner shingle hashes
+    with the same integer threshold arithmetic, so the hash match
+    PROVES the prefix + length pruning is lossless — the exactness
+    guarantee LSH banding (dd_minhash_lsh_pairs) and id-window
+    blocking (dd_ngram_jaccard_pairs) trade away. τ=0.60 over shingle
+    sets targets true near-duplicates (the first cut of this query —
+    τ=0.30 over unigram SETS — matched its oracle too, but returned
+    11.7M pairs at sf0.1: an answer-sized result that measured corpus
+    dup-saturation, not an operator)."""
     from .llmops import dedup
 
     docs = _t(spark, sf_dir, "documents")
-    return dedup.jaccard_prefix_pairs(docs, "text", "doc_id", 30)
+    return dedup.jaccard_prefix_pairs(docs, "text", "doc_id", 60, 3)
 
 
 @query(
@@ -1271,4 +1281,442 @@ def st_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.withColumn("rk", F.row_number().over(rk).cast("long"))
         .filter(F.col("rk") <= 3)
         .select("event_date", "rk", "user_id", "n_events")
+    )
+
+
+@query(
+    "tx_cdc_chunks",
+    oracle="""
+    WITH th AS (
+      SELECT doc_id, source,
+             [ (('0x' || substr(md5(t), 1, 15))::BIGINT) % 2147483647
+               for t in regexp_split_to_array(trim(text), '\\s+') ] AS hs
+      FROM documents
+    ), gr AS (
+      SELECT doc_id, source,
+             unnest([ { 'pos': i,
+                        'h': ((((hs[i] * 1000003 + hs[i+1]) % 2147483647)
+                               * 1000003 + hs[i+2]) % 2147483647 * 1000003
+                              + hs[i+3]) % 2147483647 }
+                      for i in generate_series(1, greatest(len(hs) - 3, 0)) ],
+                    recursive := true)
+      FROM th
+    ), ch AS (
+      SELECT doc_id, source, pos, h,
+             SUM(CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS cid
+      FROM gr
+    ), agg AS (
+      SELECT doc_id, source, cid, CAST(COUNT(*) AS BIGINT) AS n,
+             list_reduce(
+               list_prepend(0::BIGINT, list(h ORDER BY pos)),
+               (a, x) -> (a * 1000003 + x) % 2147483647) AS fp
+      FROM ch GROUP BY 1, 2, 3
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_chunks,
+           ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6)
+             AS dup_chunk_ratio,
+           ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS mean_chunk_grams
+    FROM agg GROUP BY 1
+    """,
+)
+def tx_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (FastCDC/rsync family) + chunk-level
+    dedup stats per source: the gram-hash stream splits wherever the
+    rolling 4-token Horner hash ≡ 0 (mod 16) — boundaries move WITH
+    the content, so an insertion early in a document re-chunks only
+    the affected span (the property fixed-width chunking lacks, and
+    why production dedup pipelines chunk this way). Each chunk gets an
+    order-sensitive Horner fingerprint; per-source output reports
+    chunk counts, exact distinct-chunk counts, the duplicated-chunk
+    ratio, and mean chunk length.
+
+    Exactness: token hashes are the portable md5-affine family
+    (llmops.dedup.portable_hash), gram hashes the shared Horner
+    combination (SHINGLE_BASE/PORTABLE_PRIME — all products < 2^52),
+    boundary flags pure integer mod, chunk ids an in-document prefix
+    sum (pos is unique, so RANGE vs ROWS frames agree), and the chunk
+    fingerprint a SEQUENTIAL left fold (Spark ``aggregate`` ≡ DuckDB
+    ``list_reduce``) over position-sorted gram hashes.
+
+    Scale: hashing and gram construction are scan-stage HOFs (one
+    md5 per token); the prefix sum and the fold are per-DOCUMENT
+    windows (bounded by document length, never data-sized); the
+    per-source rollup is one partial-aggregable groupBy with an exact
+    distinct on chunk fingerprints (a groupBy-sized shuffle of 8-byte
+    keys — swap in the bitmap rollup if chunk cardinality demands)."""
+    from .llmops import dedup
+    from pyspark.sql import Window
+
+    P = dedup.PORTABLE_PRIME
+    B = dedup.SHINGLE_BASE
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(dedup.hashed_word_grams(F.col("text"), 4)).alias(
+            "pos", "h"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ch = g.withColumn(
+        "cid",
+        F.sum(F.when(F.col("h") % 16 == 0, 1).otherwise(0)).over(w),
+    )
+    agg = (
+        ch.groupBy("doc_id", "source", "cid")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "h"))),
+                    lambda s: s["h"],
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * B + x) % P,
+            ).alias("fp"),
+        )
+    )
+    return agg.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.countDistinct("fp").cast("long").alias("n_distinct_chunks"),
+        F.round(
+            1.0 - F.countDistinct("fp").cast("double") / F.count("*"), 6
+        ).alias("dup_chunk_ratio"),
+        F.round(F.sum("n").cast("double") / F.count("*"), 6).alias(
+            "mean_chunk_grams"
+        ),
+    )
+
+
+@query(
+    "x_sliding_distinct_users",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+               AS d, user_id
+      FROM events WHERE user_id IS NOT NULL
+    ), days AS (
+      SELECT DISTINCT d FROM e
+    )
+    SELECT days.d AS day_idx,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users_7d
+    FROM days JOIN e ON e.d BETWEEN days.d - 6 AND days.d
+    GROUP BY 1
+    """,
+)
+def x_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day sliding-window distinct users per day — the rolling
+    audience metric COUNT(DISTINCT) windows cannot express without
+    re-scanning raw data per window. Built by REUSING bitmap state
+    (x_bitmap_distinct_rollup's kernel): per-(day, word) 63-bit user
+    bitmaps are computed ONCE from the events scan, each day's state
+    then fans out to the ≤7 window ends it serves (a bounded explode —
+    pure equi-join, no range join), and per-window BIT_OR + popcount
+    gives the exact distinct count. The oracle recomputes every window
+    naively with a range join + COUNT(DISTINCT).
+
+    Scale: raw events shuffle once (to day×word bitmap state, ~rows/63
+    entries); the window fan-out multiplies STATE (not events) by the
+    window width — the standard sliding-window-as-re-aggregation
+    pattern, linear in window length, exact at any corpus size."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("d"),
+            F.floor(F.col("user_id") / 63).cast("long").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))"
+            ).alias("bit"),
+        )
+    )
+    state = ev.groupBy("d", "word").agg(F.bit_or("bit").alias("bits"))
+    days = state.select("d").distinct().select(F.col("d").alias("day_idx"))
+    fan = state.select(
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + F.lit(6))
+        ).alias("day_idx"),
+        "word",
+        "bits",
+    ).join(days, "day_idx")  # only windows ending on an observed day
+    return (
+        fan.groupBy("day_idx", "word")
+        .agg(F.bit_or("bits").alias("bits"))
+        .groupBy("day_idx")
+        .agg(F.sum(F.bit_count("bits")).cast("long").alias("users_7d"))
+    )
+
+
+@query(
+    "x_interarrival_stats",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY event_type, user_id
+                       ORDER BY ts, event_id) AS gap_us
+      FROM events WHERE user_id IS NOT NULL
+    ), m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(CAST(gap_us AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(gap_us AS DECIMAL(38,0))
+                      * CAST(gap_us AS DECIMAL(38,0))) AS DOUBLE) AS s2
+      FROM g WHERE gap_us IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, n_gaps,
+           ROUND(s1 / n_gaps / 1000000, 6) AS mean_gap_s,
+           ROUND(CASE WHEN s1 > 0 THEN
+                 SQRT(GREATEST(s2 / n_gaps - (s1/n_gaps)*(s1/n_gaps), 0))
+                 / (s1 / n_gaps) ELSE NULL END, 6) AS gap_cv
+    FROM m
+    """,
+)
+def x_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type burstiness of user activity: inter-arrival gaps between
+    a user's consecutive events, with the coefficient of variation
+    (CV > 1 ⇒ bursty/clustered arrivals, CV ≈ 1 ⇒ Poisson, < 1 ⇒
+    regular) — the arrival-process diagnostic behind rate limiting and
+    anomaly baselines.
+
+    Exactness: gaps are exact BIGINT microsecond differences from a
+    per-(type, user) LAG (deterministic ts, event_id tie-break); Σgap
+    and Σgap² accumulate in DECIMAL(38,0) — gap² reaches ~7e24 at a
+    30-day range, far past int64, and both engines compute the exact
+    integer before ONE deterministic round-to-double cast. Doubles
+    appear only in the final mean/CV ratios (6dp).
+
+    Scale: the lag window partitions by (type, user) — bounded by a
+    user's activity, never data-sized; the moments are one map-side
+    combinable aggregation."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    g = ev.select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    m = g.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum(F.col("gap_us").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s1"),
+        F.sum(
+            F.col("gap_us").cast("decimal(38,0)")
+            * F.col("gap_us").cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_gaps")
+    return m.select(
+        "event_type",
+        "n_gaps",
+        F.round(mean / 1_000_000, 6).alias("mean_gap_s"),
+        F.round(
+            F.when(
+                F.col("s1") > 0,
+                F.sqrt(
+                    F.greatest(
+                        F.col("s2") / F.col("n_gaps") - mean * mean,
+                        F.lit(0.0),
+                    )
+                )
+                / mean,
+            ).otherwise(F.lit(None).cast("double")),
+            6,
+        ).alias("gap_cv"),
+    )
+
+
+def _classification_report_oracle() -> str:
+    from .suite_llmops import _LANG_CASE_SQL
+
+    return f"""
+    WITH pred AS (
+      SELECT lang AS actual, {_LANG_CASE_SQL} AS pred FROM documents
+    ), tp AS (
+      SELECT actual AS cls,
+             CAST(SUM(CASE WHEN pred = actual THEN 1 ELSE 0 END) AS BIGINT)
+               AS tp
+      FROM pred GROUP BY 1
+    ), sup AS (
+      SELECT actual AS cls, CAST(COUNT(*) AS BIGINT) AS support
+      FROM pred GROUP BY 1
+    ), pp AS (
+      SELECT pred AS cls, CAST(COUNT(*) AS BIGINT) AS predicted
+      FROM pred GROUP BY 1
+    )
+    SELECT sup.cls AS lang, sup.support,
+           COALESCE(pp.predicted, 0) AS predicted,
+           COALESCE(tp.tp, 0) AS tp,
+           ROUND(CASE WHEN COALESCE(pp.predicted, 0) > 0
+                 THEN CAST(tp.tp AS DOUBLE) / pp.predicted END, 6)
+             AS precision_,
+           ROUND(CAST(COALESCE(tp.tp, 0) AS DOUBLE) / sup.support, 6)
+             AS recall_,
+           ROUND(CASE WHEN COALESCE(tp.tp, 0) > 0
+                 THEN 2.0 * tp.tp / (pp.predicted + sup.support) END, 6)
+             AS f1
+    FROM sup LEFT JOIN tp ON tp.cls = sup.cls
+    LEFT JOIN pp ON pp.cls = sup.cls
+    """
+
+
+@query("ml_classification_report", oracle=_classification_report_oracle())
+def ml_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of the stopword-profile
+    language identifier (tx_language_id's predictor) against gold
+    labels — the standard classification report that completes the
+    eval family (PR curve, exact AUC, confusion counts inside
+    ml_naive_bayes). F1 uses the integer identity 2TP/(pred+support):
+    all counts BIGINT, one guarded double divide per metric, NULL
+    (not 0) when a class is never predicted so undefined-precision
+    classes are visible rather than silently zeroed.
+
+    Scale: one scan computes predictions (pure scalar CASE over
+    stopword hit counts — JVM codegen, no UDF), then three
+    vocabulary-sized aggregates joined on the tiny class dimension."""
+    from .llmops import text
+
+    pred = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("actual"),
+        text.language_id(F.col("text")).alias("pred"),
+    )
+    sup = pred.groupBy(F.col("actual").alias("cls")).agg(
+        F.count("*").cast("long").alias("support"),
+        F.sum(F.when(F.col("pred") == F.col("actual"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+    )
+    pp = pred.groupBy(F.col("pred").alias("cls")).agg(
+        F.count("*").cast("long").alias("predicted")
+    )
+    j = sup.join(pp, "cls", "left").withColumn(
+        "predicted", F.coalesce(F.col("predicted"), F.lit(0).cast("long"))
+    )
+    return j.select(
+        F.col("cls").alias("lang"),
+        "support",
+        "predicted",
+        "tp",
+        F.round(
+            F.when(
+                F.col("predicted") > 0,
+                F.col("tp").cast("double") / F.col("predicted"),
+            ),
+            6,
+        ).alias("precision_"),
+        F.round(F.col("tp").cast("double") / F.col("support"), 6).alias(
+            "recall_"
+        ),
+        F.round(
+            F.when(
+                F.col("tp") > 0,
+                F.lit(2.0)
+                * F.col("tp")
+                / (F.col("predicted") + F.col("support")),
+            ),
+            6,
+        ).alias("f1"),
+    )
+
+
+_LB_BANDS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
+_LB_BUDGET = 16384  # tokens per padded batch
+
+
+def _length_bucket_oracle() -> str:
+    case = "CASE " + " ".join(
+        f"WHEN n_tok <= {b} THEN {b}" for b in _LB_BANDS
+    ) + f" ELSE {_LB_BANDS[-1]} END"
+    return f"""
+    WITH t AS (
+      SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    ), b AS (
+      SELECT CAST({case} AS BIGINT) AS bucket_upper,
+             CAST(LEAST(n_tok, {_LB_BANDS[-1]}) AS BIGINT) AS n_tok
+      FROM t
+    ), g AS (
+      SELECT bucket_upper,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+      FROM b GROUP BY 1
+    )
+    SELECT bucket_upper, n_docs, total_tokens,
+           CAST({_LB_BUDGET} // bucket_upper AS BIGINT) AS batch_capacity,
+           CAST((n_docs + ({_LB_BUDGET} // bucket_upper) - 1)
+                // ({_LB_BUDGET} // bucket_upper) AS BIGINT) AS n_batches,
+           ROUND(1.0 - CAST(total_tokens AS DOUBLE)
+                 / (n_docs * bucket_upper), 6) AS padding_waste
+    FROM g
+    """
+
+
+@query("sp_length_bucket_batches", oracle=_length_bucket_oracle())
+def sp_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch planning for padded training: documents
+    fall into power-of-two token-length bands (overlong docs truncate
+    to the top band), each band pads to its upper bound, and a fixed
+    16384-token batch budget yields per-band capacity, batch counts,
+    and the padding-waste ratio — the measurement that decides
+    bucketing granularity in a real pretraining dataloader (vs
+    sp_pack_sequences' dense packing, which trades order for zero
+    padding).
+
+    Exactness: band assignment is an integer CASE ladder (no float
+    log2 at power-of-two boundaries), capacities and batch counts are
+    pure BIGINT floor/ceil arithmetic, and the single double appears
+    in the final 6dp waste ratio.
+
+    Scale: one scan computes token counts (scalar split — codegen),
+    one map-side-combinable groupBy over ≤9 bands."""
+    from .llmops.text import token_count
+
+    top = _LB_BANDS[-1]
+    t = _t(spark, sf_dir, "documents").select(
+        token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    bucket = F.lit(top)
+    for b in reversed(_LB_BANDS):
+        bucket = F.when(F.col("n_tok") <= b, F.lit(b)).otherwise(bucket)
+    g = (
+        t.select(
+            bucket.cast("long").alias("bucket_upper"),
+            F.least(F.col("n_tok"), F.lit(top)).cast("long").alias("n_tok"),
+        )
+        .groupBy("bucket_upper")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+    )
+    cap = F.floor(F.lit(_LB_BUDGET) / F.col("bucket_upper")).cast("long")
+    return g.select(
+        "bucket_upper",
+        "n_docs",
+        "total_tokens",
+        cap.alias("batch_capacity"),
+        F.floor((F.col("n_docs") + cap - 1) / cap)
+        .cast("long")
+        .alias("n_batches"),
+        F.round(
+            1.0
+            - F.col("total_tokens").cast("double")
+            / (F.col("n_docs") * F.col("bucket_upper")),
+            6,
+        ).alias("padding_waste"),
     )
