@@ -196,6 +196,11 @@ HEADLINE = [
     "x_interarrival_stats",
     "ml_classification_report",
     "sp_length_bucket_batches",
+    "dd_edit_distance_join",
+    "x_merkle_diff",
+    "x_fd_violations",
+    "er_record_linkage",
+    "x_sssp_weighted",
 ]
 
 

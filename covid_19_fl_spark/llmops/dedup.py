@@ -938,3 +938,61 @@ def jaccard_prefix_pairs(
             F.col("inter").cast("double") / F.col("uni").cast("double"), 6
         ).alias("jaccard"),
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Exact edit-distance<=1 self-join via the deletion-neighborhood
+    (SymSpell) equi-join. Returns (id_a, id_b, ed) for every pair with
+    levenshtein(a, b) <= 1, id_a < id_b.
+
+    Losslessness for k=1: each string emits itself plus every single-
+    character deletion. If ed(a,b) <= 1 then a = b (both emit the
+    original), b is a one-char deletion of a (b appears in a's
+    variants AND emits itself), or a and b differ by one substitution
+    at position i (delete(a,i) = delete(b,i) is shared) — so a pure
+    EQUI-join on variants catches every qualifying pair; levenshtein
+    runs only on the candidates as the verify step.
+
+    Scale: a string of length L emits <= L+1 variants (duplicates
+    dropped), so candidate volume is linear in corpus x string length;
+    the join fans out only where variants genuinely collide. No
+    window, no broadcast of the corpus, no all-pairs."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("pfx")
+    )
+    variants = base.select(
+        "doc_id",
+        "pfx",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.length("pfx")),
+                    lambda i: F.when(i == 0, F.col("pfx")).otherwise(
+                        F.concat(
+                            F.substr(F.col("pfx"), F.lit(1), i - 1),
+                            F.substr(F.col("pfx"), i + 1, F.length("pfx")),
+                        )
+                    ),
+                )
+            )
+        ).alias("v"),
+    )
+    a = variants.select(
+        F.col("doc_id").alias("id_a"), F.col("pfx").alias("pa"), "v"
+    )
+    b = variants.select(
+        F.col("doc_id").alias("id_b"), F.col("pfx").alias("pb"), "v"
+    )
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "pa", "id_b", "pb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("ed", F.levenshtein("pa", "pb").cast("bigint"))
+        .filter(F.col("ed") <= 1)
+        .select("id_a", "id_b", "ed")
+    )
