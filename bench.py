@@ -201,6 +201,12 @@ HEADLINE = [
     "x_fd_violations",
     "er_record_linkage",
     "x_sssp_weighted",
+    "x_kcore",
+    "x_linear_interpolation",
+    "ml_calibration_bins",
+    "ml_lift_gains",
+    "st_stream_left_outer_wm",
+    "st_sliding_counts_wm",
 ]
 
 
@@ -222,7 +228,19 @@ def main() -> None:
         for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",")
         if s.strip()
     }
-    names = [n for n in HEADLINE if n in suite.QUERIES and n not in skip]
+    # SPARK_GRAFT_BENCH_ONLY: comma-separated include-list — used by
+    # the 100× spot-check to time just the top per-row-cost queries
+    # without paying for the whole suite at 60M rows.
+    only = {
+        s.strip()
+        for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if s.strip()
+    }
+    names = [
+        n
+        for n in HEADLINE
+        if n in suite.QUERIES and n not in skip and (not only or n in only)
+    ]
 
     # One untimed pass first: JIT/codegen compilation, parquet footer
     # caches, and Python-worker startup all land here, so the timed

@@ -180,3 +180,57 @@ def grouped_components(
         .groupBy(*group_cols)
         .applyInPandas(cell_cc, schema=schema)
     )
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int = 12) -> DataFrame:
+    """Exact k-core decomposition by iterative peeling: repeatedly
+    drop every vertex whose degree (in the surviving subgraph) is
+    below ``k`` until a fixpoint. Input ``edges`` is an undirected
+    edge list as (id_a, id_b) pairs with id_a < id_b; output is one
+    row per surviving vertex: (id, core_degree) — its degree INSIDE
+    the k-core.
+
+    Each round is one symmetric-degree groupBy (map-side combinable)
+    plus two semi-joins filtering the edge list — all hash-partitioned
+    on vertex id, no global structure. ``localCheckpoint(eager=False)``
+    per round truncates lineage (the edge frame is referenced twice
+    per round, so un-truncated lineage doubles every round). The peel
+    count is data-bounded — each round removes at least one vertex or
+    stops — and the loop RAISES if ``max_rounds`` is hit before the
+    fixpoint rather than returning a silently-partial core (the
+    dup_clusters discipline: callers pick max_rounds from measured
+    peel depth, the assert makes violations loud).
+    """
+    e = edges.select(
+        F.col(edges.columns[0]).cast("long").alias("u"),
+        F.col(edges.columns[1]).cast("long").alias("v"),
+    ).localCheckpoint(eager=False)
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.col("u").alias("id"))
+            .unionAll(e.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("id")
+        n_edges = e.count()
+        e2 = (
+            e.join(keep.withColumnRenamed("id", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("id", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        if e2.count() == n_edges:
+            return (
+                e2.select(F.col("u").alias("id"))
+                .unionAll(e2.select(F.col("v").alias("id")))
+                .groupBy("id")
+                .agg(F.count("*").cast("long").alias("core_degree"))
+                .filter(F.col("core_degree") >= k)
+            )
+        e = e2
+    raise RuntimeError(
+        f"kcore: no fixpoint within {max_rounds} peeling rounds — "
+        "raise max_rounds (measured depth grew past the configured "
+        "bound; a silent partial core would corrupt the result)"
+    )

@@ -329,3 +329,4 @@ from . import suite_r3  # noqa: E402,F401
 from . import suite_r4  # noqa: E402,F401
 from . import suite_r5  # noqa: E402,F401
 from . import suite_r5b  # noqa: E402,F401
+from . import suite_r5c  # noqa: E402,F401
