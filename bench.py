@@ -207,6 +207,11 @@ HEADLINE = [
     "ml_lift_gains",
     "st_stream_left_outer_wm",
     "st_sliding_counts_wm",
+    "x_interval_coverage",
+    "x_fifo_allocation",
+    "tx_dictionary_match",
+    "ss_mips_topk",
+    "ml_kfold_cv",
 ]
 
 

@@ -533,3 +533,71 @@ def rrf_fuse(
             Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
         ))
     )
+
+
+def mips_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force MAXIMUM-INNER-PRODUCT top-k for each query id
+    — the recommendation-retrieval objective (user·item score), which
+    cosine search gets WRONG whenever corpus norms vary: MIPS favors
+    long vectors, cosine ignores length. Same execution shape as
+    :func:`cosine_topk` (queries broadcast into an Arrow-batched
+    ``mapInPandas`` matmul, local top-k per batch, global top-k over a
+    |queries|·k-bounded intermediate; the corpus never shuffles), just
+    without the normalization step. The standard reduction to cosine
+    (augment each corpus vector with sqrt(M² − ‖x‖²) so angular search
+    ranks by inner product) is pinned equivalent in pytest.
+
+    Deterministic ranking: (rounded dot desc, neighbor id asc) — dots
+    here are 64-term double sums of float32 products, so 6dp rounding
+    absorbs summation-order noise exactly as in cosine_topk.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if not q_rows:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, dot double, rank int"
+        )
+    q_ids = np.array([r[0] for r in q_rows])
+    Q = np.stack([np.asarray(r[1], dtype="float64") for r in q_rows])
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            M = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            C = M @ Q.T
+            out = {"query_id": [], "neighbor_id": [], "dot": []}
+            for j, qid in enumerate(q_ids):
+                col = np.round(C[:, j], 6)
+                mask = ids != qid
+                cand_ids, cand = ids[mask], col[mask]
+                order = np.lexsort((cand_ids, -cand))[:k]
+                out["query_id"].extend([qid] * len(order))
+                out["neighbor_id"].extend(cand_ids[order])
+                out["dot"].extend(cand[order])
+            yield pd.DataFrame(out)
+
+    local = emb.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, dot double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    )
