@@ -212,6 +212,10 @@ HEADLINE = [
     "tx_dictionary_match",
     "ss_mips_topk",
     "ml_kfold_cv",
+    "x_runs_test",
+    "x_jackknife_ci",
+    "x_spearman_corr",
+    "x_sprt_monitor",
 ]
 
 

@@ -839,17 +839,22 @@ def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-blocked — cells bound the quadratic term exactly like the
     SemDeDup paper's k-means cells.
 
-    Execution (r4): each cell's pairwise pass is ONE Arrow-batched
-    applyInPandas doing a blocked int64 matmul over 2^20-quantized
-    components — exact under any summation order, so the numpy path
-    and the oracle's list_sum agree bit-for-bit (the r3 version spent
-    25M interpreted per-pair HOF folds at 10×; the matmul is the same
-    arithmetic vectorized). The survivor reduction happens INSIDE the
-    cell (ids sort ascending; the first qualifying row below the
-    diagonal is the min keep_id), so the operator ships |dropped|
-    rows, not |pairs|. At 100 TB the cell is the IVF cluster and
-    nlist bounds the quadratic term — the knob the SemDeDup paper
-    tunes; cells shuffle independently, one task each."""
+    Execution (r5): the pairwise pass runs over bounded tile cells
+    (``dedup.tile_pair_cells`` — deterministic pmod chunking, each
+    unordered pair in exactly one ~2k×2k cell), each cell ONE
+    Arrow-batched applyInPandas doing an int64 matmul over
+    2^20-quantized components — exact under any summation order, so
+    the numpy path and the oracle's list_sum agree bit-for-bit. The
+    r4 shape (one task per label, area-bounded column blocks) kept
+    memory flat but hit a |labels|-task parallelism ceiling: 118s at
+    the 100× corpus's 21.8k-row cells. Tiling gives
+    |block|²/chunk² even tasks (100×: 118s → ~14s, same rows). Each
+    cell pre-reduces to its local min-keep_id partner per drop, and a
+    groupBy(drop_id) struct-min picks the global min keep_id — the
+    same associative reduction the oracle's arg_min spells, so the
+    operator still ships ~|dropped| rows, not |pairs|. At 100 TB the
+    block is the IVF cluster and nlist bounds the quadratic term —
+    the knob the SemDeDup paper tunes."""
     import numpy as np
     import pandas as pd
 
@@ -863,52 +868,58 @@ def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qv"),
     )
     tau = _SEM_TAU
+    empty = pd.DataFrame(
+        {"drop_id": [], "kept_partner": [], "cos_raw": []}
+    ).astype({"drop_id": "int64", "kept_partner": "int64", "cos_raw": "float64"})
 
     def cell(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        M = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
-        n = len(ids)
-        if n < 2:
-            return pd.DataFrame(
-                {"drop_id": [], "kept_partner": [], "partner_cos": []}
-            ).astype({"drop_id": "int64", "kept_partner": "int64",
-                      "partner_cos": "float64"})
-        norms = np.sqrt((M * M).sum(axis=1).astype(np.float64))
-        drops, keeps, coss = [], [], []
-        # Column blocks bound the n×block similarity slab; the int64
-        # matmul keeps every dot exact. Block width adapts to the cell
-        # so the slab AREA stays ~8M elements (64 MB of int64) no
-        # matter how large the cell grows — a fixed 2048-wide block
-        # crashed workers at the 100× corpus (20k-row cells → 660 MB
-        # slabs per task).
-        blk = max(256, 8_000_000 // max(n, 1))
-        for j0 in range(1, n, blk):
-            j1 = min(j0 + blk, n)
-            D = (M @ M[j0:j1].T).astype(np.float64)
-            # τ-compare UNROUNDED (bit-identical to the oracle's raw
-            # cosine); round only for display, with the same explicit
-            # floor(x·1e6 + 0.5)/1e6 ladder the oracle SQL spells —
-            # np.round's half-to-even tie rule differs from DuckDB's
-            # ROUND and must not touch either the decision or output.
-            C = D / (norms[:, None] * norms[None, j0:j1])
-            for jj in range(j0, j1):
-                hits = np.nonzero(C[:jj, jj - j0] >= tau)[0]
-                if len(hits):
-                    i = hits[0]  # ids ascend → first hit = min keep_id
-                    drops.append(ids[jj])
-                    keeps.append(ids[i])
-                    coss.append(np.floor(C[i, jj - j0] * 1e6 + 0.5) / 1e6)
-        return pd.DataFrame(
-            {
-                "drop_id": np.array(drops, dtype=np.int64),
-                "kept_partner": np.array(keeps, dtype=np.int64),
-                "partner_cos": np.array(coss, dtype=np.float64),
-            }
+        a = pdf[pdf["_side"] == 0].sort_values("vec_id")
+        b = pdf[pdf["_side"] == 1]
+        if len(a) == 0 or len(pdf) < 2:
+            return empty
+        ids_a = a["vec_id"].to_numpy()
+        Ma = np.stack(a["qv"].to_numpy()).astype(np.int64)
+        na = np.sqrt((Ma * Ma).sum(axis=1).astype(np.float64))
+        # τ-compare UNROUNDED (bit-identical to the oracle's raw
+        # cosine: exact int64 dots → identical IEEE sqrt/mul/div
+        # trees); rounding happens once, after the global reduction.
+        if pdf["_ci"].iat[0] == pdf["_cj"].iat[0]:
+            C = (Ma @ Ma.T).astype(np.float64) / np.outer(na, na)
+            keep = np.triu(C >= tau, k=1)  # ids ascend → i<j ⇒ id_i<id_j
+            ii, jj = np.nonzero(keep)
+            kp, dp, cs = ids_a[ii], ids_a[jj], C[ii, jj]
+        elif len(b) == 0:  # cross cell whose cj chunk is empty
+            return empty
+        else:
+            ids_b = b["vec_id"].to_numpy()
+            Mb = np.stack(b["qv"].to_numpy()).astype(np.int64)
+            nb = np.sqrt((Mb * Mb).sum(axis=1).astype(np.float64))
+            C = (Ma @ Mb.T).astype(np.float64) / np.outer(na, nb)
+            ii, jj = np.nonzero(C >= tau)
+            ia, ib, cs = ids_a[ii], ids_b[jj], C[ii, jj]
+            kp, dp = np.minimum(ia, ib), np.maximum(ia, ib)
+        out = pd.DataFrame({"drop_id": dp, "kept_partner": kp, "cos_raw": cs})
+        # local pre-reduction: min keep_id per drop within the cell
+        out = out.sort_values(["drop_id", "kept_partner"]).drop_duplicates(
+            "drop_id", keep="first"
         )
+        return out
 
-    return q.groupBy("label").applyInPandas(
-        cell, "drop_id long, kept_partner long, partner_cos double"
+    tiled = dedup.tile_pair_cells(q, "label", "vec_id", ["qv"], target_chunk=2048)
+    pairs = tiled.groupBy("label", "_ci", "_cj").applyInPandas(
+        cell, "drop_id long, kept_partner long, cos_raw double"
+    )
+    return (
+        pairs.groupBy("drop_id")
+        .agg(F.min(F.struct("kept_partner", "cos_raw")).alias("s"))
+        .select(
+            "drop_id",
+            F.col("s.kept_partner").alias("kept_partner"),
+            # the oracle's explicit half-up ladder FLOOR(x·1e6+0.5)/1e6
+            (F.floor(F.col("s.cos_raw") * 1e6 + F.lit(0.5)) / F.lit(1e6)).alias(
+                "partner_cos"
+            ),
+        )
     )
 
 

@@ -1037,7 +1037,7 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(28,4)")).alias("tv"),
         )
     )
-    sink = f"st_sw_{uuid.uuid4().hex[:8]}"
+    out_dir = f"/tmp/st_sw_out_{uuid.uuid4().hex[:8]}"
     # Map-side session pre-merge: each input partition first merges
     # its own overlapping sessions locally, so the merging-state
     # shuffle ships partial SESSIONS instead of raw events and the
@@ -1053,18 +1053,27 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set(_lm_key, "true")
     try:
         with _stream_shuffle_partitions(spark):
+            # foreachBatch → parquet overwrite instead of a memory
+            # sink: complete mode re-emits the whole session table per
+            # micro-batch, and the memory sink COLLECTS it to the
+            # driver — at the 100× corpus that is >1 GB of sessions
+            # and dies on spark.driver.maxResultSize. Executors write
+            # the final table distributed; the driver never holds it.
             q = (
-                agg.writeStream.format("memory")
-                .queryName(sink)
+                agg.writeStream.foreachBatch(
+                    lambda bdf, _eid: bdf.write.mode("overwrite").parquet(
+                        out_dir
+                    )
+                )
                 .outputMode("complete")
                 .trigger(availableNow=True)
                 .start()
             )
             try:
-                if not q.awaitTermination(120):
+                if not q.awaitTermination(300):
                     raise TimeoutError(
                         "st_session_windows: availableNow drain did "
-                        "not finish within 120s — refusing to read a "
+                        "not finish within 300s — refusing to read a "
                         "partial complete-mode session table"
                     )
             finally:
@@ -1074,7 +1083,7 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(_lm_key)
         else:
             spark.conf.set(_lm_key, _lm_old)
-    return spark.table(sink).select(
+    return spark.read.parquet(out_dir).select(
         "user_id",
         F.col("w.start").alias("session_start"),
         F.col("w.end").alias("session_end"),

@@ -64,6 +64,19 @@ def test_simhash_pairs_finds_planted(spark, docs_dup):
     assert (1, 9001) in found
 
 
+def test_embedding_cosine_tiling_invariant(spark):
+    """The tiled all-pairs fan-out (tile_pair_cells) must emit exactly
+    the same pair set regardless of chunking: a tiny target_chunk
+    (many cross cells, pmod-skewed chunks) vs one chunk per block."""
+    emb = tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    one = dedup.embedding_cosine_pairs(emb, threshold=0.3, target_chunk=10**9)
+    many = dedup.embedding_cosine_pairs(emb, threshold=0.3, target_chunk=5)
+    b = sorted(map(tuple, one.collect()))
+    t = sorted(map(tuple, many.collect()))
+    assert len(b) > 0
+    assert b == t
+
+
 def test_ivf_matches_bruteforce_for_in_cluster_neighbors(spark):
     """IVF with nprobe=1 must agree with brute force whenever the true
     top-k lives in the probed cluster (labels are the true clusters)."""
