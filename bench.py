@@ -216,6 +216,8 @@ HEADLINE = [
     "x_jackknife_ci",
     "x_spearman_corr",
     "x_sprt_monitor",
+    "x_path_trigrams",
+    "x_bom_rollup",
 ]
 
 
