@@ -218,6 +218,8 @@ HEADLINE = [
     "x_sprt_monitor",
     "x_path_trigrams",
     "x_bom_rollup",
+    "ss_pq_adc_topk",
+    "x_welch_ttest",
 ]
 
 

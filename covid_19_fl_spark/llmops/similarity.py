@@ -397,6 +397,43 @@ def _pq_sub_dims(m: int, dims: int) -> int:
     return dims // m
 
 
+def _sub_diff2(a: str | Column, b: str | Column) -> Column:
+    """Σ (aᵢ − bᵢ)² of two same-length float arrays as a sequential
+    left fold — the summation order both engines replicate."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(a) if isinstance(a, str) else a,
+            F.col(b) if isinstance(b, str) else b,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_best_codes(
+    subv: DataFrame, books: DataFrame, id_col: str, label_col: str
+) -> DataFrame:
+    """Nearest codebook entry per (vector, sub-space): broadcast the
+    tiny codebook onto the sub-vector scan, 6dp-round the sub-distance
+    (rank-stability vs last-ulp noise), take the (dist, code)
+    struct-min — map-side combinable, no window. Returns
+    (id, sub_idx, b=(dist, code))."""
+    diff2 = _sub_diff2("sv", "centroid_sub")
+    return (
+        subv.join(F.broadcast(books), "sub_idx")
+        .select(
+            id_col,
+            "sub_idx",
+            F.struct(
+                F.round(diff2, 6).alias("dist"), F.col(label_col).alias("code")
+            ).alias("s"),
+        )
+        .groupBy(id_col, "sub_idx")
+        .agg(F.min("s").alias("b"))
+    )
+
+
 def _sub_slices(vec: Column, m: int, d: int) -> Column:
     """array of m (sub_idx, sv=slice) structs — plain Column builders
     (m is small, so no F.expr string needed and any column name works)."""
@@ -449,27 +486,7 @@ def pq_quantize(
     subv = emb.select(
         F.col(id_col), F.explode(_sub_slices(guarded, m, d)).alias("p")
     ).select(id_col, "p.sub_idx", "p.sv")
-    diff2 = F.aggregate(
-        F.zip_with(
-            F.col("sv"),
-            F.col("centroid_sub"),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    best = (
-        subv.join(F.broadcast(books), "sub_idx")
-        .select(
-            id_col,
-            "sub_idx",
-            F.struct(
-                F.round(diff2, 6).alias("dist"), F.col(label_col).alias("code")
-            ).alias("s"),
-        )
-        .groupBy(id_col, "sub_idx")
-        .agg(F.min("s").alias("b"))
-    )
+    best = _pq_best_codes(subv, books, id_col, label_col)
     return best.groupBy(id_col).agg(
         F.concat_ws(
             "-",
@@ -486,6 +503,92 @@ def pq_quantize(
             / F.lit(float(dims)),
             6,
         ).alias("recon_mse"),
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over the PQ codes — the
+    SEARCH half of the product-quantization story (pq_quantize is the
+    compression half): the query stays full-precision, the corpus is
+    only its m code ids, and each candidate's distance is the sum of
+    m table lookups ``Σ_s dtab[s, code_s]`` — the IVFPQ/FAISS scan
+    re-expressed relationally.
+
+    Plan shape: the distance TABLE (|queries| × m × |codebook| rows —
+    hundreds) is built once from the broadcast codebooks and broadcast
+    onto the corpus-code scan; the per-candidate sum is one
+    map-combinable groupBy of integer micro-distances (6dp-rounded
+    sub-distances × 1e6 — exact BIGINT, partition-order-proof). Top-k
+    runs as a two-stage tournament: local top-k per pmod salt bucket,
+    then a global top-k over buckets·k rows — no corpus-sized window
+    partition; ``salt_buckets`` scales with the corpus so each local
+    group stays bounded. Self-matches are excluded (the query is in
+    the corpus)."""
+    d = _pq_sub_dims(m, dims)
+    books = pq_codebooks(emb, m=m, dims=dims, label_col=label_col, vec_col=vec_col)
+    subv = emb.select(
+        F.col(id_col), F.explode(_sub_slices(F.col(vec_col), m, d)).alias("p")
+    ).select(id_col, "p.sub_idx", "p.sv")
+    codes = _pq_best_codes(subv, books, id_col, label_col).select(
+        id_col, "sub_idx", F.col("b.code").alias("code")
+    )
+    qsub = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(_sub_slices(F.col(vec_col), m, d)).alias("p"),
+        )
+        .select("query_id", "p.sub_idx", F.col("p.sv").alias("qsv"))
+    )
+    dtab = qsub.join(books, "sub_idx").select(
+        "query_id",
+        "sub_idx",
+        F.col(label_col).alias("code"),
+        F.round(F.round(_sub_diff2("qsv", "centroid_sub"), 6) * 1e6)
+        .cast("long")
+        .alias("d_micro"),
+    )
+    adc = (
+        codes.join(F.broadcast(dtab), ["sub_idx", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("d_micro").alias("adc_micro"))
+    )
+    # two-stage tournament top-k: bounded local groups, then k·buckets
+    local = (
+        adc.withColumn("_salt", F.pmod(F.col(id_col), F.lit(salt_buckets)))
+        .groupBy("query_id", "_salt")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("adc_micro", F.col(id_col)))
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select("query_id", F.explode("top").alias("t"))
+    )
+    final = (
+        local.groupBy("query_id")
+        .agg(F.slice(F.array_sort(F.collect_list("t")), 1, k).alias("top"))
+        .select("query_id", F.posexplode("top").alias("rank0", "t"))
+    )
+    return final.select(
+        "query_id",
+        F.col("t")[id_col].alias("neighbor_id"),
+        (F.col("t.adc_micro").cast("double") / 1e6).alias("adc_dist"),
+        (F.col("rank0") + 1).cast("int").alias("rank"),
     )
 
 

@@ -88,3 +88,57 @@ def test_bom_rollup_parent_contains_children(spark):
         if node >= 10 and parent in rows:
             assert rows[parent].n_desc >= r.n_desc
             assert rows[parent].subtree_value >= r.subtree_value - 1e-9
+
+
+def test_pq_adc_topk_shape_and_monotone(spark):
+    rows = suite.QUERIES["ss_pq_adc_topk"](spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4, 5, 6, 7}
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        # distances non-decreasing with rank; self excluded
+        for a, b in zip(rs, rs[1:]):
+            assert (a.adc_dist, a.neighbor_id) <= (b.adc_dist, b.neighbor_id)
+        assert all(r.neighbor_id != q for r in rs)
+
+
+def test_pq_adc_tournament_salt_invariant(spark):
+    """The two-stage tournament must give identical results for any
+    salt bucket count."""
+    from covid_19_fl_spark import tables
+    from covid_19_fl_spark.llmops import similarity
+
+    emb = tables.load(spark, SF_SMOKE, "embeddings")
+    a = similarity.pq_adc_topk(emb, [0, 1, 2], k=3, salt_buckets=64)
+    b = similarity.pq_adc_topk(emb, [0, 1, 2], k=3, salt_buckets=1)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_welch_ttest_matches_scipy_formula(spark):
+    """Recompute Welch's t from the raw data in Python."""
+    import math
+
+    row = suite.QUERIES["x_welch_ttest"](spark, SF_SMOKE).collect()[0]
+    orders = suite._t(spark, SF_SMOKE, "orders")
+    vals = {
+        g: [
+            round(float(r[0]) * 100)
+            for r in orders.filter(F.col("o_orderpriority") == g)
+            .select("o_totalprice")
+            .collect()
+        ]
+        for g in ("1-URGENT", "5-LOW")
+    }
+    x, y = vals["1-URGENT"], vals["5-LOW"]
+    mx, my = sum(x) / len(x), sum(y) / len(y)
+    vx = sum((v - mx) ** 2 for v in x) / (len(x) - 1)
+    vy = sum((v - my) ** 2 for v in y) / (len(y) - 1)
+    t = (mx - my) / math.sqrt(vx / len(x) + vy / len(y))
+    assert row.n_urgent == len(x) and row.n_low == len(y)
+    assert abs(row.t_stat - t) < 1e-4
+    se1, se2 = vx / len(x), vy / len(y)
+    df = (se1 + se2) ** 2 / (se1**2 / (len(x) - 1) + se2**2 / (len(y) - 1))
+    assert abs(row.df_welch - df) < 0.01
