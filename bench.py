@@ -220,6 +220,8 @@ HEADLINE = [
     "x_bom_rollup",
     "ss_pq_adc_topk",
     "x_welch_ttest",
+    "ml_mutual_information",
+    "x_spatial_hotspots",
 ]
 
 

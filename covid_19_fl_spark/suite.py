@@ -333,3 +333,4 @@ from . import suite_r5c  # noqa: E402,F401
 from . import suite_r5d  # noqa: E402,F401
 from . import suite_r5e  # noqa: E402,F401
 from . import suite_r5f  # noqa: E402,F401
+from . import suite_r5g  # noqa: E402,F401

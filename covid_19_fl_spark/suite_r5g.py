@@ -1,0 +1,247 @@
+"""Round-5 suite additions, batch G: information theory + spatial
+statistics.
+
+- ``ml_mutual_information`` — per-feature mutual information with the
+  class label (the model-free feature-ranking screen): embedding dims
+  binned deterministically, MI from exact integer contingency counts,
+  the ln-term sum as an ordered fold.
+- ``x_spatial_hotspots`` — Getis-Ord-style hotspot z-scores over the
+  (day × value-bucket) event grid: 3×3 neighborhood sums as a bounded
+  9-cell fan-out equi-join (no range join), global cell moments
+  including EMPTY cells via the exact bounding-grid count.
+
+Determinism discipline unchanged: integer counts across every
+shuffle, identical float expression trees, ordered folds where
+doubles must sum, rounded outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .suite import _t, query
+
+# ---------------------------------------------------------------------------
+# ml_mutual_information — feature ranking by MI with the label
+# ---------------------------------------------------------------------------
+
+_MI_DIMS = 8  # leading embedding dims screened
+_MI_BINS = 8  # equal-width bins over [-1, 1): bin = clamp(floor(4v)+4)
+
+
+@query(
+    "ml_mutual_information",
+    oracle=f"""
+    WITH binned AS (
+      SELECT d.dim, e.label,
+             LEAST({_MI_BINS - 1}, GREATEST(0,
+               CAST(FLOOR(CAST(e.embedding[d.dim] AS DOUBLE) * 4) AS BIGINT)
+                 + 4)) AS bin
+      FROM embeddings e,
+           (SELECT unnest(generate_series(1, {_MI_DIMS})) AS dim) d
+    ), joint AS (
+      SELECT dim, bin, label, CAST(COUNT(*) AS BIGINT) AS c_bl
+      FROM binned GROUP BY 1, 2, 3
+    ), margb AS (
+      SELECT dim, bin, CAST(SUM(c_bl) AS BIGINT) AS c_b
+      FROM joint GROUP BY 1, 2
+    ), margl AS (
+      SELECT dim, label, CAST(SUM(c_bl) AS BIGINT) AS c_l
+      FROM joint GROUP BY 1, 2
+    ), tot AS (
+      SELECT dim, CAST(SUM(c_bl) AS BIGINT) AS n FROM joint GROUP BY 1
+    ), terms AS (
+      SELECT j.dim,
+             list(
+               (CAST(c_bl AS DOUBLE) / n)
+               * ln((CAST(n AS DOUBLE) * c_bl) / (1.0 * c_b * c_l))
+               ORDER BY j.bin, j.label
+             ) AS ts,
+             ANY_VALUE(n) AS n
+      FROM joint j
+      JOIN margb USING (dim, bin)
+      JOIN margl USING (dim, label)
+      JOIN tot USING (dim)
+      GROUP BY j.dim
+    )
+    SELECT dim,
+           ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), ts),
+                             (acc, x) -> acc + x), 6) AS mi_nats,
+           CAST(n AS BIGINT) AS n
+    FROM terms
+    """,
+)
+def ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(feature_bin; label) for the leading 8
+    embedding dims — the model-free feature-relevance screen (what a
+    feature-selection pass runs before any training): each dim bins
+    into 8 deterministic equal-width cells, and MI comes entirely
+    from the (dim, bin, label) contingency counts.
+
+    Exactness: all counts are BIGINT from ONE explode+groupBy scan;
+    each MI term is the identical double tree
+    (c_bl/n)·ln(n·c_bl/(c_b·c_l)) over those exact integers, and the
+    per-dim term sum runs as an ORDERED (bin, label) fold on both
+    engines (the x_chi2 recipe — never an unordered double SUM).
+    Scale: the corpus is touched once (scan-stage posexplode of 8
+    array slots); everything after the first agg is |dims·bins·labels|
+    ≤ 640 rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    binned = emb.select(
+        "label",
+        F.posexplode(F.slice("embedding", 1, _MI_DIMS)).alias("dim0", "v"),
+    ).select(
+        (F.col("dim0") + 1).alias("dim"),
+        "label",
+        F.least(
+            F.lit(_MI_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                (F.floor(F.col("v").cast("double") * 4) + 4).cast("long"),
+            ),
+        ).alias("bin"),
+    )
+    joint = binned.groupBy("dim", "bin", "label").agg(
+        F.count("*").cast("long").alias("c_bl")
+    )
+    margb = joint.groupBy("dim", "bin").agg(
+        F.sum("c_bl").cast("long").alias("c_b")
+    )
+    margl = joint.groupBy("dim", "label").agg(
+        F.sum("c_bl").cast("long").alias("c_l")
+    )
+    tot = joint.groupBy("dim").agg(F.sum("c_bl").cast("long").alias("n"))
+    term = (
+        (F.col("c_bl").cast("double") / F.col("n"))
+        * F.log(
+            (F.col("n").cast("double") * F.col("c_bl"))
+            / (F.lit(1.0) * F.col("c_b") * F.col("c_l"))
+        )
+    )
+    cells = (
+        joint.join(margb, ["dim", "bin"])
+        .join(margl, ["dim", "label"])
+        .join(F.broadcast(tot), "dim")
+        .select("dim", "bin", "label", "n", term.alias("t"))
+    )
+    folded = cells.groupBy("dim", "n").agg(
+        F.array_sort(F.collect_list(F.struct("bin", "label", "t"))).alias("ts")
+    )
+    mi = F.aggregate(
+        F.transform(F.col("ts"), lambda s: s["t"]),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    return folded.select(
+        "dim", F.round(mi, 6).alias("mi_nats"), F.col("n").cast("long").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_spatial_hotspots — Getis-Ord-style grid hotspot detection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_spatial_hotspots",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+             CAST(FLOOR(CAST(value AS DOUBLE) / 5) AS BIGINT) AS vb,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), grid AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(SUM(c * c) AS BIGINT) AS ss,
+             CAST((MAX(d) - MIN(d) + 1) * (MAX(vb) - MIN(vb) + 1) AS BIGINT)
+               AS n_cells
+      FROM cells
+    ), hood AS (
+      SELECT a.d, a.vb, CAST(SUM(b.c) AS BIGINT) AS s9
+      FROM cells a JOIN cells b
+        ON b.d BETWEEN a.d - 1 AND a.d + 1
+       AND b.vb BETWEEN a.vb - 1 AND a.vb + 1
+      GROUP BY 1, 2
+    )
+    SELECT d, vb, s9,
+           ROUND(
+             (s9 - 9.0 * n_events / n_cells)
+             / sqrt(9.0 * (CAST(ss AS DOUBLE) / n_cells
+                           - (CAST(n_events AS DOUBLE) / n_cells)
+                             * (CAST(n_events AS DOUBLE) / n_cells))),
+             6) AS gi_z
+    FROM hood, grid
+    ORDER BY gi_z DESC, d ASC, vb ASC
+    LIMIT 20
+    """,
+)
+def x_spatial_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord-style hotspot detection on the (day × value-bucket)
+    event grid: each occupied cell's 3×3 neighborhood sum S9 scored as
+    a z against the grid-wide cell mean/variance (empty cells counted
+    via the exact bounding-grid extent) — the spatial-clustering
+    screen behind outbreak/incident maps, top-20 hottest cells.
+
+    Plan: one groupBy builds the cell counts; the neighborhood sum is
+    a bounded 3×3 fan-out EQUI-join on shifted cell keys (the same
+    lossless grid pattern as x_spatial_neighbors — no range join);
+    the global moments are one 1-row broadcast. Boundary cells use
+    the same n=9 normalization (the standard simplification,
+    documented). Counts stay BIGINT until the one z division; ties
+    break (z desc, d, vb). Scale: cells are domain-bounded (days ×
+    buckets), so every post-scan stage is tiny at any SF."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cells = ev.groupBy(
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("d"),
+        F.floor(F.col("value").cast("double") / 5).cast("long").alias("vb"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    grid = cells.agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        ((F.max("d") - F.min("d") + 1) * (F.max("vb") - F.min("vb") + 1))
+        .cast("long")
+        .alias("n_cells"),
+    )
+    offsets = [(dd, dv) for dd in (-1, 0, 1) for dv in (-1, 0, 1)]
+    probes = cells.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("d") + dd).alias("d"),
+                        (F.col("vb") + dv).alias("vb"),
+                    )
+                    for dd, dv in offsets
+                ]
+            )
+        ).alias("p"),
+        F.col("c").alias("cb"),
+    ).select(F.col("p.d").alias("d"), F.col("p.vb").alias("vb"), "cb")
+    hood = (
+        probes.join(cells.select("d", "vb"), ["d", "vb"])
+        .groupBy("d", "vb")
+        .agg(F.sum("cb").cast("long").alias("s9"))
+    )
+    mu = F.lit(9.0) * F.col("n_events") / F.col("n_cells")
+    var = (
+        F.col("ss").cast("double") / F.col("n_cells")
+        - (F.col("n_events").cast("double") / F.col("n_cells"))
+        * (F.col("n_events").cast("double") / F.col("n_cells"))
+    )
+    return (
+        hood.crossJoin(F.broadcast(grid))
+        .select(
+            "d",
+            "vb",
+            "s9",
+            F.round(
+                (F.col("s9") - mu) / F.sqrt(F.lit(9.0) * var), 6
+            ).alias("gi_z"),
+        )
+        .orderBy(F.col("gi_z").desc(), F.col("d").asc(), F.col("vb").asc())
+        .limit(20)
+    )

@@ -1,0 +1,94 @@
+"""Property tests for the round-5 batch-G operators (mutual
+information, spatial hotspots), beyond the DuckDB oracle equality."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from covid_19_fl_spark import suite
+
+from .conftest import SF_SMOKE
+
+
+def test_mutual_information_nonnegative_and_bounded(spark):
+    rows = suite.QUERIES["ml_mutual_information"](spark, SF_SMOKE).collect()
+    assert len(rows) == 8
+    n_labels = (
+        suite._t(spark, SF_SMOKE, "embeddings")
+        .select("label")
+        .distinct()
+        .count()
+    )
+    cap = math.log(min(8, n_labels))  # MI <= min(H(bin), H(label)) <= ln(min cards)
+    for r in rows:
+        assert -1e-9 <= r.mi_nats <= cap + 1e-9
+
+
+def test_mutual_information_matches_python(spark):
+    """Recompute MI for dim 1 from raw counts in Python."""
+    emb = suite._t(spark, SF_SMOKE, "embeddings")
+    rows = emb.select(
+        F.least(
+            F.lit(7),
+            F.greatest(
+                F.lit(0),
+                (F.floor(F.element_at("embedding", 1).cast("double") * 4) + 4).cast(
+                    "long"
+                ),
+            ),
+        ).alias("bin"),
+        "label",
+    ).collect()
+    from collections import Counter
+
+    joint = Counter((r.bin, r.label) for r in rows)
+    cb = Counter(r.bin for r in rows)
+    cl = Counter(r.label for r in rows)
+    n = len(rows)
+    mi = sum(
+        (c / n) * math.log(n * c / (cb[b] * cl[lab]))
+        for (b, lab), c in joint.items()
+    )
+    got = {
+        r.dim: r.mi_nats
+        for r in suite.QUERIES["ml_mutual_information"](spark, SF_SMOKE).collect()
+    }
+    assert abs(got[1] - mi) < 1e-5
+
+
+def test_spatial_hotspots_ordering_and_bounds(spark):
+    rows = suite.QUERIES["x_spatial_hotspots"](spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 20
+    for a, b in zip(rows, rows[1:]):
+        assert a.gi_z >= b.gi_z
+        if a.gi_z == b.gi_z:
+            assert (a.d, a.vb) < (b.d, b.vb)
+    for r in rows:
+        # neighborhood sum includes the cell itself
+        assert r.s9 >= 1
+
+
+def test_spatial_hotspots_s9_matches_naive(spark):
+    """Recompute a few neighborhood sums naively from cell counts."""
+    ev = suite._t(spark, SF_SMOKE, "events").filter(F.col("value").isNotNull())
+    cells = {
+        (r.d, r.vb): r.c
+        for r in ev.groupBy(
+            F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("d"),
+            F.floor(F.col("value").cast("double") / 5).cast("long").alias("vb"),
+        )
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    rows = suite.QUERIES["x_spatial_hotspots"](spark, SF_SMOKE).collect()
+    for r in rows[:5]:
+        want = sum(
+            cells.get((r.d + dd, r.vb + dv), 0)
+            for dd in (-1, 0, 1)
+            for dv in (-1, 0, 1)
+        )
+        assert r.s9 == want
