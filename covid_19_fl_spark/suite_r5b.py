@@ -393,12 +393,24 @@ def _er_oracle() -> str:
         (SELECT bin, COUNT(*) c FROM o_bin GROUP BY 1) o
         JOIN t_band t ON o.bin = t.bin
     ), u AS (
+      -- u-probabilities as integer MILLIONTHS (fixed point, clamped
+      -- to [1, 999999]): factor magnitudes become corpus-size-
+      -- independent, so the 3-factor cross-products stay < 1e18 in
+      -- BIGINT at any SF (the unquantized form carried b = n² per
+      -- factor and overflowed 38-digit decimals at the 10× corpus)
       SELECT
-        CAST((SELECT COUNT(*) FROM orig) AS HUGEINT)
-          * CAST((SELECT COUNT(*) FROM twin) AS HUGEINT) + 2 AS b,
-        (SELECT a FROM a_name) + 1 AS u_name,
-        (SELECT a FROM a_sfx) + 1 AS u_sfx,
-        (SELECT a FROM a_bal) + 1 AS u_bal
+        LEAST(999999, GREATEST(1, CAST(
+          ((SELECT a FROM a_name) + 1) * 1000000
+          // (CAST((SELECT COUNT(*) FROM orig) AS HUGEINT)
+             * (SELECT COUNT(*) FROM twin) + 2) AS BIGINT))) AS u_name,
+        LEAST(999999, GREATEST(1, CAST(
+          ((SELECT a FROM a_sfx) + 1) * 1000000
+          // (CAST((SELECT COUNT(*) FROM orig) AS HUGEINT)
+             * (SELECT COUNT(*) FROM twin) + 2) AS BIGINT))) AS u_sfx,
+        LEAST(999999, GREATEST(1, CAST(
+          ((SELECT a FROM a_bal) + 1) * 1000000
+          // (CAST((SELECT COUNT(*) FROM orig) AS HUGEINT)
+             * (SELECT COUNT(*) FROM twin) + 2) AS BIGINT))) AS u_bal
     ), cand AS (
       SELECT o.k AS ko, t.k AS kt,
              CASE WHEN o.name = t.name THEN 1 ELSE 0 END AS g_name,
@@ -407,23 +419,28 @@ def _er_oracle() -> str:
                AS g_bal
       FROM o_bin o JOIN t_bin t ON o.nk = t.nk AND o.seg = t.seg
     ), scored AS (
+      -- per-factor: num = m·10⁴ (or complement), den = u_q (or
+      -- complement), both ≤ 10⁶ → 3-factor products ≤ 10¹⁸ in BIGINT
       SELECT ko, kt,
-        (CASE WHEN g_name = 1 THEN {_ER_M_NAME} * b
-              ELSE {100 - _ER_M_NAME} * b END
-         * CASE WHEN g_sfx = 1 THEN {_ER_M_SFX} * b
-                ELSE {100 - _ER_M_SFX} * b END
-         * CASE WHEN g_bal = 1 THEN {_ER_M_BAL} * b
-                ELSE {100 - _ER_M_BAL} * b END) AS num,
-        (CASE WHEN g_name = 1 THEN 100 * u_name
-              ELSE 100 * (b - u_name) END
-         * CASE WHEN g_sfx = 1 THEN 100 * u_sfx
-                ELSE 100 * (b - u_sfx) END
-         * CASE WHEN g_bal = 1 THEN 100 * u_bal
-                ELSE 100 * (b - u_bal) END) AS den
+        (CAST(CASE WHEN g_name = 1 THEN {_ER_M_NAME * 10000}
+                   ELSE {(100 - _ER_M_NAME) * 10000} END AS BIGINT)
+         * CASE WHEN g_sfx = 1 THEN {_ER_M_SFX * 10000}
+                ELSE {(100 - _ER_M_SFX) * 10000} END
+         * CASE WHEN g_bal = 1 THEN {_ER_M_BAL * 10000}
+                ELSE {(100 - _ER_M_BAL) * 10000} END) AS num,
+        (CAST(CASE WHEN g_name = 1 THEN u_name
+                   ELSE 1000000 - u_name END AS BIGINT)
+         * CASE WHEN g_sfx = 1 THEN u_sfx
+                ELSE 1000000 - u_sfx END
+         * CASE WHEN g_bal = 1 THEN u_bal
+                ELSE 1000000 - u_bal END) AS den
       FROM cand CROSS JOIN u
     )
-    SELECT CASE WHEN num >= {_ER_T_MATCH} * den THEN 'match'
-                WHEN num >= {_ER_T_POSSIBLE} * den THEN 'possible'
+    SELECT CASE WHEN CAST(num AS HUGEINT)
+                     >= {_ER_T_MATCH} * CAST(den AS HUGEINT) THEN 'match'
+                WHEN CAST(num AS HUGEINT)
+                     >= {_ER_T_POSSIBLE} * CAST(den AS HUGEINT)
+                     THEN 'possible'
                 ELSE 'nonmatch' END AS link_class,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(SUM(CASE WHEN ko = kt THEN 1 ELSE 0 END) AS BIGINT)
@@ -452,9 +469,13 @@ def er_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
       match-dominated — small blocks made every u look large and no
       pair could reach the match threshold.) Fixed m-priors.
     - likelihood ratio R = prod_f m_f-or-(1-m_f) / u_f-or-(1-u_f),
-      kept as an exact RATIONAL (numerator/denominator products of
-      integer counts in DECIMAL(38,0)); classification compares by
-      integer cross-multiplication, so no float threshold and no
+      kept as a FIXED-POINT rational: u-probabilities quantize ONCE to
+      integer millionths (exact floor division, clamped [1, 999999]),
+      so every factor is <= 10^6 and the 3-factor cross-products stay
+      in BIGINT at any corpus size (the unquantized form carried
+      b = n^2 per factor and overflowed DECIMAL(38,0) on the threshold
+      multiply at the 10x corpus); classification compares by integer
+      cross-multiplication, so no float threshold and no
       transcendental log — bit-identical decisions on both engines.
 
     Output: pair counts and true-entity counts per link class (the
@@ -463,8 +484,9 @@ def er_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one blocked self-join (shuffle on block key), one global
     agreement aggregate (broadcast back as a 1-row dimension), one
     map-side classification pass. Skewed blocks salt like any skewed
-    join key. The DECIMAL products stay under 1e28 by construction
-    (3 factors <= 100 * (pairs + 2) each).
+    join key. All products stay under 1e18 in BIGINT by construction
+    (3 factors <= 1e6 each); only the final threshold compare widens
+    to DECIMAL(38,0)/HUGEINT.
     """
     orig = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k"),
@@ -532,18 +554,31 @@ def er_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum(F.col("co") * F.col("ct")), F.lit(0)).alias("a")
         )
     )
-    dec = "decimal(12,0)"
     n_o = orig.count()
+    b = n_o * n_o + 2
+    # u-probabilities as integer MILLIONTHS (fixed point, clamped to
+    # [1, 999999]): magnitudes become corpus-size-independent, so the
+    # 3-factor cross-products stay < 1e18 in BIGINT at any SF — the
+    # unquantized rational (one b = n² per factor) overflowed
+    # DECIMAL(38,0) on the threshold multiply at the 10× corpus.
+    # `div` is exact integer floor division (DuckDB `//`); the
+    # numerator (a+1)·10⁶ ≤ b·10⁶ stays in BIGINT through ~3M rows
+    # per side (document larger corpora via a coarser quantum).
     u = (
         freq_match("name")
         .select(F.col("a").alias("an"))
         .crossJoin(F.broadcast(freq_match("sfx").select(F.col("a").alias("as"))))
         .crossJoin(F.broadcast(a_bal.select(F.col("a").alias("ab"))))
         .select(
-            F.lit(n_o * n_o + 2).cast(dec).alias("b"),
-            (F.col("an") + 1).cast(dec).alias("u_name"),
-            (F.col("as") + 1).cast(dec).alias("u_sfx"),
-            (F.col("ab") + 1).cast(dec).alias("u_bal"),
+            F.expr(
+                f"least(999999L, greatest(1L, ((an + 1) * 1000000) div {b}))"
+            ).alias("u_name"),
+            F.expr(
+                f"least(999999L, greatest(1L, ((`as` + 1) * 1000000) div {b}))"
+            ).alias("u_sfx"),
+            F.expr(
+                f"least(999999L, greatest(1L, ((ab + 1) * 1000000) div {b}))"
+            ).alias("u_bal"),
         )
     )
 
@@ -568,14 +603,14 @@ def er_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ratio_factor(agree: str, m: int, u_col: str):
-        num = F.when(
-            F.col(agree) == 1, F.lit(m).cast(dec) * F.col("b")
-        ).otherwise(F.lit(100 - m).cast(dec) * F.col("b"))
-        den = F.when(
-            F.col(agree) == 1, F.lit(100).cast(dec) * F.col(u_col)
-        ).otherwise(
-            F.lit(100).cast(dec) * (F.col("b") - F.col(u_col))
-        )
+        # num factor = m·10⁴ (or complement·10⁴); den factor = u_q (or
+        # its millionths complement) — each ≤ 10⁶, products ≤ 10¹⁸
+        num = F.when(F.col(agree) == 1, F.lit(m * 10000)).otherwise(
+            F.lit((100 - m) * 10000)
+        ).cast("long")
+        den = F.when(F.col(agree) == 1, F.col(u_col)).otherwise(
+            F.lit(1000000) - F.col(u_col)
+        ).cast("long")
         return num, den
 
     n1, d1 = ratio_factor("g_name", _ER_M_NAME, "u_name")
@@ -584,18 +619,22 @@ def er_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.crossJoin(F.broadcast(u)).select(
         "ko",
         "kt",
-        (n1 * n2 * n3).cast("decimal(38,0)").alias("num"),
-        (d1 * d2 * d3).cast("decimal(38,0)").alias("den"),
+        (n1 * n2 * n3).alias("num"),
+        (d1 * d2 * d3).alias("den"),
     )
+    dec38 = "decimal(38,0)"
     return (
         scored.select(
             "ko",
             "kt",
             F.when(
-                F.col("num") >= F.lit(_ER_T_MATCH) * F.col("den"), "match"
+                F.col("num").cast(dec38)
+                >= F.lit(_ER_T_MATCH) * F.col("den").cast(dec38),
+                "match",
             )
             .when(
-                F.col("num") >= F.lit(_ER_T_POSSIBLE) * F.col("den"),
+                F.col("num").cast(dec38)
+                >= F.lit(_ER_T_POSSIBLE) * F.col("den").cast(dec38),
                 "possible",
             )
             .otherwise("nonmatch")

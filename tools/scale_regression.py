@@ -32,12 +32,16 @@ def main() -> None:
         "--expect-quadratic",
         nargs="*",
         default=[],
-        help="exact pairwise evaluation harnesses whose per-row cost "
-        "legitimately grows with data — reported, not failed. Empty "
-        "by default since round 5: ml_knn_accuracy (the one former "
-        "entry) now evaluates a fixed-size md5-ranked probe sample, "
-        "so its cost is O(probe·corpus) and it sits under the "
-        "standard per-row gate",
+        help="queries whose ANSWER grows superlinearly on the "
+        "key-remapped replica corpus — reported, not failed. The "
+        "replica corpus duplicates every document ~10x, so exact "
+        "similarity self-joins (dd_edit_distance_join, "
+        "dd_jaccard_prefix_join) emit ~950x the pairs for 10x the "
+        "rows (measured; every replica matches every replica): "
+        "per-INPUT-row cost is the wrong metric there — their "
+        "per-OUTPUT-row cost falls. ml_knn_accuracy (the round-4 "
+        "entry) no longer needs this: it evaluates a fixed-size "
+        "md5-ranked probe sample and sits under the standard gate",
     )
     args = ap.parse_args()
 
