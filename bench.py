@@ -222,6 +222,7 @@ HEADLINE = [
     "x_welch_ttest",
     "ml_mutual_information",
     "x_spatial_hotspots",
+    "ml_adaboost_stumps",
 ]
 
 

@@ -245,3 +245,214 @@ def x_spatial_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("gi_z").desc(), F.col("d").asc(), F.col("vb").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_adaboost_stumps — exact fixed-point boosting on sufficient statistics
+# ---------------------------------------------------------------------------
+
+_AB_ROUNDS = 3
+_AB_BINS = 16  # bin = clamp(floor(8v) + 8, 0, 15) over dim 1
+_AB_Q = 1000  # weight-ratio quantum (thousandths)
+_AB_CAP = 1000000  # ratio cap (the e_r = 0 perfect-stump case)
+
+
+def _ab_pred_sql(t: str, pol: str, b: str) -> str:
+    return f"CASE WHEN ({pol} = 1 AND {b} >= {t}) OR ({pol} = 0 AND {b} < {t}) THEN 1 ELSE 0 END"
+
+
+def _ab_oracle() -> str:
+    """DuckDB replica of the 3-round fixed-point AdaBoost: identical
+    integer argmins, identical quantized ratio updates, identical
+    cross-multiplied ensemble votes — unrolled one CTE block per
+    round."""
+    rounds_sql = []
+    w_prev = "w0"
+    for r in (1, 2, 3):
+        pred = _ab_pred_sql("cand.t", "cand.pol", "w.bin")
+        rounds_sql.append(f"""
+    e{r} AS (
+      SELECT cand.t, cand.pol,
+             CAST(SUM(CASE WHEN {pred} <> w.y THEN w.w * w.c ELSE 0 END)
+                  AS HUGEINT) AS err,
+             CAST(SUM(w.w * w.c) AS HUGEINT) AS tot
+      FROM {w_prev} w CROSS JOIN cand
+      GROUP BY 1, 2
+    ), s{r} AS (
+      SELECT t, pol, err, tot,
+             LEAST({_AB_CAP}, GREATEST(1,
+               CAST(((tot - err) * {_AB_Q}) // GREATEST(err, 1) AS BIGINT)))
+               AS rho
+      FROM e{r} ORDER BY err, t, pol LIMIT 1
+    ), w{r} AS (
+      SELECT w.bin, w.y, w.c,
+             w.w * (CASE WHEN {_ab_pred_sql("s.t", "s.pol", "w.bin")} <> w.y
+                         THEN s.rho ELSE {_AB_Q} END) AS w
+      FROM {w_prev} w CROSS JOIN s{r} s
+    )""")
+        w_prev = f"w{r}"
+    vote_l = " * ".join(
+        f"CAST(CASE WHEN {_ab_pred_sql(f's{r}.t', f's{r}.pol', 'w.bin')} = 1 "
+        f"THEN s{r}.rho ELSE {_AB_Q} END AS BIGINT)"
+        for r in (1, 2, 3)
+    )
+    vote_r = " * ".join(
+        f"CAST(CASE WHEN {_ab_pred_sql(f's{r}.t', f's{r}.pol', 'w.bin')} = 0 "
+        f"THEN s{r}.rho ELSE {_AB_Q} END AS BIGINT)"
+        for r in (1, 2, 3)
+    )
+    # cumulative votes after rounds 1 and 2 use only the first r stumps
+    def vote_expr(upto: int) -> tuple[str, str]:
+        l = " * ".join(
+            f"CAST(CASE WHEN {_ab_pred_sql(f's{r}.t', f's{r}.pol', 'w.bin')} = 1 "
+            f"THEN s{r}.rho ELSE {_AB_Q} END AS BIGINT)"
+            for r in range(1, upto + 1)
+        )
+        rr = " * ".join(
+            f"CAST(CASE WHEN {_ab_pred_sql(f's{r}.t', f's{r}.pol', 'w.bin')} = 0 "
+            f"THEN s{r}.rho ELSE {_AB_Q} END AS BIGINT)"
+            for r in range(1, upto + 1)
+        )
+        return l, rr
+
+    acc_cols = []
+    for upto in (1, 2, 3):
+        l, rr = vote_expr(upto)
+        acc_cols.append(
+            f"CAST(SUM(CASE WHEN (CASE WHEN {l} > {rr} THEN 1 ELSE 0 END) = w.y"
+            f" THEN w.c ELSE 0 END) AS BIGINT) AS corr{upto}"
+        )
+    joins = ", ".join(f"s{r}" for r in (1, 2, 3))
+    return f"""
+    WITH cells AS (
+      SELECT LEAST({_AB_BINS - 1}, GREATEST(0,
+               CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 8) AS BIGINT) + 8))
+               AS bin,
+             label % 2 AS y,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM embeddings GROUP BY 1, 2
+    ), w0 AS (
+      SELECT bin, y, c, CAST(1 AS BIGINT) AS w FROM cells
+    ), cand AS (
+      SELECT t, pol
+      FROM (SELECT unnest(generate_series(0, {_AB_BINS - 1})) AS t) tt,
+           (VALUES (0), (1)) pp(pol)
+    ),{",".join(rounds_sql)},
+    acc AS (
+      SELECT {", ".join(acc_cols)},
+             CAST(SUM(w.c) AS BIGINT) AS n
+      FROM w0 w, {joins}
+    )
+    SELECT r.rnd AS round, r.t AS threshold, r.pol AS polarity,
+           CAST(r.rho AS BIGINT) AS rho_milli,
+           r.corr AS n_correct,
+           ROUND(CAST(r.corr AS DOUBLE) / r.n, 6) AS train_acc
+    FROM (
+      SELECT 1 AS rnd, s1.t, s1.pol, s1.rho, acc.corr1 AS corr, acc.n FROM s1, acc
+      UNION ALL
+      SELECT 2, s2.t, s2.pol, s2.rho, acc.corr2, acc.n FROM s2, acc
+      UNION ALL
+      SELECT 3, s3.t, s3.pol, s3.rho, acc.corr3, acc.n FROM s3, acc
+    ) r
+    """
+
+
+@query("ml_adaboost_stumps", oracle=_ab_oracle())
+def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-round AdaBoost over decision stumps, trained ENTIRELY
+    on sufficient statistics: the corpus reduces ONCE to the
+    (bin, label) contingency table (≤ 32 cells — every row in a cell
+    shares its feature bin, so it shares every stump's verdict and
+    therefore every boosting weight), and all three rounds of
+    weighted-error minimization, weight re-scaling and ensemble
+    voting run on that bounded table. The sequential-looking ensemble
+    algorithm becomes one distributed scan + O(1) model state — the
+    same sufficient-statistics discipline as ml_decision_stump /
+    ml_kfold_cv, extended to an iteratively REWEIGHTED ensemble.
+
+    Fixed-point exactness (no float enters any decision):
+    - round weights are integers: each round multiplies misclassified
+      cells by the quantized ratio ρ_r = clamp(((T−e)·1000) div e,
+      1, 1e6) and correct cells by 1000 — the AdaBoost
+      exp(2α)=(1−e)/e update in thousandths;
+    - the stump argmin compares exact integer weighted errors
+      (tie-break err, t, pol);
+    - the ensemble vote sign(Σ α_r h_r) is decided by integer
+      cross-multiplication: Π_{h=1} ρ_r·1000^{#h=0} vs
+      Π_{h=0} ρ_r·1000^{#h=1} (≤ 1e18 — BIGINT), because
+      α_r = ½ln(ρ_r/1000) makes the log-sum comparison a product
+      comparison. Ties vote negative.
+
+    Output: per round — chosen stump (threshold, polarity), ρ in
+    milli-units, and the cumulative ensemble's training accuracy.
+    The float appears exactly once: the final accuracy division,
+    written as the same expression tree both engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cells_df = emb.groupBy(
+        F.least(
+            F.lit(_AB_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                (
+                    F.floor(F.element_at("embedding", 1).cast("double") * 8)
+                    + 8
+                ).cast("long"),
+            ),
+        ).alias("bin"),
+        (F.col("label") % 2).alias("y"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    # bounded by construction: ≤ bins × 2 rows of integer counts
+    cells = [(r.bin, r.y, r.c) for r in cells_df.collect()]
+
+    def pred(t: int, pol: int, b: int) -> int:
+        return 1 if ((pol == 1 and b >= t) or (pol == 0 and b < t)) else 0
+
+    w = {(b, y): 1 for b, y, _ in cells}
+    cnt = {(b, y): c for b, y, c in cells}
+    stumps: list[tuple[int, int, int]] = []  # (t, pol, rho)
+    rows = []
+    n = sum(cnt.values())
+    for rnd in (1, 2, 3):
+        best = None
+        for t in range(_AB_BINS):
+            for pol in (0, 1):
+                err = sum(
+                    w[k] * cnt[k] for k in cnt if pred(t, pol, k[0]) != k[1]
+                )
+                key = (err, t, pol)
+                if best is None or key < best:
+                    best = key
+        err, t, pol = best
+        tot = sum(w[k] * cnt[k] for k in cnt)
+        rho = min(_AB_CAP, max(1, ((tot - err) * _AB_Q) // max(err, 1)))
+        stumps.append((t, pol, rho))
+        for k in list(w):
+            w[k] *= rho if pred(t, pol, k[0]) != k[1] else _AB_Q
+        # cumulative ensemble accuracy via integer cross-multiplication
+        corr = 0
+        for k, c in cnt.items():
+            lhs = rhs = 1
+            for st, sp, sr in stumps:
+                if pred(st, sp, k[0]) == 1:
+                    lhs *= sr
+                    rhs *= _AB_Q
+                else:
+                    lhs *= _AB_Q
+                    rhs *= sr
+            h = 1 if lhs > rhs else 0
+            if h == k[1]:
+                corr += c
+        rows.append((rnd, t, pol, rho, corr))
+    out = spark.createDataFrame(
+        rows, "round int, threshold int, polarity int, rho_milli long, n_correct long"
+    )
+    return out.select(
+        "round",
+        "threshold",
+        "polarity",
+        "rho_milli",
+        "n_correct",
+        F.round(F.col("n_correct").cast("double") / F.lit(n), 6).alias(
+            "train_acc"
+        ),
+    )

@@ -92,3 +92,37 @@ def test_spatial_hotspots_s9_matches_naive(spark):
             for dv in (-1, 0, 1)
         )
         assert r.s9 == want
+
+
+def test_adaboost_invariants(spark):
+    rows = sorted(
+        suite.QUERIES["ml_adaboost_stumps"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.round,
+    )
+    assert [r.round for r in rows] == [1, 2, 3]
+    for r in rows:
+        # argmin over both polarities guarantees e <= T/2 => rho >= Q
+        assert r.rho_milli >= 1000
+        assert 0.0 < r.train_acc <= 1.0
+        assert 0 <= r.threshold <= 15 and r.polarity in (0, 1)
+
+
+def test_adaboost_separable_data(spark):
+    """A dataset perfectly split by one bin threshold: round 1 must
+    reach accuracy 1.0 and the capped ratio."""
+    rows = [([float(i % 2) - 0.5] * 64, i % 2) for i in range(40)]
+    df = spark.createDataFrame(
+        [(i, v, lab) for i, (v, lab) in enumerate(rows)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    import covid_19_fl_spark.suite_r5g as g
+    from unittest import mock
+
+    with mock.patch.object(g, "_t", lambda spark, sf, name: df):
+        out = sorted(
+            g.ml_adaboost_stumps(spark, "ignored").collect(),
+            key=lambda r: r.round,
+        )
+    assert out[0].train_acc == 1.0
+    # e=0 -> rho = min(cap, tot*Q) = 40 rows * 1000
+    assert out[0].rho_milli == 40 * 1000
