@@ -223,6 +223,7 @@ HEADLINE = [
     "ml_mutual_information",
     "x_spatial_hotspots",
     "ml_adaboost_stumps",
+    "x_sax_motifs",
 ]
 
 

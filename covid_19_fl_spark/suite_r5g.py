@@ -456,3 +456,120 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "train_acc"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# x_sax_motifs — symbolic aggregate approximation + motif counts
+# ---------------------------------------------------------------------------
+
+_SAX_W = 8  # PAA window: 8 consecutive days per segment
+_SAX_A = 4  # alphabet size (equi-depth quartile symbols a-d)
+
+
+@query(
+    "x_sax_motifs",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS v
+      FROM orders GROUP BY 1
+    ), ext AS (
+      SELECT MIN(d) AS d0,
+             (CAST(date_diff('day', MIN(d), MAX(d)) AS BIGINT) + 1)
+               // {_SAX_W} AS n_full
+      FROM daily
+    ), paa AS (
+      -- fixed-width CALENDAR segments (date-diff days from the series
+      -- start): a day with no orders contributes 0, so the observed-
+      -- day SUM is the exact 8-day total; only the ragged tail
+      -- segment drops, so every kept segment covers the SAME width
+      -- and the integer SUM is the exact sort key
+      SELECT CAST(date_diff('day', d0, d) AS BIGINT) // {_SAX_W} AS widx,
+             CAST(SUM(v) AS BIGINT) AS s
+      FROM daily, ext GROUP BY 1
+    ), full_w AS (
+      SELECT widx, s FROM paa, ext WHERE widx < n_full
+    ), sym AS (
+      SELECT widx,
+             chr(CAST(96 + NTILE({_SAX_A}) OVER (ORDER BY s, widx) AS INTEGER)) AS sy
+      FROM full_w
+    ), seq AS (
+      SELECT list(sy ORDER BY widx) AS ss FROM sym
+    ), tri AS (
+      SELECT ss[i] || ss[i+1] || ss[i+2] AS motif
+      FROM seq, LATERAL (
+        SELECT unnest(generate_series(1, len(ss) - 2)) AS i
+      ) g
+      WHERE len(ss) >= 3
+    )
+    SELECT motif, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tri GROUP BY 1
+    ORDER BY n DESC, motif ASC LIMIT 10
+    """,
+)
+def x_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-style symbolic motif mining over the daily order-count
+    series: fixed 8-day PAA segments, equi-depth quartile symbols
+    (a–d), and the top recurring 3-symbol motifs — the time-series
+    data-mining primitive (HOT SAX / motif-discovery family) that
+    turns a numeric series into a discrete alphabet cheap enough to
+    index; completes the time-series family next to seasonal
+    decomposition, autocorrelation and changepoints.
+
+    Exactness: segments are fixed CALENDAR windows (a day with no
+    orders contributes 0, so the observed-day SUM is the exact window
+    total); the ragged tail segment drops, so every kept segment has
+    the SAME width and the integer SUM is the exact PAA sort key (no
+    mean division anywhere); equi-depth symbols come from
+    NTILE over (sum, window-index) — deterministic in both engines;
+    motif extraction runs on the struct-sorted symbol array. Scale:
+    the series and everything after the first map-combinable daily
+    aggregate is domain-bounded (|days|/8 segments)."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count("*").cast("long").alias("v")
+    )
+    ext = daily.agg(
+        F.min("d").alias("d0"),
+        F.floor(
+            (F.datediff(F.max("d"), F.min("d")) + 1) / _SAX_W
+        ).cast("long").alias("n_full"),
+    )
+    paa = (
+        daily.crossJoin(F.broadcast(ext))
+        .groupBy(
+            F.floor(F.datediff(F.col("d"), F.col("d0")) / _SAX_W)
+            .cast("long")
+            .alias("widx"),
+            F.col("n_full"),
+        )
+        .agg(F.sum("v").cast("long").alias("s"))
+        .filter(F.col("widx") < F.col("n_full"))
+    )
+    from pyspark.sql import Window as W
+
+    sym = paa.select(
+        "widx",
+        F.ntile(_SAX_A).over(W.partitionBy().orderBy("s", "widx")).alias("nt"),
+    ).selectExpr("widx", "char(96 + nt) AS sy")
+    seq = sym.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("widx", "sy"))).alias("ps")
+    )
+    ss = F.transform(F.col("ps"), lambda p: p["sy"])
+    tri = seq.select(ss.alias("ss")).filter(F.size("ss") >= 3).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ss") - 2),
+                lambda i: F.concat(
+                    F.element_at(F.col("ss"), i),
+                    F.element_at(F.col("ss"), i + 1),
+                    F.element_at(F.col("ss"), i + 2),
+                ),
+            )
+        ).alias("motif")
+    )
+    return (
+        tri.groupBy("motif")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("motif").asc())
+        .limit(10)
+    )

@@ -126,3 +126,49 @@ def test_adaboost_separable_data(spark):
     assert out[0].train_acc == 1.0
     # e=0 -> rho = min(cap, tot*Q) = 40 rows * 1000
     assert out[0].rho_milli == 40 * 1000
+
+
+def test_sax_motifs_shape(spark):
+    rows = suite.QUERIES["x_sax_motifs"](spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        assert len(r.motif) == 3
+        assert all(c in "abcd" for c in r.motif)
+        assert r.n >= 1
+    for a, b in zip(rows, rows[1:]):
+        assert (a.n > b.n) or (a.n == b.n and a.motif < b.motif)
+
+
+def test_sax_symbols_balanced(spark):
+    """Equi-depth NTILE symbols: the four symbol counts differ by at
+    most one across the kept (full-width) windows."""
+    orders = suite._t(spark, SF_SMOKE, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count("*").alias("v")
+    )
+    ext = daily.agg(
+        F.min("d").alias("d0"),
+        F.floor((F.datediff(F.max("d"), F.min("d")) + 1) / 8)
+        .cast("long")
+        .alias("n_full"),
+    )
+    paa = (
+        daily.crossJoin(ext)
+        .groupBy(
+            F.floor(F.datediff(F.col("d"), F.col("d0")) / 8)
+            .cast("long")
+            .alias("widx"),
+            F.col("n_full"),
+        )
+        .agg(F.sum("v").alias("s"))
+        .filter(F.col("widx") < F.col("n_full"))
+    )
+    n = paa.count()
+    from pyspark.sql import Window as W
+
+    sym = paa.select(
+        F.ntile(4).over(W.partitionBy().orderBy("s", "widx")).alias("nt")
+    )
+    counts = [r[1] for r in sym.groupBy("nt").count().collect()]
+    assert max(counts) - min(counts) <= 1
+    assert sum(counts) == n
