@@ -282,3 +282,52 @@ def test_agg_state_rollup_merge_equals_direct(spark, sf_dir):
     a = sorted(map(tuple, merged.collect()))
     b = sorted(map(tuple, direct.collect()))
     assert a == b
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n=st.integers(min_value=2, max_value=40),
+    target=st.integers(min_value=1, max_value=50),
+    blocks=st.integers(min_value=1, max_value=3),
+)
+def test_tile_pair_cells_partitions_pairs_exactly_once(spark, n, target, blocks):
+    """Every unordered same-block row pair must land in EXACTLY one
+    tile cell, for any block layout and chunk target — the invariant
+    the round-5 all-pairs re-plan (embedding cosine / semantic dedup)
+    rests on."""
+    from covid_19_fl_spark.llmops.dedup import tile_pair_cells
+
+    rows = [(i, i % blocks, float(i)) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, label long, payload double")
+    tiled = tile_pair_cells(df, "label", "vec_id", ["payload"], target_chunk=target)
+    got = tiled.collect()
+    # reconstruct the pair multiset the tiles imply
+    from collections import Counter
+
+    cells: dict = {}
+    for r in got:
+        cells.setdefault((r.label, r["_ci"], r["_cj"]), {0: [], 1: []})[
+            r["_side"]
+        ].append(r.vec_id)
+    seen = Counter()
+    for (lbl, ci, cj), sides in cells.items():
+        if ci == cj:
+            ids = sorted(sides[0])
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    seen[(lbl, ids[i], ids[j])] += 1
+        else:
+            for a in sides[0]:
+                for b in sides[1]:
+                    lo, hi = min(a, b), max(a, b)
+                    seen[(lbl, lo, hi)] += 1
+    want = Counter()
+    by_block: dict = {}
+    for i, b, _ in rows:
+        by_block.setdefault(b, []).append(i)
+    for b, ids in by_block.items():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                want[(b, ids[i], ids[j])] += 1
+    assert seen == want
