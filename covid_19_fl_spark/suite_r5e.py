@@ -401,7 +401,8 @@ _SPRT_BOUND_NANO = 2944438979  # round(ln((1−β)/α) · 1e9) = ln(19)·1e9
       GROUP BY 1
     ), walk AS (
       SELECT day, n, k,
-             SUM(2 * k - n) OVER (ORDER BY day) * {_SPRT_LA_NANO} AS llr_nano
+             CAST(SUM(2 * k - n) OVER (ORDER BY day)
+                  * {_SPRT_LA_NANO} AS BIGINT) AS llr_nano
       FROM daily
     )
     SELECT day, n, k, llr_nano,
