@@ -224,6 +224,7 @@ HEADLINE = [
     "x_spatial_hotspots",
     "ml_adaboost_stumps",
     "x_sax_motifs",
+    "ml_learning_curve",
 ]
 
 

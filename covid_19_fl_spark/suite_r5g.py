@@ -573,3 +573,141 @@ def x_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("motif").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_learning_curve — sample-efficiency curve on sufficient statistics
+# ---------------------------------------------------------------------------
+
+_LC_FRACTIONS = (10, 25, 50)  # train on the first 10/25/50 md5-percent
+# eval is ALWAYS the held-out >= 50% band
+
+
+def _lc_oracle() -> str:
+    """DuckDB replica: identical md5-percent banding, identical integer
+    stump argmins per training fraction, identical held-out accuracy."""
+    pred = (
+        "CASE WHEN (cand.pol = 1 AND c.bin >= cand.t)"
+        " OR (cand.pol = 0 AND c.bin < cand.t) THEN 1 ELSE 0 END"
+    )
+    frac_blocks = []
+    for f in _LC_FRACTIONS:
+        frac_blocks.append(f"""
+    e{f} AS (
+      SELECT cand.t, cand.pol,
+             CAST(SUM(CASE WHEN c.pct < {f} AND {pred} <> c.y
+                      THEN c.n ELSE 0 END) AS BIGINT) AS err
+      FROM cells c CROSS JOIN cand
+      GROUP BY 1, 2
+    ), s{f} AS (
+      SELECT t, pol FROM e{f} ORDER BY err, t, pol LIMIT 1
+    ), a{f} AS (
+      SELECT {f} AS train_pct, CAST(s.t AS INTEGER) AS threshold,
+             CAST(s.pol AS INTEGER) AS polarity,
+             CAST(SUM(CASE WHEN c.pct < {f} THEN c.n ELSE 0 END) AS BIGINT)
+               AS n_train,
+             CAST(SUM(CASE WHEN c.pct >= 50
+                        AND (CASE WHEN (s.pol = 1 AND c.bin >= s.t)
+                                    OR (s.pol = 0 AND c.bin < s.t)
+                             THEN 1 ELSE 0 END) = c.y
+                      THEN c.n ELSE 0 END) AS BIGINT) AS n_eval_correct,
+             CAST(SUM(CASE WHEN c.pct >= 50 THEN c.n ELSE 0 END) AS BIGINT)
+               AS n_eval
+      FROM cells c CROSS JOIN s{f} s
+      GROUP BY 2, 3
+    )""")
+    return f"""
+    WITH cells AS (
+      SELECT LEAST(15, GREATEST(0,
+               CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 8) AS BIGINT) + 8))
+               AS bin,
+             label % 2 AS y,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100 AS pct,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY 1, 2, 3
+    ), cand AS (
+      SELECT t, pol
+      FROM (SELECT unnest(generate_series(0, 15)) AS t) tt,
+           (VALUES (0), (1)) pp(pol)
+    ),{",".join(frac_blocks)}
+    SELECT train_pct, threshold, polarity, n_train,
+           ROUND(CAST(n_eval_correct AS DOUBLE) / n_eval, 6) AS eval_acc
+    FROM (SELECT * FROM a10 UNION ALL SELECT * FROM a25
+          UNION ALL SELECT * FROM a50)
+    """
+
+
+@query("ml_learning_curve", oracle=_lc_oracle())
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-efficiency (learning) curve for the decision stump:
+    train on deterministic md5-percent prefixes of the corpus (10%,
+    25%, 50%) and evaluate every model on the SAME held-out ≥50% band
+    — the eval-rigor pattern that decides whether more data is worth
+    buying. Like ml_kfold_cv, the whole curve costs ONE scan: the
+    corpus reduces to (bin, label, md5-percent) integer cells, each
+    training fraction's error table is a conditional SUM over those
+    cells (train set = pct < f), and the held-out accuracy is another
+    conditional SUM — no per-fraction rescans, no data movement
+    between points on the curve.
+
+    The md5-percent band is content-derived (engine- and
+    partitioning-invariant), stump argmins compare exact BIGINT
+    errors (tie-break err, t, pol), and the one float is the final
+    accuracy division, written identically in both engines."""
+    from .llmops.dedup import portable_hash
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cells_df = emb.groupBy(
+        F.least(
+            F.lit(15),
+            F.greatest(
+                F.lit(0),
+                (
+                    F.floor(F.element_at("embedding", 1).cast("double") * 8)
+                    + 8
+                ).cast("long"),
+            ),
+        ).alias("bin"),
+        (F.col("label") % 2).alias("y"),
+        (portable_hash(F.col("vec_id").cast("string")) % 100).alias("pct"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    # bounded by construction: ≤ 16 bins × 2 labels × 100 pct bands
+    cells = [(r.bin, r.y, r.pct, r.n) for r in cells_df.collect()]
+
+    def pred(t: int, pol: int, b: int) -> int:
+        return 1 if ((pol == 1 and b >= t) or (pol == 0 and b < t)) else 0
+
+    rows = []
+    n_eval = sum(n for _, _, p, n in cells if p >= 50)
+    for f in _LC_FRACTIONS:
+        best = None
+        for t in range(16):
+            for pol in (0, 1):
+                err = sum(
+                    n
+                    for b, y, p, n in cells
+                    if p < f and pred(t, pol, b) != y
+                )
+                key = (err, t, pol)
+                if best is None or key < best:
+                    best = key
+        _, t, pol = best
+        n_train = sum(n for _, _, p, n in cells if p < f)
+        corr = sum(
+            n for b, y, p, n in cells if p >= 50 and pred(t, pol, b) == y
+        )
+        rows.append((f, t, pol, n_train, corr))
+    out = spark.createDataFrame(
+        rows,
+        "train_pct int, threshold int, polarity int, n_train long, corr long",
+    )
+    return out.select(
+        "train_pct",
+        "threshold",
+        "polarity",
+        "n_train",
+        F.round(F.col("corr").cast("double") / F.lit(n_eval), 6).alias(
+            "eval_acc"
+        ),
+    )

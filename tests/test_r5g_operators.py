@@ -172,3 +172,16 @@ def test_sax_symbols_balanced(spark):
     counts = [r[1] for r in sym.groupBy("nt").count().collect()]
     assert max(counts) - min(counts) <= 1
     assert sum(counts) == n
+
+
+def test_learning_curve_shape(spark):
+    rows = sorted(
+        suite.QUERIES["ml_learning_curve"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.train_pct,
+    )
+    assert [r.train_pct for r in rows] == [10, 25, 50]
+    # training sets are nested prefixes, so n_train is non-decreasing
+    assert rows[0].n_train <= rows[1].n_train <= rows[2].n_train
+    for r in rows:
+        assert 0.0 <= r.eval_acc <= 1.0
+        assert r.n_train > 0
