@@ -225,6 +225,7 @@ HEADLINE = [
     "ml_adaboost_stumps",
     "x_sax_motifs",
     "ml_learning_curve",
+    "tx_rake_keyphrases",
 ]
 
 
