@@ -226,6 +226,7 @@ HEADLINE = [
     "x_sax_motifs",
     "ml_learning_curve",
     "tx_rake_keyphrases",
+    "st_cdc_merge_upsert",
 ]
 
 

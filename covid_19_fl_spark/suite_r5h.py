@@ -1,4 +1,4 @@
-"""Round-5 suite additions, batch H: keyphrase extraction.
+"""Round-5 suite additions, batch H: keyphrase extraction + CDC apply.
 
 - ``tx_rake_keyphrases`` — RAKE (Rapid Automatic Keyword Extraction)
   over the English documents: candidate phrases are maximal
@@ -7,6 +7,12 @@
   scores — the classic unsupervised keyphrase extractor, completing
   the text family (TF-IDF ranks single terms; RAKE surfaces
   multi-word phrases).
+- ``st_cdc_merge_upsert`` — streaming CDC apply: each micro-batch
+  MERGEs into a parquet table through the K4 sink's atomic swap with
+  last-writer-wins semantics; the associative LWW reduction makes the
+  fixpoint invariant to micro-batch slicing, and the drained table is
+  hash-checked against the batch LWW aggregate — the keyed-merge sink
+  promoted from pytest into the oracle gate.
 
 Determinism discipline unchanged: integer degree/frequency counts
 across every shuffle, the per-phrase score sum as an ordered
@@ -176,3 +182,95 @@ def tx_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_RAKE_K)
         .select("phrase", "n_occurrences", F.round("score", 6).alias("rake_score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# st_cdc_merge_upsert — streaming foreachBatch keyed MERGE into a table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st_cdc_merge_upsert",
+    oracle="""
+    SELECT CAST(o_orderkey % 1000 AS BIGINT) AS k,
+           CAST(MAX(o_orderkey) AS BIGINT) AS last_writer,
+           CAST(max_by(CAST(ROUND(o_totalprice * 100) AS BIGINT), o_orderkey)
+                AS BIGINT) AS price_c,
+           CAST(COUNT(*) AS BIGINT) AS n_versions
+    FROM orders GROUP BY 1
+    """,
+)
+def st_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — the #1 production streaming-sink pattern
+    (Delta MERGE / upsert): the order stream is a change feed keyed by
+    ``o_orderkey % 1000`` (collisions make every key receive many
+    versions), and each micro-batch MERGEs into a parquet table with
+    last-writer-wins semantics via the K4 sink's atomic
+    staging-then-rename swap. The drained table must equal the batch
+    LWW aggregate bit-for-bit — promoting the keyed-merge sink (K4,
+    previously pytest-only) into the oracle gate.
+
+    Correct under ANY micro-batch slicing: the per-batch pre-merge and
+    the table merge are the same associative LWW reduction
+    (max last_writer, max_by price over last_writer, summed version
+    counts), so batch boundaries cannot change the fixpoint. Replay
+    idempotence (a re-delivered batch double-counting n_versions)
+    is the rollup sink's batch-id-stamp job (streaming/rollup.py) —
+    this query drains availableNow exactly once. Scale: each batch
+    shuffles on k once and rewrites the k-sized table; a production
+    run partitions the table by key range so the merge rewrites only
+    touched partitions."""
+    import os as _os
+    import uuid as _uuid
+
+    from .sinks.batch import ParquetTable
+    from .suite_r4 import _stage_stream_dir
+
+    stage = _stage_stream_dir(sf_dir, "orders")
+    schema = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet")).schema
+    src = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .select(
+            (F.col("o_orderkey") % 1000).cast("long").alias("k"),
+            F.col("o_orderkey").cast("long").alias("w"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        )
+    )
+    table = ParquetTable(spark, f"/tmp/st_cdc_{_uuid.uuid4().hex[:8]}")
+
+    def apply(bdf: DataFrame, _eid: int) -> None:
+        b = bdf.groupBy("k").agg(
+            F.max("w").alias("last_writer"),
+            F.max_by("price_c", "w").alias("price_c"),
+            F.count("*").cast("long").alias("n_versions"),
+        )
+        if table.exists():
+            merged = (
+                table.read()
+                .unionByName(b)
+                .groupBy("k")
+                .agg(
+                    F.max("last_writer").alias("last_writer"),
+                    F.max_by("price_c", "last_writer").alias("price_c"),
+                    F.sum("n_versions").cast("long").alias("n_versions"),
+                )
+            )
+            table.overwrite(merged)
+        else:
+            table.overwrite(b)
+
+    q = (
+        src.writeStream.foreachBatch(apply)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "st_cdc_merge_upsert: availableNow drain did not finish "
+                "within 300s — refusing to read a partial merge table"
+            )
+    finally:
+        q.stop()
+    return table.read().select("k", "last_writer", "price_c", "n_versions")

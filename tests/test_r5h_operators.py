@@ -47,3 +47,53 @@ def test_rake_handmade_phrases(spark):
         ("big table", 1, 4.0),
         ("fast table", 1, 4.0),
     ]
+
+
+def test_cdc_merge_slicing_invariant(spark, tmp_path):
+    """Applying the change feed in 1 batch vs 3 batches must converge
+    to the same table (the associative-LWW claim)."""
+    from covid_19_fl_spark.sinks.batch import ParquetTable
+    from pyspark.sql import functions as F
+
+    rows = [(i % 5, i, i * 100) for i in range(30)]
+    full = spark.createDataFrame(rows, "k long, w long, price_c long")
+
+    def apply_batches(batches, path):
+        table = ParquetTable(spark, str(path))
+        for b in batches:
+            agg = b.groupBy("k").agg(
+                F.max("w").alias("last_writer"),
+                F.max_by("price_c", "w").alias("price_c"),
+                F.count("*").cast("long").alias("n_versions"),
+            )
+            if table.exists():
+                merged = (
+                    table.read()
+                    .unionByName(agg)
+                    .groupBy("k")
+                    .agg(
+                        F.max("last_writer").alias("last_writer"),
+                        F.max_by("price_c", "last_writer").alias("price_c"),
+                        F.sum("n_versions").cast("long").alias("n_versions"),
+                    )
+                )
+                table.overwrite(merged)
+            else:
+                table.overwrite(agg)
+        return sorted(map(tuple, table.read().collect()))
+
+    one = apply_batches([full], tmp_path / "one")
+    three = apply_batches(
+        [
+            full.filter(F.col("w") < 10),
+            full.filter((F.col("w") >= 10) & (F.col("w") < 20)),
+            full.filter(F.col("w") >= 20),
+        ],
+        tmp_path / "three",
+    )
+    assert one == three
+    # LWW: every key's last writer is its max w; version count is 6
+    for k, lw, pc, nv in one:
+        assert lw == max(w for kk, w, _ in rows if kk == k)
+        assert pc == lw * 100
+        assert nv == 6
