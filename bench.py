@@ -227,6 +227,7 @@ HEADLINE = [
     "ml_learning_curve",
     "tx_rake_keyphrases",
     "st_cdc_merge_upsert",
+    "x_allen_relations",
 ]
 
 

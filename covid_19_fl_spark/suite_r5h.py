@@ -274,3 +274,109 @@ def st_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return table.read().select("k", "last_writer", "price_c", "n_versions")
+
+
+# ---------------------------------------------------------------------------
+# x_allen_relations — Allen interval-algebra relation census
+# ---------------------------------------------------------------------------
+
+_ALLEN_CASE = """
+    CASE WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+         WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+         WHEN e1 < s2 THEN 'before'
+         WHEN e1 = s2 THEN 'meets'
+         WHEN e1 < e2 THEN 'overlaps'
+         WHEN e1 = e2 THEN 'finished_by'
+         ELSE 'contains' END
+"""
+
+
+@query(
+    "x_allen_relations",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + (CAST(FLOOR(value) AS BIGINT) + 1) * 60000000
+               AS e,
+             event_id
+      FROM events
+      WHERE event_type = 'view' AND user_id IS NOT NULL
+        AND value IS NOT NULL
+    ), pairs AS (
+      -- canonical order: A is the interval that sorts first by
+      -- (s, e, event_id), so only the 7 forward relations occur
+      SELECT a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2
+      FROM iv a JOIN iv b
+        ON a.user_id = b.user_id
+       AND (a.s < b.s OR (a.s = b.s AND a.e < b.e)
+            OR (a.s = b.s AND a.e = b.e AND a.event_id < b.event_id))
+    )
+    SELECT {_ALLEN_CASE} AS relation,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1
+    """,
+)
+def x_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census of Allen's interval-algebra relations over each user's
+    view intervals (the same ``floor(value)+1``-minute construction as
+    x_interval_coverage): every same-user interval pair, taken in the
+    canonical (s, e, id) order so only the seven forward relations
+    occur — equals / starts / before / meets / overlaps / finished_by
+    / contains — counted corpus-wide. The temporal-LOGIC primitive
+    behind schedule-conflict detection, process mining and temporal
+    databases, complementing the interval family's measure
+    (x_interval_coverage), count (x_peak_concurrency) and join
+    (x_interval_overlap) members.
+
+    Exactness: all boundary comparisons are integer microseconds, and
+    the canonical ordering makes each unordered pair classify exactly
+    once. Scale: the self-join keys on user_id, so the quadratic term
+    is bounded by per-user activity (the sessionize-first knob at
+    100 TB); the relation census itself is a map-combinable 7-row
+    aggregate."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "view")
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    iv = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (
+            F.unix_micros(F.col("ts"))
+            + (F.floor(F.col("value")).cast("long") + 1) * 60_000_000
+        ).alias("e"),
+        "event_id",
+    )
+    a = iv.alias("a")
+    b = iv.alias("b")
+    canon = (F.col("a.s") < F.col("b.s")) | (
+        (F.col("a.s") == F.col("b.s")) & (F.col("a.e") < F.col("b.e"))
+    ) | (
+        (F.col("a.s") == F.col("b.s"))
+        & (F.col("a.e") == F.col("b.e"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+    )
+    pairs = a.join(
+        b, (F.col("a.user_id") == F.col("b.user_id")) & canon
+    ).select(
+        F.col("a.s").alias("s1"),
+        F.col("a.e").alias("e1"),
+        F.col("b.s").alias("s2"),
+        F.col("b.e").alias("e2"),
+    )
+    rel = (
+        F.when((F.col("s1") == F.col("s2")) & (F.col("e1") == F.col("e2")), "equals")
+        .when((F.col("s1") == F.col("s2")) & (F.col("e1") < F.col("e2")), "starts")
+        .when(F.col("e1") < F.col("s2"), "before")
+        .when(F.col("e1") == F.col("s2"), "meets")
+        .when(F.col("e1") < F.col("e2"), "overlaps")
+        .when(F.col("e1") == F.col("e2"), "finished_by")
+        .otherwise("contains")
+    )
+    return (
+        pairs.select(rel.alias("relation"))
+        .groupBy("relation")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )

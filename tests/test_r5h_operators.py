@@ -97,3 +97,70 @@ def test_cdc_merge_slicing_invariant(spark, tmp_path):
         assert lw == max(w for kk, w, _ in rows if kk == k)
         assert pc == lw * 100
         assert nv == 6
+
+
+def test_allen_relations_partition_pairs(spark):
+    """The 7 canonical relation counts must sum to exactly C(n,2)
+    summed over users (every same-user pair classified once)."""
+    from covid_19_fl_spark import suite as s
+
+    ev = s._t(spark, SF_SMOKE, "events").filter(
+        (F.col("event_type") == "view")
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").count().collect()
+    want = sum(r["count"] * (r["count"] - 1) // 2 for r in per_user)
+    rows = suite.QUERIES["x_allen_relations"](spark, SF_SMOKE).collect()
+    assert sum(r.n_pairs for r in rows) == want
+    allowed = {"equals", "starts", "before", "meets",
+               "overlaps", "finished_by", "contains"}
+    assert {r.relation for r in rows} <= allowed
+
+
+def test_allen_relations_handmade(spark):
+    """Hand-classified fixture: [0,10) vs [0,10) equals; [0,5) vs
+    [0,10) starts; [0,5) before [7,9); [0,5) meets [5,8);
+    [0,6) overlaps [4,9); [0,9) finished_by [4,9); [0,20) contains
+    [4,9)."""
+    from pyspark.sql import functions as F
+    import covid_19_fl_spark.suite_r5h as h
+
+    rows = [  # (event_id, user, s_minutes, e_minutes) one pair per user
+        (1, 1, 0, 10), (2, 1, 0, 10),
+        (3, 2, 0, 5), (4, 2, 0, 10),
+        (5, 3, 0, 5), (6, 3, 7, 9),
+        (7, 4, 0, 5), (8, 4, 5, 8),
+        (9, 5, 0, 6), (10, 5, 4, 9),
+        (11, 6, 0, 9), (12, 6, 4, 9),
+        (13, 7, 0, 20), (14, 7, 4, 9),
+    ]
+    iv = spark.createDataFrame(
+        [(e, u, s * 60_000_000, t * 60_000_000) for e, u, s, t in rows],
+        "event_id long, user_id long, s long, e long",
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    canon = (F.col("a.s") < F.col("b.s")) | (
+        (F.col("a.s") == F.col("b.s")) & (F.col("a.e") < F.col("b.e"))
+    ) | (
+        (F.col("a.s") == F.col("b.s"))
+        & (F.col("a.e") == F.col("b.e"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+    )
+    pairs = a.join(b, (F.col("a.user_id") == F.col("b.user_id")) & canon).select(
+        F.col("a.user_id").alias("u"),
+        F.col("a.s").alias("s1"), F.col("a.e").alias("e1"),
+        F.col("b.s").alias("s2"), F.col("b.e").alias("e2"),
+    )
+    rel = (
+        F.when((F.col("s1") == F.col("s2")) & (F.col("e1") == F.col("e2")), "equals")
+        .when((F.col("s1") == F.col("s2")) & (F.col("e1") < F.col("e2")), "starts")
+        .when(F.col("e1") < F.col("s2"), "before")
+        .when(F.col("e1") == F.col("s2"), "meets")
+        .when(F.col("e1") < F.col("e2"), "overlaps")
+        .when(F.col("e1") == F.col("e2"), "finished_by")
+        .otherwise("contains")
+    )
+    got = {r.u: r.rel for r in pairs.select("u", rel.alias("rel")).collect()}
+    assert got == {1: "equals", 2: "starts", 3: "before", 4: "meets",
+                   5: "overlaps", 6: "finished_by", 7: "contains"}
