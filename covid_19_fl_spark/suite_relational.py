@@ -945,42 +945,92 @@ def x_haversine_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x_approx_distinct")  # rows-only: HLL++ estimates are engine-specific
+@query(
+    "x_approx_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY 1
+    """,
+)
 def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct counting (HyperLogLog++), per event type
-    and exact-vs-approx side by side. At 100 TB, exact COUNT(DISTINCT)
-    shuffles every distinct key; the sketch is a few KB per group and
-    combines map-side like any partial agg — the only viable form for
-    high-cardinality rollups. rsd=0.01 → ~1% expected error (pytest
-    asserts the tolerance against the exact count; no cross-engine
-    oracle since estimates are implementation-defined)."""
+    """Approximate distinct counting (HyperLogLog++), per event type.
+    At 100 TB, exact COUNT(DISTINCT) shuffles every distinct key; the
+    sketch is a few KB per group and combines map-side like any
+    partial agg — the only viable form for high-cardinality rollups.
+    rsd=0.01 → ~1% expected error. The estimate itself is
+    implementation-defined (engine-specific hash family), so the
+    oracleable surface is the in-plan tolerance check: the query
+    emits a boolean ``est_within_5pct`` derived from the HLL estimate
+    vs the exact count (both computed in the same aggregate), and the
+    oracle asserts the flag is TRUE for every group. Estimates are
+    deterministic for fixed data, so the flag is stable; pytest
+    additionally bounds the raw estimates."""
     events = _t(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    agg = events.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
     )
+    tol = F.greatest(F.lit(2.0), 0.05 * F.col("exact_users"))
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (F.abs(F.col("approx_users") - F.col("exact_users")) <= tol).alias(
+            "est_within_5pct"
+        ),
+    )
 
 
-@query("x_hll_sketch_rollup")  # rows-only: sketch bytes are engine-specific
+@query(
+    "x_hll_sketch_rollup",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT '__all__' AS event_type, COUNT(DISTINCT user_id), TRUE
+    FROM events
+    """,
+)
 def x_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable cardinality sketches (Apache DataSketches HLL via
     hll_sketch_agg): per-type user sketches, then hll_union_agg rolls
     the partials up to a grand total WITHOUT rescanning the facts —
     the pre-aggregation pattern that turns a 100 TB distinct-users
-    dashboard into a sketch-table union. The per-type and rolled-up
-    estimates are returned together (union of two one-level plans);
-    pytest bounds both against exact."""
+    dashboard into a sketch-table union. Sketch estimates are
+    engine-specific bytes, so (as with x_approx_distinct) the oracle
+    gates the in-plan tolerance flag: per-type and union estimates
+    must each land within 5% of the exact distinct count computed in
+    the same plan. pytest additionally bounds the raw estimates and
+    checks union ≤ sum-of-parts."""
     events = _t(spark, sf_dir, "events")
     per_type = events.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
     )
     by_type = per_type.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("est_users")
+        "event_type", "exact_users", F.hll_sketch_estimate("sk").alias("est_users")
     )
-    total = per_type.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
-    ).select(F.lit("__all__").alias("event_type"), "est_users")
-    return by_type.unionByName(total)
+    total = (
+        per_type.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+        )
+        .crossJoin(
+            F.broadcast(
+                events.agg(F.count_distinct("user_id").alias("exact_users"))
+            )
+        )
+        .select(F.lit("__all__").alias("event_type"), "exact_users", "est_users")
+    )
+    both = by_type.unionByName(total)
+    tol = F.greatest(F.lit(2.0), 0.05 * F.col("exact_users"))
+    return both.select(
+        "event_type",
+        "exact_users",
+        (F.abs(F.col("est_users") - F.col("exact_users")) <= tol).alias(
+            "est_within_5pct"
+        ),
+    )
 
 
 @query(

