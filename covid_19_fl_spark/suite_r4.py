@@ -1250,8 +1250,13 @@ def ml_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure — so the hash match proves both the blocking AND the
     closure reached the exact clustering.
 
-    Scale: neighbors and degrees are one grid equi-join + one hash
-    agg. The ε-graph's edges NEVER cross a (event_type, day) cell —
+    Scale: duplicate coordinates collapse to (coord, multiplicity,
+    min-id) BEFORE the ε-join, so neighbor pairs are counted over
+    distinct coords, never enumerated per point — per-row cost stays
+    flat on duplicate-dense corpora (the enumerated form grew 1.87×
+    per-row at 10× as replicated readings densified cells). Neighbors
+    and degrees are then one grid equi-join + one hash agg over
+    coords. The ε-graph's edges NEVER cross a (event_type, day) cell —
     neighbor pairs require equal day — so the transitive closure is
     embarrassingly parallel across cells: one shuffle on the cell key
     and a per-cell union-find, with NO iterative rounds at all
@@ -1286,73 +1291,112 @@ def ml_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ev.repartition(
         spark.sparkContext.defaultParallelism, "event_type", "d"
     ).localCheckpoint(eager=False)
-    left = ev.select(
-        F.col("event_id").alias("ia"),
+    # Collapse DUPLICATE COORDINATES first (sufficient statistics, the
+    # er_record_linkage recipe): points sharing (event_type, d, vq)
+    # have identical ε-neighborhoods, so the grid join runs over
+    # DISTINCT coordinates carrying multiplicity m and min event_id.
+    # On a duplicate-dense corpus (the replica scale corpora; any real
+    # stream with repeated readings) raw pairs grow quadratically while
+    # distinct coords stay put — this is what flattens the 1.87×
+    # per-row growth the enumerated form showed at 10×. Every point's
+    # neighbor count is Σ_ball m(b) − 1 (itself), identical for all
+    # points at a coord, so core-ness, labels, and border adoption are
+    # all coord-level facts expanded back to points by a linear join.
+    coords = (
+        ev.groupBy("event_type", "d", "vq")
+        .agg(F.count("*").alias("m"), F.min("event_id").alias("cid"))
+        .localCheckpoint(eager=False)
+    )
+    left = coords.select(
         "event_type",
-        F.col("d"),
+        "d",
         F.col("vq").alias("va"),
+        F.col("cid").alias("ca"),
         F.floor(F.col("vq") / 50).alias("cv"),
     )
-    right = ev.select(
-        F.col("event_id").alias("ib"),
+    right = coords.select(
         "event_type",
-        F.col("d"),
+        "d",
         F.col("vq").alias("vb"),
+        F.col("m").alias("mb"),
+        F.col("cid").alias("cb"),
         F.explode(
             F.array(*[F.floor(F.col("vq") / 50) + j for j in (-1, 0, 1)])
         ).alias("cv"),
     )
-    nb = (
+    # coord-level ball join; the SELF coord is included (its other
+    # occupants are ε-neighbors at distance 0)
+    nbc = (
         left.join(right, ["event_type", "d", "cv"])
-        .filter(
-            (F.col("ib") != F.col("ia"))
-            & (F.abs(F.col("vb") - F.col("va")) <= 50)
-        )
-        .select("event_type", "d", "ia", "ib")
+        .filter(F.abs(F.col("vb") - F.col("va")) <= 50)
+        .select("event_type", "d", "va", "ca", "vb", "mb", "cb")
         .localCheckpoint(eager=False)
     )
-    deg = nb.groupBy("ia").agg(F.count("*").alias("k"))
-    cores = deg.filter(F.col("k") >= 3).select(F.col("ia").alias("id"))
+    deg = nbc.groupBy("event_type", "d", "va", "ca").agg(
+        (F.sum("mb") - 1).alias("k")
+    )
+    core_c = (
+        deg.filter(F.col("k") >= 3)
+        .select("event_type", "d", F.col("va").alias("vq"), "ca")
+        .localCheckpoint(eager=False)
+    )
+    core_a = core_c.select(
+        "event_type", "d", F.col("vq").alias("va"), F.col("ca").alias("ka")
+    )
+    core_b = core_c.select(
+        "event_type", "d", F.col("vq").alias("vb"), F.col("ca").alias("kb")
+    )
+    # core-core coordinate edges, keyed by coord min-id so component
+    # labels are min event_id over the component's core points (a
+    # multi-point core coord is internally one cluster already)
     ce = (
-        nb.join(cores.withColumnRenamed("id", "ia"), "ia")
-        .join(cores.withColumnRenamed("id", "ib"), "ib")
-        .filter(F.col("ia") < F.col("ib"))
+        nbc.select("event_type", "d", "va", "vb")
+        .join(core_a, ["event_type", "d", "va"])
+        .join(core_b, ["event_type", "d", "vb"])
+        .filter(F.col("ka") < F.col("kb"))
         .select(
             "event_type",
             "d",
-            F.col("ia").alias("id_a"),
-            F.col("ib").alias("id_b"),
+            F.col("ka").alias("id_a"),
+            F.col("kb").alias("id_b"),
         )
     )
     prop = grouped_components(ce, ["event_type", "d"]).select(
         "id", "cluster_id"
     )
-    labels = (
-        cores.join(prop, "id", "left")
+    core_labels = (
+        core_c.join(prop, core_c.ca == prop.id, "left")
         .select(
-            "id",
-            F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
+            "event_type",
+            "d",
+            "vq",
+            F.coalesce(F.col("cluster_id"), F.col("ca")).alias("cluster_id"),
         )
+        .localCheckpoint(eager=False)
     )
-    border = (
-        nb.join(
-            labels.select(
-                F.col("id").alias("ib"), F.col("cluster_id")
+    border_c = (
+        nbc.select("event_type", "d", "va", "vb")
+        .join(core_a, ["event_type", "d", "va"], "left_anti")
+        .join(
+            core_labels.select(
+                "event_type",
+                "d",
+                F.col("vq").alias("vb"),
+                F.col("cluster_id"),
             ),
-            "ib",
+            ["event_type", "d", "vb"],
         )
-        .join(cores.withColumnRenamed("id", "ia"), "ia", "left_anti")
-        .groupBy("ia")
+        .groupBy("event_type", "d", "va")
         .agg(F.min("cluster_id").alias("cluster_id"))
-        .select(F.col("ia").alias("id"), "cluster_id")
+        .select("event_type", "d", F.col("va").alias("vq"), "cluster_id")
     )
-    out_core = labels.select(
-        F.col("id").alias("event_id"),
+    out_core = ev.join(core_labels, ["event_type", "d", "vq"]).select(
+        "event_id",
         F.lit("core").alias("role"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
     )
-    out_border = border.select(
-        F.col("id").alias("event_id"),
+    out_border = ev.join(border_c, ["event_type", "d", "vq"]).select(
+        "event_id",
         F.lit("border").alias("role"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
     )
