@@ -201,10 +201,19 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 12) -> DataFrame:
     dup_clusters discipline: callers pick max_rounds from measured
     peel depth, the assert makes violations loud).
     """
-    e = edges.select(
-        F.col(edges.columns[0]).cast("long").alias("u"),
-        F.col(edges.columns[1]).cast("long").alias("v"),
-    ).localCheckpoint(eager=False)
+    # Degrees are COUNT(*) over the edge list, so duplicate (u, v)
+    # rows would silently inflate degrees and change which vertices
+    # survive the peel — enforce the distinct-edges precondition here
+    # instead of trusting every caller (a no-op shuffle-dedup when the
+    # input is already distinct).
+    e = (
+        edges.select(
+            F.col(edges.columns[0]).cast("long").alias("u"),
+            F.col(edges.columns[1]).cast("long").alias("v"),
+        )
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=False)
+    )
     for _ in range(max_rounds):
         deg = (
             e.select(F.col("u").alias("id"))

@@ -88,23 +88,39 @@ def filters_to_mongo(filters: list[tuple[str, str, object]]) -> dict:
     bare scalar is malformed — e.g. ``[('age','>=',18),('age','=',30)]``
     → ``{'age': {'$gte': 18, '$eq': 30}}``. Duplicate operators on the
     same column (contradictory or range-refining conjuncts) fall back
-    to an explicit top-level ``$and``."""
+    to an explicit top-level ``$and``, as does a DICT-valued equality
+    that later gains another predicate — a dict equality is a literal
+    subdocument match, so it moves to the overflow as an explicit
+    ``$eq`` rather than being misread as an operator document (and the
+    caller's dict is never mutated)."""
     doc: dict = {}
+    bare: set = set()  # columns whose doc[col] is a bare equality VALUE
     extra: list[dict] = []  # $and overflow for duplicate ops
     for col, op, value in filters:
         if op not in _OPS:
             raise ValueError(f"unsupported pushdown op: {op!r}")
         mongo_op = "$eq" if op == "=" else _OPS[op]
-        cur = doc.get(col)
-        if op == "=" and col not in doc:
-            doc[col] = value  # reference's bare implicit-equality form
+        if col not in doc:
+            if op == "=":
+                doc[col] = value  # reference's bare implicit-equality form
+                bare.add(col)
+            else:
+                doc[col] = {mongo_op: value}
             continue
-        if cur is not None and not isinstance(cur, dict):
-            cur = {"$eq": cur}  # upgrade bare scalar to operator doc
-            doc[col] = cur
-        if cur is None:
-            cur = {}
-            doc[col] = cur
+        if col in bare:
+            prev = doc[col]
+            bare.discard(col)
+            if isinstance(prev, dict):
+                # A dict-valued equality is a LITERAL subdocument match,
+                # not an operator document — never merge operators into
+                # it (that would both corrupt semantics and mutate the
+                # caller's dict). Route it through the $and overflow as
+                # an explicit $eq and start a fresh operator doc.
+                extra.append({col: {"$eq": prev}})
+                doc[col] = {mongo_op: value}
+                continue
+            doc[col] = {"$eq": prev}  # new dict: upgrade without mutating
+        cur = doc[col]
         if mongo_op in cur:
             extra.append({col: {mongo_op: value}})
         else:

@@ -27,7 +27,11 @@ _REWRITES = [
     (r'\{"\$date":\{"\$numberLong":"(-?\d+)"\}\}', "$1"),
     (r'\{"\$numberInt":"(-?\d+)"\}', "$1"),
     (r'\{"\$numberLong":"(-?\d+)"\}', "$1"),
-    (r'\{"\$numberDouble":"(-?[0-9.eE+\-]+)"\}', "$1"),
+    # Includes non-finite doubles: canonical Extended JSON writes
+    # {"$numberDouble":"NaN"} etc.; unwrapping to the bare token is
+    # parseable because Spark's JSON reader defaults
+    # allowNonNumericNumbers=true (Jackson NaN/Infinity/-Infinity).
+    (r'\{"\$numberDouble":"(-?[0-9.eE+\-]+|NaN|-?Infinity)"\}', "$1"),
     (r'\{"\$oid":"([0-9a-f]+)"\}', '"$1"'),
 ]
 
@@ -219,12 +223,32 @@ def _wrap_value(c: F.Column, dtype: T.DataType) -> F.Column:
                 ).alias("$date")
             ),
         ).otherwise(F.lit(None))
-    if isinstance(dtype, (T.IntegerType, T.LongType)):
+    if isinstance(dtype, T.IntegerType):
         # pymongo stores int-range Python ints as $numberInt — the
         # grammar the reference's own florida export uses for counts
         return F.when(
             c.isNotNull(), F.struct(c.cast("string").alias("$numberInt"))
         ).otherwise(F.lit(None))
+    if isinstance(dtype, T.LongType):
+        # pymongo splits by VALUE, not column type: ints inside int32
+        # range store as BSON int32 ($numberInt), larger as int64
+        # ($numberLong). A single struct can't switch field names per
+        # row, so the wrapper builds the fragment as a string and
+        # splices it through a VARIANT (to_json emits variant JSON
+        # verbatim). Explicit range compare, not abs() — ANSI abs
+        # throws on Long.MIN_VALUE.
+        in32 = (c >= F.lit(-(2**31))) & (c <= F.lit(2**31 - 1))
+        frag = F.when(
+            in32,
+            F.concat(
+                F.lit('{"$numberInt":"'), c.cast("string"), F.lit('"}')
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit('{"$numberLong":"'), c.cast("string"), F.lit('"}')
+            )
+        )
+        return F.when(c.isNotNull(), F.parse_json(frag))
     if isinstance(dtype, T.DoubleType):
         # CAST(double AS STRING) is Java Double.toString — shortest
         # round-trip form, re-parses to the identical double

@@ -166,6 +166,24 @@ def test_pushdown_mixed_eq_and_operator_on_one_column():
     ) == {"$and": [{"age": {"$eq": 1}}, {"age": {"$eq": 2}}]}
 
 
+def test_pushdown_dict_equality_never_merges_or_mutates():
+    # ADVICE r5: a dict-valued equality is a literal subdocument match;
+    # a later predicate on the same column must NOT merge operators
+    # into it (wrong semantics) nor mutate the caller's dict.
+    loc = {"lat": 1}
+    got = mongo.filters_to_mongo([("loc", "=", loc), ("loc", ">", 5)])
+    assert got == {"$and": [{"loc": {"$gt": 5}}, {"loc": {"$eq": {"lat": 1}}}]}
+    assert loc == {"lat": 1}  # caller's value untouched
+    # standalone dict equality keeps the bare reference form
+    assert mongo.filters_to_mongo([("loc", "=", {"lat": 1})]) == {
+        "loc": {"lat": 1}
+    }
+    # dict equality followed by another equality: both through $and
+    assert mongo.filters_to_mongo(
+        [("loc", "=", {"lat": 1}), ("loc", "=", {"lat": 2})]
+    ) == {"$and": [{"loc": {"$eq": {"lat": 2}}}, {"loc": {"$eq": {"lat": 1}}}]}
+
+
 # ---------------------------------------------------------------------------
 # Derived collections (round-5 verdict item 8): the four collections the
 # reference maintains beyond `florida` — florida_growth /
@@ -296,3 +314,50 @@ def test_full_rebuild_delete_all_collections(spark, tmp_path):
         assert sorted(map(tuple, back.collect())) == sorted(
             map(tuple, df.collect())
         ), name
+
+
+def test_int64_split_and_nonfinite_doubles_roundtrip(spark):
+    """ADVICE r5: (1) LongType wraps by VALUE like pymongo - int32-range
+    as $numberInt, larger as $numberLong (a $numberInt outside int32 is
+    invalid canonical Extended JSON and real BSON importers reject it);
+    (2) non-finite doubles survive the write+read cycle (the unwrap
+    regex must match NaN/Infinity, which Spark's JSON reader accepts
+    via allowNonNumericNumbers)."""
+    import math
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),
+            T.StructField("x", T.DoubleType(), True),
+        ]
+    )
+    rows = [
+        (404, 1.5),
+        (5_000_000_000, float("nan")),
+        (-3_000_000_000, float("inf")),
+        (None, float("-inf")),
+        (-(2**31), 0.0),
+        (2**31 - 1, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = to_collection_json(df, schema)
+    lines = {ln.value for ln in out.collect()}
+    assert any('"k":{"$numberInt":"404"}' in ln for ln in lines)
+    assert any('"k":{"$numberLong":"5000000000"}' in ln for ln in lines)
+    assert any('"k":{"$numberLong":"-3000000000"}' in ln for ln in lines)
+    assert any('"k":{"$numberInt":"-2147483648"}' in ln for ln in lines)
+    assert any('"k":{"$numberInt":"2147483647"}' in ln for ln in lines)
+    assert any('"x":{"$numberDouble":"NaN"}' in ln for ln in lines)
+    assert any('"x":{"$numberDouble":"Infinity"}' in ln for ln in lines)
+    assert any('"x":{"$numberDouble":"-Infinity"}' in ln for ln in lines)
+
+    back = parse_collection_json(out, schema).collect()
+    got = sorted(
+        ((r.k, "nan" if r.x is not None and math.isnan(r.x) else r.x) for r in back),
+        key=str,
+    )
+    want = sorted(
+        ((k, "nan" if x is not None and math.isnan(x) else x) for k, x in rows),
+        key=str,
+    )
+    assert got == want

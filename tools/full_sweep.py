@@ -1,0 +1,116 @@
+"""Full-sweep correctness artifact generator (VERDICT r5 ask #2).
+
+The grading driver attests only a bounded ~50-query prefix of
+``__spark_entry__.queries()`` per round, so most of the registry's
+evidence lived only in a 17-minute pytest sweep a judge had to re-run.
+This tool runs EVERY registered query against its DuckDB oracle at the
+driver's correctness scale factor (sf0.01) on a bare SparkSession and
+writes ``CORRECTNESS_FULL_r{N}.json`` in the driver's exact row format
+(rows_match / schema_match / hash_match / spark_rows / oracle_rows /
+err), plus a ``_meta`` block with totals, so the artifact itself is the
+evidence for the non-showcase rows.
+
+Usage:
+    python tools/full_sweep.py 6              # writes CORRECTNESS_FULL_r06.json
+    python tools/full_sweep.py 6 --sf /root/testdata/sf0.01
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("round", type=int)
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default="", help="comma-separated subset")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+    from oracle import _rows_sorted, run_oracle
+
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    names = list(qs)
+    if args.only:
+        keep = {s.strip() for s in args.only.split(",") if s.strip()}
+        names = [n for n in names if n in keep]
+
+    out: dict = {}
+    t_start = time.time()
+    n_fail = 0
+    for name in names:
+        row = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        t0 = time.time()
+        try:
+            df = qs[name](spark, args.sf)
+            s_cols = df.columns
+            s_rows = [tuple(r) for r in df.collect()]
+            row["spark_rows"] = len(s_rows)
+            if name in oracles:
+                d_cols, d_rows = run_oracle(oracles[name], args.sf)
+                row["oracle_rows"] = len(d_rows)
+                row["rows_match"] = len(s_rows) == len(d_rows)
+                row["schema_match"] = sorted(s_cols) == sorted(d_cols)
+                if row["rows_match"] and row["schema_match"]:
+                    _, sr = _rows_sorted(s_cols, s_rows)
+                    _, dr = _rows_sorted(d_cols, d_rows)
+                    row["hash_match"] = sr == dr
+                else:
+                    row["hash_match"] = False
+            else:
+                row["err"] = "no_oracle"
+        except Exception:
+            row["err"] = traceback.format_exc()[-1500:]
+        row["secs"] = round(time.time() - t0, 2)
+        ok = row["hash_match"] is True or (
+            row["err"] == "no_oracle" and row["spark_rows"] is not None
+        )
+        if not ok:
+            n_fail += 1
+        out[name] = row
+        sys.stderr.write(
+            "[%3d/%d] %-32s %s %.1fs\n"
+            % (names.index(name) + 1, len(names), name,
+               "ok" if ok else "FAIL", row["secs"])
+        )
+        sys.stderr.flush()
+
+    out["_meta"] = {
+        "round": args.round,
+        "sf_dir": args.sf,
+        "n_queries": len(names),
+        "n_oracled": sum(1 for n in names if n in oracles),
+        "n_hash_match": sum(
+            1 for n in names if out[n]["hash_match"] is True
+        ),
+        "n_fail": n_fail,
+        "total_secs": round(time.time() - t_start, 1),
+    }
+    path = os.path.join(REPO, f"CORRECTNESS_FULL_r{args.round:02d}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out["_meta"]))
+
+
+if __name__ == "__main__":
+    main()
