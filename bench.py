@@ -228,6 +228,11 @@ HEADLINE = [
     "tx_rake_keyphrases",
     "st_cdc_merge_upsert",
     "x_allen_relations",
+    # round 6: capped similarity twins + the newly exact-oracled HLL pair
+    "dd_jaccard_topm_join",
+    "dd_edit_topm_join",
+    "x_approx_distinct",
+    "x_hll_sketch_rollup",
 ]
 
 
@@ -323,12 +328,50 @@ def main() -> None:
     # Overridable so the 10×/100× scale harness can keep per-SF full
     # maps side by side (tools/scale_regression.py reads "queries"
     # from these files).
-    sidecar = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(
+    # Subset runs (BENCH_ONLY/BENCH_SKIP) divert to a scratch sidecar by
+    # default so a spot-check can never clobber the committed full-suite
+    # BENCH_FULL.json (an explicit SPARK_GRAFT_BENCH_OUT still wins).
+    default_sidecar = (
+        "/tmp/BENCH_SUBSET.json"
+        if (only or skip)
+        else os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-        ),
+        )
     )
+    sidecar = os.environ.get("SPARK_GRAFT_BENCH_OUT", default_sidecar)
+    # Round-over-round regression report (VERDICT r5 ask #9): compare
+    # against the PRIOR committed sidecar before overwriting it, so
+    # per-query slowdowns are machine-visible in the round artifact
+    # without diffing git history. Only full-suite runs compare —
+    # BENCH_ONLY/SKIP subsets would miscount.
+    regressions: list[dict] = []
+    prior_queries: dict = {}
+    if not only and not skip and os.path.exists(sidecar):
+        try:
+            with open(sidecar) as fh:
+                prior_queries = json.load(fh).get("queries", {}) or {}
+        except Exception:  # noqa: BLE001 — a corrupt sidecar never sinks a run
+            prior_queries = {}
+        for name, t in timings.items():
+            prev = prior_queries.get(name)
+            if prev and prev >= 0.05 and t >= 1.5 * prev:
+                regressions.append(
+                    {
+                        "query": name,
+                        "prev": prev,
+                        "now": t,
+                        "ratio": round(t / prev, 2),
+                    }
+                )
+        regressions.sort(key=lambda r: -r["ratio"])
+        full["regressions"] = regressions
+        # the current slowest-10 with their prior-round times alongside
+        full["slowest10_vs_prior"] = {
+            name: {"now": t, "prev": prior_queries.get(name)}
+            for name, t in sorted(
+                timings.items(), key=lambda kv: -kv[1]
+            )[:10]
+        }
     with open(sidecar, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
     worst = dict(
@@ -342,6 +385,8 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "passes": passes,
+        "regressions": regressions,
         "queries_full": sidecar,
     }
     print(json.dumps(out))
