@@ -233,6 +233,12 @@ HEADLINE = [
     "dd_edit_topm_join",
     "x_approx_distinct",
     "x_hll_sketch_rollup",
+    # round 6 batch B: link prediction, MMR re-rank, Gini importance,
+    # stream-static enrichment
+    "x_link_prediction",
+    "ss_mmr_rerank",
+    "ml_gini_importance",
+    "st_stream_static_enrich",
 ]
 
 

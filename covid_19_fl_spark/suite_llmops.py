@@ -1237,7 +1237,7 @@ def sp_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents)
     )
     SELECT term, COUNT(*) AS doc_freq,
-           list_sort(list(doc_id))[1:24] AS postings
+           array_to_string(list_sort(list(doc_id))[1:24], ',') AS postings
     FROM post GROUP BY term HAVING COUNT(*) >= 3
     """,
 )
@@ -1246,9 +1246,15 @@ def tx_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     term, exact document frequency + the smallest-24-id posting-list
     prefix (truncation guards the Zipf head — a stopword's full list is
     O(corpus) and would OOM one reducer). Per-doc array_distinct before
-    the explode, one shuffle on term."""
+    the explode, one shuffle on term. The posting list ships
+    comma-joined: array columns are an untested representation in the
+    driver's value hash, and this query sits inside the attested
+    showcase window (the library API, text.inverted_index, still
+    returns the real array)."""
     docs = _t(spark, sf_dir, "documents")
-    return text.inverted_index(docs, "text", "doc_id", min_df=3, max_postings=24)
+    return text.inverted_index(
+        docs, "text", "doc_id", min_df=3, max_postings=24
+    ).withColumn("postings", F.array_join("postings", ","))
 
 
 @query(

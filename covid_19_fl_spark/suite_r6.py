@@ -26,35 +26,6 @@ from .suite import _t, query
 _TOP_M = 3
 
 
-def _top_m_partners(
-    pairs: DataFrame, metric: str, ascending: bool, m: int = _TOP_M
-) -> DataFrame:
-    """Mirror an (id_a < id_b) pair list to per-document view and keep
-    each document's top-m partners by the metric (ties → smallest
-    partner id). The rank window partitions by doc_id — per-key sort,
-    bounded by the doc's own candidate count, never a global sort —
-    and ORDERS BY THE ROUNDED metric both here and in the oracles
-    (raw doubles could tie differently after rounding)."""
-    sym = pairs.select(
-        F.col("id_a").alias("doc_id"),
-        F.col("id_b").alias("partner_id"),
-        metric,
-    ).unionByName(
-        pairs.select(
-            F.col("id_b").alias("doc_id"),
-            F.col("id_a").alias("partner_id"),
-            metric,
-        )
-    )
-    order = (
-        F.col(metric).asc() if ascending else F.col(metric).desc()
-    )
-    w = Window.partitionBy("doc_id").orderBy(order, F.col("partner_id").asc())
-    return (
-        sym.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= m)
-        .select("doc_id", "partner_id", metric, F.col("rk").cast("long").alias("rk"))
-    )
 
 
 @query(
@@ -94,26 +65,93 @@ def _top_m_partners(
 )
 def dd_jaccard_topm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-m Jaccard partners per document — the CAPPED production
-    twin of ``dd_jaccard_prefix_join``. Same lossless prefix-filter
-    candidate generation and exact portable-shingle Jaccard ≥ 0.60,
-    but each document ships only its m=3 strongest partners
-    (rounded-jaccard desc, partner id asc), so the result is ≤ m·n
-    rows on ANY corpus — a replica-dense corpus that inflates the
-    uncapped join's answer ~980× leaves this output linear.
+    twin of ``dd_jaccard_prefix_join``: each document ships only its
+    m=3 strongest partners (rounded-jaccard desc, partner id asc), so
+    the result is ≤ m·n rows on ANY corpus.
 
-    Scale: the qualifying-pair stream still reflects true near-dup
-    mass (that is what exact similarity costs), but it reduces
-    per-document through a partitioned rank window — one shuffle on
-    doc_id, per-key sort bounded by the doc's own partner count, and
-    only m rows per document survive to downstream consumers. The
-    oracle replays the naive all-pairs join plus the same window, so
-    the hash match proves both the lossless candidates AND the cap
-    semantics."""
+    CLASS-COLLAPSED plan: documents with identical text form an
+    equivalence class (4992 classes for 500k docs on the 100×
+    replica corpus). Within a class every pair has Jaccard exactly
+    1.0 — identical shingle sets; the corpus guarantees ≥ 3 tokens so
+    sets are never empty — and a doc's top partners at 1.0 are just
+    the class's m smallest other ids, read off one sorted member
+    list. ACROSS classes, Jaccard is a function of the two texts
+    alone, so the lossless prefix-filter join
+    (``dedup.jaccard_prefix_pairs`` — prefix filtering is lossless
+    under ANY consistent shingle ordering, so representative-corpus
+    frequencies are fine) runs on ONE representative per class, and
+    each class's cross-class top-m expands back to members by a
+    linear join. Candidate work is now quadratic only in DISTINCT
+    texts — the 10× replica corpus that made the naive capped plan
+    enumerate ~950× more pairs leaves the class graph unchanged.
+    This is the production shape: exact-dedup first, fuzzy-join the
+    survivors, broadcast the verdicts back to replicas.
+
+    The oracle replays the naive all-pairs join plus the same
+    per-doc rank window, so the hash match proves the class
+    decomposition, the lossless candidates, AND the cap semantics."""
     from .llmops import dedup
 
-    docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_prefix_pairs(docs, "text", "doc_id", 60, 3)
-    return _top_m_partners(pairs, "jaccard", ascending=False)
+    m = _TOP_M
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cls = (
+        docs.groupBy("text")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("doc_id")), 1, m + 1
+            ).alias("top_ids")
+        )
+        .withColumn("rep_id", F.element_at("top_ids", 1))
+    )
+    reps = cls.select(F.col("rep_id").alias("doc_id"), "text")
+    cpairs = dedup.jaccard_prefix_pairs(reps, "text", "doc_id", 60, 3)
+    adj = cpairs.select(
+        F.col("id_a").alias("ca"), F.col("id_b").alias("cb"), "jaccard"
+    ).unionByName(
+        cpairs.select(
+            F.col("id_b").alias("ca"), F.col("id_a").alias("cb"), "jaccard"
+        )
+    )
+    # class-level cross-class candidates: each adjacent class
+    # contributes only its m smallest members, then one rank window
+    # over the CLASS graph (≤ m·deg rows per class) keeps the m best.
+    extc = adj.join(
+        cls.select(
+            F.col("rep_id").alias("cb"),
+            F.slice("top_ids", 1, m).alias("top_b"),
+        ),
+        "cb",
+    ).select("ca", F.explode("top_b").alias("partner_id"), "jaccard")
+    we = Window.partitionBy("ca").orderBy(
+        F.col("jaccard").desc(), F.col("partner_id").asc()
+    )
+    ext = (
+        extc.withColumn("r", F.row_number().over(we))
+        .filter(F.col("r") <= m)
+        .select("ca", "partner_id", "jaccard")
+    )
+    d = docs.join(cls, "text").select("doc_id", "top_ids", "rep_id")
+    within = d.select(
+        "doc_id",
+        F.explode(
+            F.slice(
+                F.filter("top_ids", lambda x: x != F.col("doc_id")), 1, m
+            )
+        ).alias("partner_id"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    cross = d.select("doc_id", F.col("rep_id").alias("ca")).join(
+        ext, "ca"
+    ).select("doc_id", "partner_id", "jaccard")
+    cand = within.unionByName(cross)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("partner_id").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= m)
+        .select("doc_id", "partner_id", "jaccard", "rk")
+    )
 
 
 _ED_PFX = 24  # mirror dd_edit_distance_join's 24-char prefix
@@ -145,21 +183,586 @@ _ED_PFX = 24  # mirror dd_edit_distance_join's 24-char prefix
 )
 def dd_edit_topm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-m edit-distance partners per document — the CAPPED
-    production twin of ``dd_edit_distance_join``. Same lossless
-    SymSpell deletion-neighborhood candidates over 24-char prefixes,
-    but each document reports only its m=3 closest partners
-    (ed asc, partner id asc), bounding output at m·n rows on
-    duplicate-saturated corpora where the uncapped pair list is
-    quadratic.
+    production twin of ``dd_edit_distance_join``: each document
+    reports only its m=3 closest partners (ed asc, partner id asc),
+    bounding output at m·n rows.
 
-    Scale: variant equi-join as before (≤ L+1 variants per string),
-    then a doc_id-partitioned rank window — per-key sort over the
-    doc's own candidates, m survivors per document. The oracle is the
-    naive levenshtein all-pairs plus the same window."""
+    CLASS-COLLAPSED plan: documents sharing the same 24-char prefix
+    form an equivalence class (ed = 0 exactly within it, 4751
+    classes for 500k docs on the 100× replica corpus), so a doc's
+    ed-0 partners are the class's m smallest other ids, read off one
+    sorted member list. The SymSpell deletion-neighborhood equi-join
+    (``dedup.edit_distance_pairs``, lossless for k=1) runs on ONE
+    representative per DISTINCT prefix — every cross-class qualifying
+    pair has ed exactly 1 — and each class's ed-1 partner pool is the
+    m smallest ids across its adjacent classes' m-smallest lists
+    (the true m smallest of a union are each within their own class's
+    m smallest). A final per-doc rank window then merges ≤ 2m
+    candidates per document. Candidate work is quadratic only in
+    DISTINCT prefixes: the replica corpus that blew the naive capped
+    plan past the per-row gate (3.1× at 10× rows — every replica
+    matched every replica before the window could cap) leaves the
+    class graph unchanged. The oracle replays the naive levenshtein
+    all-pairs plus the same window, proving the decomposition."""
     from .llmops.dedup import edit_distance_pairs
 
+    m = _TOP_M
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, _ED_PFX).alias("pfx")
     )
-    pairs = edit_distance_pairs(docs, "pfx", "doc_id")
-    return _top_m_partners(pairs, "ed", ascending=True)
+    cls = (
+        docs.groupBy("pfx")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("doc_id")), 1, m + 1
+            ).alias("top_ids")
+        )
+        .withColumn("rep_id", F.element_at("top_ids", 1))
+    )
+    reps = cls.select(F.col("rep_id").alias("doc_id"), "pfx")
+    cpairs = edit_distance_pairs(reps, "pfx", "doc_id")
+    adj = cpairs.select(
+        F.col("id_a").alias("ca"), F.col("id_b").alias("cb")
+    ).unionByName(
+        cpairs.select(F.col("id_b").alias("ca"), F.col("id_a").alias("cb"))
+    )
+    ext = (
+        adj.join(
+            cls.select(
+                F.col("rep_id").alias("cb"),
+                F.slice("top_ids", 1, m).alias("top_b"),
+            ),
+            "cb",
+        )
+        .groupBy("ca")
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("top_b"))), 1, m
+            ).alias("ext_ids")
+        )
+    )
+    d = (
+        docs.join(cls, "pfx")
+        .select("doc_id", "top_ids", F.col("rep_id").alias("ca"))
+        .join(ext, "ca", "left")
+    )
+    cand_arr = F.concat(
+        F.transform(
+            F.slice(
+                F.filter("top_ids", lambda x: x != F.col("doc_id")), 1, m
+            ),
+            lambda x: F.struct(
+                x.alias("partner_id"), F.lit(0).cast("long").alias("ed")
+            ),
+        ),
+        F.transform(
+            F.coalesce("ext_ids", F.array().cast("array<long>")),
+            lambda x: F.struct(
+                x.alias("partner_id"), F.lit(1).cast("long").alias("ed")
+            ),
+        ),
+    )
+    cand = d.select(
+        "doc_id", F.explode(cand_arr).alias("c")
+    ).select("doc_id", "c.partner_id", "c.ed")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("ed").asc(), F.col("partner_id").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= m)
+        .select("doc_id", "partner_id", "ed", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: common neighbors + resource allocation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_link_prediction",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0
+    ), edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), adj AS (
+      SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges
+    ), deg AS (
+      SELECT a AS z, COUNT(*) AS d FROM adj GROUP BY 1
+    ), wedge AS (
+      SELECT w1.a AS u, w1.b AS z, w2.b AS w
+      FROM adj w1 JOIN adj w2 ON w1.b = w2.a
+      WHERE w1.a < w2.b
+    ), nonadj AS (
+      SELECT wd.u, wd.z, wd.w FROM wedge wd
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.u = wd.u AND e.v = wd.w)
+    ), scores AS (
+      SELECT n.u, n.w, CAST(COUNT(*) AS BIGINT) AS cn,
+             ROUND(list_reduce(
+               list_prepend(0.0::DOUBLE,
+                            list_sort(list(CAST(d.d AS DOUBLE)))),
+               (acc, x) -> acc + 1.0 / x), 6) AS ra
+      FROM nonadj n JOIN deg d ON d.z = n.z
+      GROUP BY n.u, n.w
+    )
+    SELECT u, w, cn, ra, rk FROM (
+      SELECT u, w, cn, ra,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY ra DESC, cn DESC, u ASC, w ASC) AS BIGINT) AS rk
+      FROM scores
+    ) WHERE rk <= 50
+    """,
+)
+def x_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the parts-bought-together graph
+    (x_triangle_count's edge set): for every NON-adjacent pair with at
+    least one common neighbor, the common-neighbor count and the
+    resource-allocation index RA = Σ_z 1/deg(z) — the classic
+    recommender primitives (Zhou et al. RA beats Adamic-Adar's
+    1/log deg, and stays exactly cross-engine: no transcendental).
+
+    Plan shape: wedges come from adj⋈adj on the middle vertex
+    (skew-bounded by max degree, same as the triangle census),
+    adjacency is excluded by an anti-join probe of the edge set, and
+    RA folds each pair's SORTED degree list sequentially — the
+    order-pinned summation both engines replay bit-for-bit before the
+    6dp round. Output is the global top-50 by (RA, CN) via
+    TakeOrderedAndProject — at 100 TB you'd cap per-u instead
+    (doc-partitioned rank, dd_jaccard_topm_join's shape).
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        # feeds three subtrees (adjacency both ways + the anti probe)
+        .cache()
+    )
+    adj = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = adj.groupBy(F.col("a").alias("z")).agg(F.count("*").alias("d"))
+    w1, w2 = adj.alias("w1"), adj.alias("w2")
+    wedge = (
+        w1.join(w2, F.col("w1.b") == F.col("w2.a"))
+        .filter(F.col("w1.a") < F.col("w2.b"))
+        .select(
+            F.col("w1.a").alias("u"),
+            F.col("w1.b").alias("z"),
+            F.col("w2.b").alias("w"),
+        )
+    )
+    probe = edges.select(F.col("u").alias("eu"), F.col("v").alias("ev"))
+    nonadj = wedge.join(
+        probe,
+        (F.col("u") == F.col("eu")) & (F.col("w") == F.col("ev")),
+        "left_anti",
+    )
+    wd = nonadj.join(deg, "z").select("u", "w", "d")
+    scores = (
+        wd.groupBy("u", "w")
+        .agg(
+            F.count("*").alias("cn"),
+            F.sort_array(F.collect_list(F.col("d").cast("double"))).alias("ds"),
+        )
+        .select(
+            "u",
+            "w",
+            "cn",
+            F.round(
+                F.aggregate(
+                    "ds", F.lit(0.0), lambda acc, x: acc + F.lit(1.0) / x
+                ),
+                6,
+            ).alias("ra"),
+        )
+    )
+    top = scores.orderBy(
+        F.col("ra").desc(), F.col("cn").desc(), F.col("u").asc(), F.col("w").asc()
+    ).limit(50)
+    wr = Window.orderBy(
+        F.col("ra").desc(), F.col("cn").desc(), F.col("u").asc(), F.col("w").asc()
+    )
+    return top.withColumn("rk", F.row_number().over(wr).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-ranking over the retrieval top-k
+# ---------------------------------------------------------------------------
+
+_MMR_QID = 0       # the query vector (same id family as ss_cosine_topk)
+_MMR_NCAND = 12    # relevance-ranked candidate pool
+_MMR_K = 5         # diversified results to emit
+_MMR_LAMBDA = 0.7  # relevance weight; 0.3 = diversity weight
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in DuckDB: the k-step argmax chain becomes
+    k static CTEs (s1..sk), each picking the highest
+    ``0.7·rel − 0.3·max_pair_sim_to_selected`` among the unpicked
+    candidates. Every float that feeds a comparison is the SAME
+    6dp-rounded double on both engines (cosines round before the
+    greedy), and the score expression uses literal 0.7/0.3 with
+    identical operation order, so the argmax chain is bit-identical;
+    the emitted score goes through the shared FLOOR half-up ladder."""
+    from .suite_llmops import _cos_expr
+
+    cos_qc = _cos_expr("q.qv", "c.embedding")
+    cos_ab = _cos_expr("a.embedding", "b.embedding")
+    sql = f"""
+    WITH q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = {_MMR_QID}
+    ), cand AS (
+      SELECT cid, rel FROM (
+        SELECT c.vec_id AS cid, ROUND({cos_qc}, 6) AS rel
+        FROM embeddings c, q WHERE c.vec_id <> {_MMR_QID}
+      ) ORDER BY rel DESC, cid ASC LIMIT {_MMR_NCAND}
+    ), ce AS (
+      SELECT c.cid, e.embedding FROM cand c
+      JOIN embeddings e ON e.vec_id = c.cid
+    ), pairs AS (
+      SELECT a.cid AS ca, b.cid AS cb, ROUND({cos_ab}, 6) AS ps
+      FROM ce a JOIN ce b ON a.cid <> b.cid
+    ),
+    s1 AS (
+      SELECT cid, rel, rel AS score FROM cand
+      ORDER BY rel DESC, cid ASC LIMIT 1
+    )"""
+    for i in range(2, _MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT cid FROM s{j}" for j in range(1, i)
+        )
+        sql += f""",
+    sel{i} AS ({prev}),
+    s{i} AS (
+      SELECT c.cid, c.rel,
+             {_MMR_LAMBDA} * c.rel - {1 - _MMR_LAMBDA:.1f} * MAX(p.ps) AS score
+      FROM cand c
+      JOIN pairs p ON p.ca = c.cid AND p.cb IN (SELECT cid FROM sel{i})
+      WHERE c.cid NOT IN (SELECT cid FROM sel{i})
+      GROUP BY c.cid, c.rel
+      ORDER BY score DESC, c.cid ASC LIMIT 1
+    )"""
+    branches = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, cid AS vec_id, rel AS relevance, "
+        f"FLOOR(score * 1000000 + 0.5) / 1000000 AS mmr_score FROM s{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return sql + "\n    " + branches
+
+
+@query("ss_mmr_rerank", oracle=_mmr_oracle())
+def ss_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein):
+    retrieve a relevance-ranked candidate pool, then greedily pick k
+    results maximizing ``λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`` — the
+    standard diversity pass between ANN retrieval and a RAG context
+    window, which plain top-k (ss_cosine_topk) lacks: near-duplicate
+    hits crowd out coverage.
+
+    Execution: the candidate pool comes from the distributed
+    brute-force scorer (``similarity.cosine_topk`` — corpus never
+    shuffles, local top-k per Arrow batch), and the pool's pairwise
+    cosines run as a broadcast self-join of the |pool|=12-row subset
+    with sequential-fold dots. Only the greedy itself — O(k·|pool|)
+    comparisons over ≤ 12 relevances + 132 pair sims, all
+    6dp-rounded — runs at the driver, the same bounded
+    planning-time-scalar pattern as the suite's other ≤32-row
+    sufficient-statistics collects. At 100 TB the pool is still k·20
+    rows per query; the greedy cost never grows with the corpus."""
+    from .llmops import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = similarity.cosine_topk(emb, [_MMR_QID], k=_MMR_NCAND)
+    rel = {
+        int(r["neighbor_id"]): float(r["cos_sim"]) for r in cand.collect()
+    }
+    ids = sorted(rel)
+    sub = emb.filter(F.col("vec_id").isin(ids)).select("vec_id", "embedding")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, v: p.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    a, b = sub.alias("a"), sub.alias("b")
+    ea, eb = F.col("a.embedding"), F.col("b.embedding")
+    pair_df = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ca"),
+            F.col("b.vec_id").alias("cb"),
+            F.round(
+                dot(ea, eb) / (F.sqrt(dot(ea, ea)) * F.sqrt(dot(eb, eb))), 6
+            ).alias("ps"),
+        )
+    )
+    ps: dict = {}
+    for r in pair_df.collect():
+        ps[(int(r["ca"]), int(r["cb"]))] = float(r["ps"])
+        ps[(int(r["cb"]), int(r["ca"]))] = float(r["ps"])
+
+    import math
+
+    selected: list[int] = []
+    rows: list[tuple] = []
+    for step in range(1, _MMR_K + 1):
+        best_cid, best_score = None, None
+        for cid in ids:
+            if cid in selected:
+                continue
+            if step == 1:
+                score = rel[cid]
+            else:
+                mx = max(ps[(cid, s)] for s in selected)
+                score = _MMR_LAMBDA * rel[cid] - (1 - _MMR_LAMBDA) * mx
+            if (
+                best_score is None
+                or score > best_score
+                or (score == best_score and cid < best_cid)
+            ):
+                best_cid, best_score = cid, score
+        selected.append(best_cid)
+        rows.append(
+            (
+                step,
+                best_cid,
+                rel[best_cid],
+                math.floor(best_score * 1000000 + 0.5) / 1000000,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "rank long, vec_id long, relevance double, mmr_score double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini feature importance (multi-feature decision-stump sweep)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml_gini_importance",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CAST(FLOOR(value) AS BIGINT) AS f_val,
+             CAST(hour(ts) AS BIGINT) AS f_hour,
+             CAST(dayofweek(ts) AS BIGINT) AS f_dow,
+             CAST(user_id % 10 AS BIGINT) AS f_user
+      FROM events WHERE value IS NOT NULL
+    ), longf AS (
+      SELECT 'val_bin' AS feature, f_val AS bin, y FROM base
+      UNION ALL SELECT 'hour', f_hour, y FROM base
+      UNION ALL SELECT 'dow', f_dow, y FROM base
+      UNION ALL SELECT 'user_mod', f_user, y FROM base
+    ), bins AS (
+      SELECT feature, bin, COUNT(*) AS n, SUM(y) AS pos
+      FROM longf GROUP BY 1, 2
+    ), tot AS (
+      SELECT feature, CAST(SUM(n) AS BIGINT) AS tn,
+             CAST(SUM(pos) AS BIGINT) AS tp
+      FROM bins GROUP BY 1
+    ), cum AS (
+      SELECT feature, bin,
+             COALESCE(SUM(n) OVER (PARTITION BY feature ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ln,
+             COALESCE(SUM(pos) OVER (PARTITION BY feature ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lp
+      FROM bins
+    ), gini AS (
+      SELECT c.feature, c.bin AS threshold,
+             CAST(c.ln AS BIGINT) AS left_n,
+             CAST(t.tn - c.ln AS BIGINT) AS right_n,
+             ((c.ln - CAST(c.lp*c.lp + (c.ln-c.lp)*(c.ln-c.lp) AS DOUBLE)
+               / c.ln)
+              + ((t.tn-c.ln)
+                 - CAST((t.tp-c.lp)*(t.tp-c.lp)
+                        + ((t.tn-c.ln)-(t.tp-c.lp))
+                          * ((t.tn-c.ln)-(t.tp-c.lp)) AS DOUBLE)
+                   / (t.tn-c.ln))) / t.tn AS wg,
+             (t.tn - CAST(t.tp*t.tp + (t.tn-t.tp)*(t.tn-t.tp) AS DOUBLE)
+              / t.tn) / t.tn AS rg
+      FROM cum c JOIN tot t ON t.feature = c.feature
+      WHERE c.ln > 0 AND t.tn - c.ln > 0
+    ), best AS (
+      SELECT feature, threshold, left_n, right_n,
+             ROUND(wg, 6) AS weighted_gini,
+             ROUND(rg - wg, 6) AS importance,
+             ROW_NUMBER() OVER (PARTITION BY feature
+                                ORDER BY wg ASC, threshold ASC) AS brk
+      FROM gini
+    )
+    SELECT feature, threshold, left_n, right_n, weighted_gini, importance,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY importance DESC, feature ASC) AS BIGINT) AS rk
+    FROM best WHERE brk = 1
+    """,
+)
+def ml_gini_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini feature importance: ``ml_decision_stump``'s exact
+    histogram-split search swept across FOUR candidate features
+    (integer-binned value, hour-of-day, day-of-week, a user-id hash
+    bucket), ranking features by impurity decrease vs the root — the
+    feature-selection read-out every tree ensemble reports, computed
+    exactly.
+
+    Plan shape: one stack() explode to long form (4× rows, one
+    map-combined shuffle into per-feature bins), per-feature prefix
+    windows over the |bins|-row aggregates for every threshold's
+    left/right class counts, and the same all-integer Gini algebra as
+    the stump (one double division per side, identical on both
+    engines). dayofweek is normalized to DuckDB's 0-based form
+    (x_dow_seasonality's recipe); hour() agrees natively under the
+    UTC session. Importance = root Gini − best split Gini, rounded
+    once after the subtraction."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    longf = ev.select(
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+        F.expr(
+            "stack(4, "
+            "'val_bin', CAST(FLOOR(value) AS BIGINT), "
+            "'hour',    CAST(hour(ts) AS BIGINT), "
+            "'dow',     CAST(dayofweek(ts) - 1 AS BIGINT), "
+            "'user_mod', CAST(user_id % 10 AS BIGINT)) AS (feature, bin)"
+        ),
+    )
+    bins = longf.groupBy("feature", "bin").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    tot = bins.groupBy("feature").agg(
+        F.sum("n").alias("tn"), F.sum("pos").alias("tp")
+    )
+    wpre = (
+        Window.partitionBy("feature")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = bins.select(
+        "feature",
+        "bin",
+        F.coalesce(F.sum("n").over(wpre), F.lit(0)).alias("ln"),
+        F.coalesce(F.sum("pos").over(wpre), F.lit(0)).alias("lp"),
+    )
+    ln, lp = F.col("ln"), F.col("lp")
+    tn, tp = F.col("tn"), F.col("tp")
+    rn, rp = tn - ln, tp - lp
+    wg = (
+        (ln - (lp * lp + (ln - lp) * (ln - lp)).cast("double") / ln)
+        + (rn - (rp * rp + (rn - rp) * (rn - rp)).cast("double") / rn)
+    ) / tn
+    rg = (tn - (tp * tp + (tn - tp) * (tn - tp)).cast("double") / tn) / tn
+    gini = (
+        cum.join(tot, "feature")
+        .filter((ln > 0) & (tn - ln > 0))
+        .select(
+            "feature",
+            F.col("bin").alias("threshold"),
+            ln.alias("left_n"),
+            (tn - ln).alias("right_n"),
+            wg.alias("wg"),
+            rg.alias("rg"),
+        )
+    )
+    wbest = Window.partitionBy("feature").orderBy(
+        F.col("wg").asc(), F.col("threshold").asc()
+    )
+    best = (
+        gini.withColumn("brk", F.row_number().over(wbest))
+        .filter(F.col("brk") == 1)
+        .select(
+            "feature",
+            "threshold",
+            "left_n",
+            "right_n",
+            F.round("wg", 6).alias("weighted_gini"),
+            F.round(F.col("rg") - F.col("wg"), 6).alias("importance"),
+        )
+    )
+    wr = Window.orderBy(F.col("importance").desc(), F.col("feature").asc())
+    return best.withColumn("rk", F.row_number().over(wr).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming: stream-static broadcast enrichment join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st_stream_static_enrich",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(28,4))) AS DOUBLE) AS total_value
+    FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+    GROUP BY 1
+    """,
+)
+def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join under the exactness gate — the
+    ONE streaming join shape the st_ suite didn't cover: a micro-batch
+    stream joined to a bounded BATCH dimension (here the nation table
+    keyed by a user-id hash), Spark's idiomatic slowly-changing-dim
+    enrichment (no watermark needed — the static side is re-resolved
+    per micro-batch and never holds join state).
+
+    The enriched stream rolls up per dimension attribute in complete
+    mode (|nation| = 25 keyed states, bounded) with a replay- and
+    order-independent DECIMAL sum, drained by availableNow — so the
+    final sink state equals the batch join+aggregate the oracle
+    spells. At 100 TB the same plan runs against Kafka with the dim
+    in a Delta/parquet snapshot: the static side broadcasts per
+    micro-batch, the aggregate state stays |dim|-bounded."""
+    import uuid as _uuid
+
+    from .suite_r4 import _stage_stream_dir, _stream_shuffle_partitions
+
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # ts is unused here, but the schema read must survive both parquet
+    # physical types the corpus has shipped (nanos long / micros).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = _stage_stream_dir(sf_dir, "events")
+    src = spark.readStream.schema(spark.read.parquet(stage).schema).parquet(stage)
+    enriched = src.withColumn(
+        "nk", F.pmod(F.col("user_id"), F.lit(25)).cast("int")
+    ).join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
+    agg = enriched.groupBy("n_name").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,4)")).alias("tv"),
+    )
+    sink = f"st_enrich_{_uuid.uuid4().hex[:8]}"
+    with _stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(120):
+                raise TimeoutError(
+                    "st_stream_static_enrich: availableNow drain did not "
+                    "finish within 120s"
+                )
+        finally:
+            q.stop()
+    return spark.table(sink).select(
+        "n_name", "n_events", F.col("tv").cast("double").alias("total_value")
+    )
