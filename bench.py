@@ -239,6 +239,8 @@ HEADLINE = [
     "ss_mmr_rerank",
     "ml_gini_importance",
     "st_stream_static_enrich",
+    # round 6 batch C: distributed BPE tokenizer training
+    "tx_bpe_merges",
 ]
 
 

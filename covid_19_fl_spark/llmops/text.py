@@ -541,3 +541,143 @@ def contamination_stats(
             ).alias("contaminated"),
         )
     )
+
+
+def bpe_merge_once(seq: Column, left: Column, right: Column) -> Column:
+    """Apply ONE learned BPE merge (``left``,``right``) to a symbol
+    sequence with the standard greedy leftmost non-overlapping rule —
+    in "a a a a" merging ("a","a") yields ["aa","aa"], never
+    ["aa","a","a"] or a re-merge of a just-created token.
+
+    Pure ``F.aggregate`` fold over the array — JVM-side, codegen'd,
+    zero shuffle, zero Python: the state struct carries the rewritten
+    prefix plus a just-merged flag so a token created by this round
+    can never act as the LEFT half of another merge in the same round
+    (that is exactly the non-overlap rule)."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(False).alias("lm"),
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        out, lm = acc.getField("out"), acc.getField("lm")
+        can = (
+            (~lm)
+            & (F.size(out) > 0)
+            & (F.element_at(out, -1) == left)
+            & (s == right)
+        )
+        merged = F.concat(
+            F.slice(out, 1, F.size(out) - 1),
+            F.array(F.concat(left, right)),
+        )
+        return F.when(
+            can,
+            F.struct(merged.alias("out"), F.lit(True).alias("lm")),
+        ).otherwise(
+            F.struct(
+                F.concat(out, F.array(s)).alias("out"),
+                F.lit(False).alias("lm"),
+            )
+        )
+
+    return F.aggregate(seq, init, step, lambda acc: acc.getField("out"))
+
+
+def bpe_learn(docs, text_col: str, k: int) -> "DataFrame":
+    """Learn the first ``k`` BPE merges of a tokenizer over a corpus,
+    distributed (Sennrich et al. 2016, the algorithm behind GPT-2/LLaMA
+    vocabularies).
+
+    Returns one row per learned merge: (merge_rank, left_sym,
+    right_sym, merged, pair_count).
+
+    Scale shape — the part that matters at 100 TB:
+      * the CORPUS is touched exactly once: whitespace-split + explode
+        into a word-frequency table (one map-combined shuffle keyed by
+        word). Everything after runs on the VOCABULARY (distinct
+        words), which is bounded (~10M entries for web-scale text)
+        regardless of corpus size.
+      * each round is: one vocab-sized adjacent-pair explode +
+        map-combined sum, a single TakeOrdered(1) for the winning pair
+        (ties broken count DESC, then pair ASC — deterministic), a
+        broadcast of that 1-row pair, and a narrow `bpe_merge_once`
+        fold rewriting the sequences. No round ever shuffles the
+        corpus.
+      * `localCheckpoint(eager=False)` truncates lineage per round
+        (the x_sssp_weighted recipe) so round r doesn't recompute
+        rounds 1..r-1 for every action on the final union.
+
+    Words are char-split with a trailing '</w>' end-of-word marker
+    (multi-char, cannot collide with any single character), so merges
+    distinguish word-final from word-internal pairs exactly as the
+    published algorithm does."""
+    words_df = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    seqs = words_df.select(
+        "c",
+        F.concat(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            ),
+            F.array(F.lit("</w>")),
+        ).alias("seq"),
+    )
+    merges = []
+    for r in range(1, k + 1):
+        # a fully-merged word (one symbol left) has no adjacent pairs —
+        # and must be EXCLUDED before sequence(1, size-1): Spark's
+        # sequence() silently DESCENDS on an empty range ([1,0]), and
+        # element_at(seq, 2) on a 1-element array throws.
+        pairs = seqs.filter(F.size("seq") >= 2).select(
+            "c",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("seq") - 1),
+                    lambda i: F.struct(
+                        F.element_at("seq", i).alias("a"),
+                        F.element_at("seq", i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        pc = pairs.groupBy(
+            F.col("p.a").alias("a"), F.col("p.b").alias("b")
+        ).agg(F.sum("c").alias("w"))
+        top = pc.orderBy(F.desc("w"), F.asc("a"), F.asc("b")).limit(1)
+        merges.append(
+            top.select(
+                F.lit(r).cast("long").alias("merge_rank"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.concat("a", "b").alias("merged"),
+                F.col("w").cast("long").alias("pair_count"),
+            )
+        )
+        seqs = (
+            seqs.crossJoin(
+                F.broadcast(
+                    top.select(
+                        F.col("a").alias("__ma"), F.col("b").alias("__mb")
+                    )
+                )
+            )
+            .select(
+                "c",
+                bpe_merge_once(
+                    F.col("seq"), F.col("__ma"), F.col("__mb")
+                ).alias("seq"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

@@ -766,3 +766,113 @@ def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select(
         "n_name", "n_events", F.col("tv").cast("double").alias("total_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training (first k merges, exact)
+# ---------------------------------------------------------------------------
+
+_BPE_K = 6
+
+
+def _bpe_oracle(k: int) -> str:
+    """DuckDB twin of llmops.text.bpe_learn: k unrolled merge rounds.
+
+    The greedy leftmost non-overlapping merge is expressed per round as
+    gaps-and-islands over exploded symbol positions — positions whose
+    (sym, next_sym) equals the round's winning pair form runs; within a
+    run exactly the even offsets merge (leftmost-first, a merged token
+    never immediately re-merges); position i+1 of a selected i is
+    consumed. Same tie-break as the Spark plan: count DESC, pair ASC.
+
+    Every multiply-referenced CTE is MATERIALIZED — DuckDB would
+    otherwise inline seq{r}/sel{r} at each reference and re-evaluate
+    the whole round chain exponentially (2^k blowup measured).
+    """
+    sql = """
+    WITH words AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents
+      ) WHERE w <> '' GROUP BY w
+    ),
+    seq0 AS MATERIALIZED (
+      SELECT w AS wk, c,
+             list_append(
+               [substr(w, i, 1) for i in generate_series(1, length(w))],
+               '</w>') AS seq
+      FROM words
+    )"""
+    for r in range(1, k + 1):
+        p = r - 1
+        sql += f""",
+    pc{r} AS MATERIALIZED (
+      SELECT p['a'] AS a, p['b'] AS b, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+        SELECT c, unnest([{{'a': seq[i], 'b': seq[i+1]}}
+                          for i in generate_series(1, len(seq) - 1)]) AS p
+        FROM seq{p}
+      ) GROUP BY 1, 2
+    ),
+    top{r} AS MATERIALIZED (SELECT a, b, cnt FROM pc{r}
+               ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+    ex{r} AS MATERIALIZED (
+      SELECT wk, c, seq, len(seq) AS n,
+             unnest(generate_series(1, len(seq))) AS i
+      FROM seq{p}
+    ),
+    mm{r} AS MATERIALIZED (
+      SELECT e.wk, e.i,
+             e.i - ROW_NUMBER() OVER (PARTITION BY e.wk ORDER BY e.i) AS run
+      FROM ex{r} e CROSS JOIN top{r} t
+      WHERE e.i < e.n AND e.seq[e.i] = t.a AND e.seq[e.i + 1] = t.b
+    ),
+    sel{r} AS MATERIALIZED (
+      SELECT wk, i FROM (
+        SELECT wk, i, MIN(i) OVER (PARTITION BY wk, run) AS rs FROM mm{r}
+      ) WHERE (i - rs) % 2 = 0
+    ),
+    seq{r} AS MATERIALIZED (
+      SELECT e.wk, ANY_VALUE(e.c) AS c,
+             list(CASE WHEN si.i IS NOT NULL THEN t.a || t.b
+                       ELSE e.seq[e.i] END ORDER BY e.i)
+               FILTER (WHERE sp.i IS NULL) AS seq
+      FROM ex{r} e
+      CROSS JOIN top{r} t
+      LEFT JOIN sel{r} si ON si.wk = e.wk AND si.i = e.i
+      LEFT JOIN sel{r} sp ON sp.wk = e.wk AND sp.i = e.i - 1
+      GROUP BY e.wk
+    )"""
+    branches = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS left_sym, "
+        f"b AS right_sym, a || b AS merged, cnt AS pair_count FROM top{r}"
+        for r in range(1, k + 1)
+    )
+    return sql + "\n    " + branches
+
+
+@query("tx_bpe_merges", oracle=_bpe_oracle(_BPE_K))
+def tx_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training — the first 6 merge
+    operations of a byte-pair-encoding vocabulary (Sennrich et al.
+    2016), learned exactly over the documents corpus. The op the tx_
+    family lacked: tx_token_stats COUNTS tokens under a fixed
+    tokenizer; this LEARNS the tokenizer.
+
+    Scale shape (llmops/text.py bpe_learn): the corpus is read once
+    into a word-frequency vocabulary (one map-combined shuffle); all k
+    rounds run on the bounded vocab — per round one adjacent-pair
+    explode + sum keyed by (a, b), a TakeOrdered(1) winner, a 1-row
+    broadcast, and a zero-shuffle JVM fold (bpe_merge_once) applying
+    the greedy leftmost non-overlapping rewrite. localCheckpoint
+    truncates lineage so the k-branch union never recomputes earlier
+    rounds. At 100 TB the corpus crosses the wire once; rounds cost
+    O(|vocab|) each.
+
+    Reference tie-in: the reference tokenizes nothing (its text
+    columns are county names, cv-county-stats.py:49-52); this is the
+    training-data-pipeline generalization the brief's §text-analysis
+    row asks for ("token counting (whitespace + a BPE-ish regex)")."""
+    from .llmops import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    return T.bpe_learn(docs, "text", _BPE_K)

@@ -95,18 +95,44 @@ def main() -> None:
         )
         sys.stderr.flush()
 
+    path = os.path.join(REPO, f"CORRECTNESS_FULL_r{args.round:02d}.json")
+    # An --only spot-check MERGES into the existing full artifact
+    # instead of clobbering 280+ rows of evidence with an 8-row file;
+    # rows for queries no longer in the registry are dropped.
+    if args.only and os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f)
+        prior.pop("_meta", None)
+        merged = {n: prior[n] for n in qs if n in prior}
+        merged.update(out)
+        out = merged
+        total = sum(
+            r.get("secs", 0) for r in out.values() if isinstance(r, dict)
+        )
+    else:
+        total = round(time.time() - t_start, 1)
+    rows = [n for n in out]
     out["_meta"] = {
         "round": args.round,
         "sf_dir": args.sf,
-        "n_queries": len(names),
-        "n_oracled": sum(1 for n in names if n in oracles),
+        "n_queries": len(rows),
+        "n_oracled": sum(1 for n in rows if n in oracles),
         "n_hash_match": sum(
-            1 for n in names if out[n]["hash_match"] is True
+            1 for n in rows if out[n]["hash_match"] is True
         ),
-        "n_fail": n_fail,
-        "total_secs": round(time.time() - t_start, 1),
+        "n_fail": sum(
+            1
+            for n in rows
+            if not (
+                out[n]["hash_match"] is True
+                or (
+                    out[n]["err"] == "no_oracle"
+                    and out[n]["spark_rows"] is not None
+                )
+            )
+        ),
+        "total_secs": round(total, 1),
     }
-    path = os.path.join(REPO, f"CORRECTNESS_FULL_r{args.round:02d}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out["_meta"]))
