@@ -239,8 +239,9 @@ HEADLINE = [
     "ss_mmr_rerank",
     "ml_gini_importance",
     "st_stream_static_enrich",
-    # round 6 batch C: distributed BPE tokenizer training
+    # round 6 batch C: distributed BPE tokenizer training (learn + apply)
     "tx_bpe_merges",
+    "tx_bpe_encode",
 ]
 
 
@@ -360,18 +361,34 @@ def main() -> None:
                 prior_queries = json.load(fh).get("queries", {}) or {}
         except Exception:  # noqa: BLE001 — a corrupt sidecar never sinks a run
             prior_queries = {}
+        # Machine-speed normalization: rounds run on freshly-provisioned
+        # containers whose effective speed varies (round 6's host ran
+        # the identical suite ~1.8x slower than round 5's) — raw
+        # time ratios would flag EVERY query. The median per-query
+        # ratio estimates the host factor (a plan regression moves a
+        # few queries, not the median); flag only queries ≥1.5x after
+        # dividing it out, and record the factor so the artifact is
+        # interpretable.
+        ratios = sorted(
+            t / prior_queries[name]
+            for name, t in timings.items()
+            if prior_queries.get(name, 0) >= 0.05
+        )
+        machine = ratios[len(ratios) // 2] if ratios else 1.0
+        full["machine_factor_vs_prior"] = round(machine, 3)
         for name, t in timings.items():
             prev = prior_queries.get(name)
-            if prev and prev >= 0.05 and t >= 1.5 * prev:
+            if prev and prev >= 0.05 and t >= 1.5 * prev * machine:
                 regressions.append(
                     {
                         "query": name,
                         "prev": prev,
                         "now": t,
                         "ratio": round(t / prev, 2),
+                        "ratio_normalized": round(t / prev / machine, 2),
                     }
                 )
-        regressions.sort(key=lambda r: -r["ratio"])
+        regressions.sort(key=lambda r: -r["ratio_normalized"])
         full["regressions"] = regressions
         # the current slowest-10 with their prior-round times alongside
         full["slowest10_vs_prior"] = {

@@ -850,6 +850,42 @@ def _bpe_oracle(k: int) -> str:
     return sql + "\n    " + branches
 
 
+def _bpe_encode_oracle(k: int) -> str:
+    """DuckDB twin of tx_bpe_encode: reuse _bpe_oracle's k unrolled
+    rounds up to the final per-word sequences (seq{k}), then score the
+    corpus — per source, document count, whitespace token total, BPE
+    token total under the learned merges, and the compression ratio."""
+    head, _, _ = _bpe_oracle(k).rpartition("\n    SELECT CAST(1")
+    return (
+        head
+        + f""",
+    wmap AS MATERIALIZED (
+      SELECT wk, CAST(len(seq) AS BIGINT) AS toks FROM seq{k}
+    ),
+    corpus AS (
+      SELECT source, w, COUNT(*) AS c FROM (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents
+      ) WHERE w <> '' GROUP BY 1, 2
+    ),
+    perdoc AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+    )
+    SELECT c.source,
+           ANY_VALUE(p.n_docs) AS n_docs,
+           CAST(SUM(c.c) AS BIGINT) AS ws_tokens,
+           CAST(SUM(c.c * m.toks) AS BIGINT) AS bpe_tokens,
+           ROUND(CAST(SUM(c.c * m.toks) AS DOUBLE) / SUM(c.c), 6)
+             AS tokens_per_word
+    FROM corpus c
+    JOIN wmap m ON m.wk = c.w
+    JOIN perdoc p ON p.source = c.source
+    GROUP BY c.source
+    """
+    )
+
+
 @query("tx_bpe_merges", oracle=_bpe_oracle(_BPE_K))
 def tx_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training — the first 6 merge
@@ -876,3 +912,74 @@ def tx_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return T.bpe_learn(docs, "text", _BPE_K)
+
+
+@query("tx_bpe_encode", oracle=_bpe_encode_oracle(_BPE_K))
+def tx_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE tokenizer (tx_bpe_merges' 6 merges) to the
+    corpus and report per-source compression — document count,
+    whitespace-token total, BPE-token total, tokens-per-word. The
+    "apply" half of tokenizer training: learn picks the merges, encode
+    is what every downstream token-budget op (sp_token_budget_sample,
+    sp_pack_sequences) consumes.
+
+    Scale shape: the 6 learned merge pairs are a bounded planning-time
+    collect (6 rows — the suite's ≤32-row sufficient-statistics
+    pattern). Encoding never touches documents twice: one explode into
+    (source, word) counts, a DISTINCT-word table folds the 6 merges as
+    chained zero-shuffle bpe_merge_once rewrites (vocabulary-sized,
+    corpus-independent), and a broadcast join maps word → token count
+    back onto the grouped corpus. At 100 TB: corpus crosses the wire
+    once, the merge fold costs O(|vocab|), and the word→toks map stays
+    broadcast-able (~10M distinct words × 12 bytes)."""
+    from .llmops import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = sorted(
+        (
+            (int(r["merge_rank"]), r["left_sym"], r["right_sym"])
+            for r in T.bpe_learn(docs, "text", _BPE_K).collect()
+        )
+    )
+    corpus = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = corpus.select("w").distinct().withColumn(
+        "seq",
+        F.concat(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            ),
+            F.array(F.lit("</w>")),
+        ),
+    )
+    for _, a, b in merges:
+        vocab = vocab.withColumn(
+            "seq", T.bpe_merge_once(F.col("seq"), F.lit(a), F.lit(b))
+        )
+    wmap = vocab.select("w", F.size("seq").cast("long").alias("toks"))
+    perdoc = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        corpus.join(F.broadcast(wmap), "w")
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("ws_tokens"),
+            F.sum(F.col("c") * F.col("toks")).alias("bpe_tokens"),
+            F.round(
+                F.sum(F.col("c") * F.col("toks"))
+                / F.sum("c").cast("double"),
+                6,
+            ).alias("tokens_per_word"),
+        )
+        .join(F.broadcast(perdoc), "source")
+        .select(
+            "source", "n_docs", "ws_tokens", "bpe_tokens", "tokens_per_word"
+        )
+    )

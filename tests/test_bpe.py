@@ -95,3 +95,52 @@ def test_bpe_learn_tiebreak_deterministic(spark):
     got = sorted(tuple(r) for r in T.bpe_learn(df, "text", 2).collect())
     assert got == sorted(_py_bpe(["dc ba"], 2))
     assert got[0][1] == "a"  # ('a','</w>') is the smallest tied pair
+
+
+def test_bpe_encode_counts_match_reference(spark):
+    # encode = learn + apply; check per-source token totals against the
+    # Python reference end to end
+    texts = [
+        ("s1", "aa aa ab"),
+        ("s1", "aa b"),
+        ("s2", "ab ab ab aa"),
+    ]
+    df = spark.createDataFrame(texts, "source string, text string")
+    wc: collections.Counter = collections.Counter()
+    for _, t in texts:
+        for w in t.split():
+            wc[w] += 1
+    seqs = {w: list(w) + ["</w>"] for w in wc}
+    for _, a, b, _, _ in _py_bpe([t for _, t in texts], 3):
+        seqs = {w: _py_merge_once(s, a, b) for w, s in seqs.items()}
+    want = {}
+    for src in ("s1", "s2"):
+        ws = [w for s, t in texts if s == src for w in t.split()]
+        n_docs = sum(1 for s, _ in texts if s == src)
+        bpe = sum(len(seqs[w]) for w in ws)
+        want[src] = (n_docs, len(ws), bpe, round(bpe / len(ws), 6))
+
+    from covid_19_fl_spark import suite_r6
+
+    old = suite_r6._BPE_K
+    try:
+        suite_r6._BPE_K = 3  # small k for the tiny corpus
+        import covid_19_fl_spark.suite as suite
+
+        # drive the registered callable against a temp parquet dir
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as d:
+            df.write.parquet(os.path.join(d, "documents.parquet"))
+            got = {
+                r["source"]: (
+                    r["n_docs"],
+                    r["ws_tokens"],
+                    r["bpe_tokens"],
+                    r["tokens_per_word"],
+                )
+                for r in suite.QUERIES["tx_bpe_encode"](spark, d).collect()
+            }
+    finally:
+        suite_r6._BPE_K = old
+    assert got == want
