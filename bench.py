@@ -242,6 +242,12 @@ HEADLINE = [
     # round 6 batch C: distributed BPE tokenizer training (learn + apply)
     "tx_bpe_merges",
     "tx_bpe_encode",
+    # round 6 batch D: link analysis, 1-bit ANN, sketch quantiles,
+    # line-level corpus dedup
+    "x_hits",
+    "ss_binary_quantize_topk",
+    "x_approx_quantiles",
+    "tx_line_dedup",
 ]
 
 

@@ -704,3 +704,133 @@ def mips_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dot", "rank")
     )
+
+
+# Sign bits per packed word. 60 (not 64) so the left-fold acc*2 stays
+# < 2^61 — Spark runs ANSI int64 arithmetic and a full-64-bit pack
+# overflows signed long on the top bit.
+BQ_WORD_BITS = 60
+
+
+def binary_codes(vec: Column) -> Column:
+    """Sign-bit binary quantization: dim i contributes 2^((i-1) mod W)
+    to word ⌊(i-1)/W⌋ iff the component is > 0 (W = BQ_WORD_BITS),
+    yielding an array<bigint> of ⌈dims/W⌉ words — a 64-dim embedding
+    compresses to 2 words computed in the scan stage (no shuffle, no
+    Python). Each word is a left-fold over the REVERSED slice
+    (acc*2 + bit) in plain int64 arithmetic, so codes are
+    bit-identical across engines; the oracle spells the same numbers
+    as ``list_sum([1<<(j-1) where slice[j]>0])``."""
+    w = BQ_WORD_BITS
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    nwords = F.ceil(F.size(vec) / F.lit(float(w))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), nwords - 1),
+        lambda wi: F.aggregate(
+            F.reverse(F.slice(vec, wi * w + 1, F.lit(w))),
+            zero,
+            lambda acc, x: acc * 2
+            + F.when(x.cast("double") > 0.0, one).otherwise(zero),
+        ),
+    )
+
+
+def hamming_words(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed word arrays: Σ per-word
+    XOR popcount (int arithmetic — exact in any engine)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
+def binary_quantize_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Binary-quantization ANN: Hamming-distance shortlist over the
+    packed sign codes, exact-cosine rerank of the survivors — the
+    1-bit/dim retrieval recipe (binary embeddings + rescoring).
+
+    Scale shape: the corpus scan touches only (id, code) — ⌈dims/60⌉
+    packed words instead of the float vector — and each candidate
+    costs one XOR + popcount per word against the |queries| broadcast
+    probe codes. The
+    shortlist is the same two-stage tournament as pq_adc_topk (local
+    top-R per pmod salt bucket, then top-R of buckets·R rows), so no
+    corpus-sized window partition exists anywhere; only the
+    ``shortlist``·|queries| survivors ever load their full vectors
+    (broadcast join back to the embedding table) for the cosine
+    rerank. Deterministic end to end: Hamming ties break on neighbor
+    id, cosine is 6dp-rounded before ranking."""
+    corpus = emb.select(
+        F.col(id_col), binary_codes(F.col(vec_col)).alias("code")
+    )
+    probes = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            binary_codes(F.col(vec_col)).alias("qcode"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cand = (
+        corpus.crossJoin(F.broadcast(probes.select("query_id", "qcode")))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            hamming_words(F.col("code"), F.col("qcode")).alias("hamming"),
+        )
+    )
+    local = (
+        cand.withColumn("_salt", F.pmod(F.col(id_col), F.lit(salt_buckets)))
+        .groupBy("query_id", "_salt")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("hamming", F.col(id_col)))),
+                1,
+                shortlist,
+            ).alias("top")
+        )
+        .select("query_id", F.explode("top").alias("t"))
+    )
+    short = (
+        local.groupBy("query_id")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("t")), 1, shortlist).alias("top")
+        )
+        .select("query_id", F.explode("top").alias("t"))
+        .select(
+            "query_id",
+            F.col(f"t.{id_col}").alias("neighbor_id"),
+            F.col("t.hamming").alias("hamming"),
+        )
+    )
+    rerank = (
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+        .join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(probes.select("query_id", "qvec")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.round(cosine(F.col("nvec"), F.col("qvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rerank.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "cos_sim", "rank")
+    )

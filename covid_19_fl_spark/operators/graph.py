@@ -243,3 +243,80 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 12) -> DataFrame:
         "raise max_rounds (measured depth grew past the configured "
         "bound; a silent partial core would corrupt the result)"
     )
+
+
+# HITS fixed-point scale. Smaller than PR_SCALE because the
+# max-normalized update multiplies a pre-normalization sum (bounded by
+# max_in_degree * HITS_SCALE) by HITS_SCALE before the floor division:
+# the product must stay < 2^62, which holds for graphs with max degree
+# < ~4.6e6 — documented headroom, raise by lowering the scale if a
+# denser graph ever needs it.
+HITS_SCALE = 1_000_000
+
+
+def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Deterministic fixed-point HITS (Kleinberg hubs/authorities) →
+    ``(node_id, role, score)`` with ``role`` in {'hub','auth'} and
+    ``score`` an exact bigint in units of 1/HITS_SCALE, max-normalized
+    to HITS_SCALE each half-step.
+
+    ``edges`` must have (src, dst) bigint columns, deduplicated —
+    like :func:`kcore`, duplicate edges would silently inflate the
+    mutual reinforcement. Update, all in int64 floor division (same
+    cross-engine bit-reproducibility contract as :func:`pagerank`):
+
+        auth_t(v) = (Σ_{u→v} hub_{t-1}(u)) * SCALE div max_v(Σ ...)
+        hub_t(u)  = (Σ_{u→v} auth_t(v))    * SCALE div max_u(Σ ...)
+
+    Each half-step is one equi-join of the edge list with the current
+    score vector plus a partial-aggregated groupBy; the normalizer is
+    a broadcast 1-row scalar (crossJoin of an agg), so the rounds
+    chain as one lazy DAG and AQE broadcasts the (N-row) score vector
+    into the edge join. Hub scores exist for every source node, auth
+    scores for every destination node — on a bipartite graph the two
+    ID spaces never collide.
+    """
+    hubs = (
+        edges.select("src")
+        .distinct()
+        .select("src", F.lit(HITS_SCALE).cast("long").alias("hub"))
+        .localCheckpoint(eager=False)
+    )
+    auths = None
+    for t in range(iterations):
+        apre = (
+            edges.join(hubs, "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("pre"))
+        )
+        amax = apre.agg(F.max("pre").alias("mx"))
+        auths = apre.crossJoin(F.broadcast(amax)).select(
+            "dst", F.expr(f"(pre * {HITS_SCALE}L) div mx").alias("auth")
+        )
+        hpre = (
+            edges.join(auths, "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").alias("pre"))
+        )
+        hmax = hpre.agg(F.max("pre").alias("mx"))
+        hubs = hpre.crossJoin(F.broadcast(hmax)).select(
+            "src", F.expr(f"(pre * {HITS_SCALE}L) div mx").alias("hub")
+        )
+        if t + 1 < iterations:
+            # auths needs no checkpoint: each round's auth vector is
+            # consumed immediately, and the final one's lineage stops
+            # at the previous round's checkpointed hub vector.
+            hubs = hubs.localCheckpoint(eager=False)
+    return (
+        hubs.select(
+            F.col("src").alias("node_id"),
+            F.lit("hub").alias("role"),
+            F.col("hub").alias("score"),
+        ).unionByName(
+            auths.select(
+                F.col("dst").alias("node_id"),
+                F.lit("auth").alias("role"),
+                F.col("auth").alias("score"),
+            )
+        )
+    )

@@ -336,3 +336,4 @@ from . import suite_r5f  # noqa: E402,F401
 from . import suite_r5g  # noqa: E402,F401
 from . import suite_r5h  # noqa: E402,F401
 from . import suite_r6  # noqa: E402,F401
+from . import suite_r6b  # noqa: E402,F401

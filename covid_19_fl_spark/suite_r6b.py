@@ -1,0 +1,270 @@
+"""Round-6 suite batch 2 — link analysis, 1-bit ANN, sketch
+quantiles, and line-level corpus dedup.
+
+Four additions a 100 TB pipeline reaches for early:
+
+* ``x_hits`` — Kleinberg hubs/authorities over the customer↔supplier
+  trading graph, the link-analysis companion to ``x_pagerank`` (same
+  int64 fixed-point reproducibility contract).
+* ``ss_binary_quantize_topk`` — sign-bit binary embeddings + Hamming
+  shortlist + exact-cosine rerank: the cheapest ANN memory/IO point
+  (1 bit/dim), now standard for first-stage retrieval at corpus scale.
+* ``x_approx_quantiles`` — percentile sketch (GK/KLL-style
+  ``percentile_approx``) gated in-plan against exact percentile
+  bands, the same oracleable-approximation pattern as
+  ``x_approx_distinct``.
+* ``tx_line_dedup`` — CCNet-style duplicated-line removal: every
+  repeated 10-word segment keeps only its global first occurrence and
+  documents are reassembled, the corpus-hygiene pass that runs before
+  any LLM training mix.
+
+Reference tie-in: the reference's analytics stop at groupby/nlargest
+over scraped county rows (cv-county-stats.py:55-73); these are the
+scale-path generalizations of that inventory for web-corpus inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from .llmops import similarity
+from .operators.graph import HITS_SCALE, hits
+from .suite import _t, query
+
+_HITS_ITERS = 3
+
+
+def _hits_oracle(iters: int = _HITS_ITERS) -> str:
+    """Unrolled-CTE DuckDB replica of operators.graph.hits — exact
+    because every half-step is int64 sum + floor division (DuckDB's
+    HUGEINT sums preserve exactness; the final CAST returns bigint)."""
+    sql = f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    hub0 AS (SELECT DISTINCT src, CAST({HITS_SCALE} AS BIGINT) AS hub FROM pairs)"""
+    for t in range(iters):
+        sql += f""",
+    a{t + 1}pre AS (SELECT dst, SUM(hub) AS pre
+                    FROM pairs JOIN hub{t} USING (src) GROUP BY dst),
+    auth{t + 1} AS (SELECT dst,
+                    CAST((pre * {HITS_SCALE})
+                         // (SELECT MAX(pre) FROM a{t + 1}pre) AS BIGINT) AS auth
+                    FROM a{t + 1}pre),
+    h{t + 1}pre AS (SELECT src, SUM(auth) AS pre
+                    FROM pairs JOIN auth{t + 1} USING (dst) GROUP BY src),
+    hub{t + 1} AS (SELECT src,
+                   CAST((pre * {HITS_SCALE})
+                        // (SELECT MAX(pre) FROM h{t + 1}pre) AS BIGINT) AS hub
+                   FROM h{t + 1}pre)"""
+    sql += f"""
+    SELECT src AS node_id, 'hub' AS role, hub AS score FROM hub{iters}
+    UNION ALL
+    SELECT dst AS node_id, 'auth' AS role, auth AS score FROM auth{iters}
+    """
+    return sql
+
+
+@query("x_hits", oracle=_hits_oracle())
+def x_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the directed customer→supplier
+    trading graph (distinct pairs from orders⋈lineitem): customers
+    score as hubs, suppliers as authorities, 3 max-normalized rounds.
+    Same engine-portable int64 fixed-point discipline as x_pagerank —
+    no float Σ anywhere, so the result is bit-identical across
+    partitionings, reruns, and the unrolled DuckDB oracle."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    return hits(edges, iterations=_HITS_ITERS)
+
+
+_BQ_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def _bq_oracle(k: int = 5, shortlist: int = 20) -> str:
+    from .llmops.similarity import BQ_WORD_BITS as W
+
+    ids = ", ".join(str(i) for i in _BQ_QUERY_IDS)
+    code = f"""
+      [ list_sum([ CASE WHEN {{v}}[w*{W} + j] > 0
+                   THEN (1::BIGINT << (j - 1)) ELSE 0 END
+                   for j in generate_series(1, least({W}, len({{v}}) - w*{W})) ])
+        for w in generate_series(0, CAST(ceil(len({{v}}) / {W}.0) AS INT) - 1) ]"""
+    cos = """
+      list_sum([CAST(q.qvec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                for i in generate_series(1, len(q.qvec))])
+      / (sqrt(list_sum([CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)
+                        for i in generate_series(1, len(q.qvec))]))
+         * sqrt(list_sum([CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                          for i in generate_series(1, len(c.embedding))])))"""
+    return f"""
+    WITH codes AS (
+      SELECT vec_id, embedding, {code.format(v="embedding")} AS code
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qvec, code AS qcode
+      FROM codes WHERE vec_id IN ({ids})
+    ),
+    cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum([ bit_count(xor(c.code[i], p.qcode[i]))
+                             for i in generate_series(1, len(c.code)) ])
+                  AS INTEGER) AS hamming
+      FROM codes c CROSS JOIN probes p
+      WHERE c.vec_id <> p.query_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id, hamming FROM (
+        SELECT query_id, neighbor_id, hamming,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY hamming ASC, neighbor_id ASC) AS srank
+        FROM cand)
+      WHERE srank <= {shortlist}
+    ),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id, s.hamming,
+             ROUND({cos}, 6) AS cos_sim
+      FROM short s
+      JOIN embeddings c ON c.vec_id = s.neighbor_id
+      JOIN probes q ON q.query_id = s.query_id
+    )
+    SELECT query_id, neighbor_id, hamming, cos_sim,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM rer)
+    WHERE rank <= {k}
+    """
+
+
+@query("ss_binary_quantize_topk", oracle=_bq_oracle())
+def ss_binary_quantize_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit binary-quantization retrieval: pack each embedding's sign
+    bits into 60-bit BIGINT words in the scan stage, shortlist top-20 per probe
+    by XOR-popcount Hamming distance (two-stage tournament — no
+    corpus-sized window), then rerank the shortlist with exact cosine.
+    At 100 TB the first stage reads 8 bytes/vector instead of the
+    float array — the standard memory/IO floor for ANN first-stage
+    retrieval. Bit-reproducible codes (int64 fold) make the whole
+    pipeline exactly oracled."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.binary_quantize_topk(emb, _BQ_QUERY_IDS, k=5, shortlist=20)
+
+
+@query(
+    "x_approx_quantiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,
+           TRUE AS est_within_band
+    FROM events GROUP BY 1
+    """,
+)
+def x_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile sketch per group (percentile_approx,
+    accuracy 10000 → rank error ≤ 0.01%). Exact percentiles need the
+    full sorted group; the sketch is a few KB and map-side combinable
+    — the only viable form at 100 TB. As with x_approx_distinct, the
+    estimate itself is engine-specific, so the oracleable surface is
+    the in-plan band check: the estimate must land between the exact
+    p45 and p55 values computed in the same aggregate (a rank-error
+    budget 450× looser than the sketch's guarantee). The hashed
+    columns are the exact median and the flag."""
+    events = _t(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("est"),
+        F.expr("percentile(value, 0.45D)").alias("lo"),
+        F.expr("percentile(value, 0.5D)").alias("p50"),
+        F.expr("percentile(value, 0.55D)").alias("hi"),
+    )
+    return agg.select(
+        "event_type",
+        F.round("p50", 6).alias("exact_p50"),
+        ((F.col("est") >= F.col("lo")) & (F.col("est") <= F.col("hi"))).alias(
+            "est_within_band"
+        ),
+    )
+
+
+_SEG_WORDS = 10
+
+
+@query(
+    "tx_line_dedup",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(w[(i*{_SEG_WORDS}+1):((i+1)*{_SEG_WORDS})], ' ') AS seg
+      FROM words,
+           UNNEST(generate_series(0,
+                  CAST(ceil(len(w) / {_SEG_WORDS}.0) AS INT) - 1)) AS t(i)
+    ),
+    flagged AS (
+      SELECT doc_id, pos, seg,
+             (doc_id * 1000000 + pos) = MIN(doc_id * 1000000 + pos)
+               OVER (PARTITION BY seg) AS keep
+      FROM segs
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped,
+           md5(COALESCE(string_agg(seg, ' ' ORDER BY pos)
+                        FILTER (WHERE keep), '')) AS kept_md5
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def tx_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level (CCNet-style) corpus dedup: split every document
+    into {_SEG_WORDS}-word segments, keep only each distinct segment's
+    global first occurrence (smallest (doc_id, pos)), reassemble the
+    survivors in order, and report per-document kept/dropped counts
+    plus the md5 of the deduped text (portable — the oracle hashes the
+    same string). Two shuffles total: one hash partition by segment
+    (the winner is a partition-local window MIN — no self-join back),
+    one regroup by doc_id for reassembly. Segment rows are the only
+    thing that ever shuffles; at 100 TB the segment exchange is the
+    same width as the corpus and the winner scan is map-combinable."""
+    docs = _t(spark, sf_dir, "documents")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"""transform(
+                      sequence(0, cast(ceil(size(split(text, ' ')) / {_SEG_WORDS}.0)
+                                       as int) - 1),
+                      i -> array_join(
+                             slice(split(text, ' '), i*{_SEG_WORDS}+1, {_SEG_WORDS}),
+                             ' '))"""
+            )
+        ).alias("pos", "seg"),
+    )
+    wseg = Window.partitionBy("seg")
+    key = F.col("doc_id") * 1000000 + F.col("pos")
+    flagged = segs.withColumn("keep", key == F.min(key).over(wseg))
+    kept_structs = F.when(F.col("keep"), F.struct("pos", "seg"))
+    return flagged.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_dropped"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_structs)),
+                    lambda s: s.seg,
+                ),
+            )
+        ).alias("kept_md5"),
+    )
