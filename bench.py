@@ -248,6 +248,11 @@ HEADLINE = [
     "ss_binary_quantize_topk",
     "x_approx_quantiles",
     "tx_line_dedup",
+    # round 6 batch E: leakage-safe splits, composed IVFPQ index,
+    # streaming near-dup dedup
+    "sp_leakage_safe_split",
+    "ss_ivfpq_topk",
+    "st_minhash_dedup",
 ]
 
 

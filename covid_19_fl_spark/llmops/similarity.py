@@ -834,3 +834,106 @@ def binary_quantize_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "hamming", "cos_sim", "rank")
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 8,
+    dims: int = 64,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """IVF + PQ composed index search (the FAISS ``IVFPQ`` shape):
+    route each query to its ``nprobe`` nearest coarse centroids, then
+    ADC-score ONLY the routed cells' PQ codes — the architecture every
+    billion-vector deployment runs, because it multiplies the two
+    orthogonal savings: IVF prunes candidates to nprobe/|cells| of the
+    corpus, PQ shrinks each survivor to m code bytes.
+
+    Plan shape: routing and the query distance table both ride
+    broadcasts (centroids and codebooks are |labels|-sized); the
+    corpus contributes one scan of (id, label) for cell membership and
+    one of its m-row code table, joined cell-locally. At 100 TB the
+    code table is hash-partitioned by cell id, so a query touches
+    nprobe partitions of m-byte codes. Deterministic/exactly-oracled
+    for the same reasons as ss_ivf_topk + ss_pq_adc_topk (quantize-
+    sum-divide centroids, 6dp micro-distance integers)."""
+    d = _pq_sub_dims(m, dims)
+    centroids = label_centroids(emb, label_col, vec_col)
+    queries = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    routed = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("cdist", F.round(cosine(F.col("qvec"), F.col("centroid")), 6))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cdist").desc(), F.col(label_col).asc()
+                )
+            ),
+        )
+        .filter(F.col("crank") <= F.lit(int(nprobe)))
+        .select("query_id", "qvec", F.col(label_col).alias("probe_label"))
+    )
+    books = pq_codebooks(emb, m=m, dims=dims, label_col=label_col, vec_col=vec_col)
+    subv = emb.select(
+        F.col(id_col), F.explode(_sub_slices(F.col(vec_col), m, d)).alias("p")
+    ).select(id_col, "p.sub_idx", "p.sv")
+    codes = _pq_best_codes(subv, books, id_col, label_col).select(
+        id_col, "sub_idx", F.col("b.code").alias("code")
+    )
+    qsub = routed.select(
+        "query_id",
+        "probe_label",
+        F.explode(_sub_slices(F.col("qvec"), m, d)).alias("p"),
+    ).select("query_id", "probe_label", "p.sub_idx", F.col("p.sv").alias("qsv"))
+    dtab = qsub.join(books, "sub_idx").select(
+        "query_id",
+        "probe_label",
+        "sub_idx",
+        F.col(label_col).alias("code"),
+        F.round(F.round(_sub_diff2("qsv", "centroid_sub"), 6) * 1e6)
+        .cast("long")
+        .alias("d_micro"),
+    )
+    # cell membership: only vectors whose label is a routed probe cell
+    # ever join the distance table (the IVF pruning step).
+    cells = emb.select(F.col(id_col), F.col(label_col).alias("probe_label")).join(
+        F.broadcast(routed.select("query_id", "probe_label")), "probe_label"
+    ).filter(F.col(id_col) != F.col("query_id")).select("query_id", id_col, "probe_label")
+    adc = (
+        cells.join(codes, id_col)
+        .join(F.broadcast(dtab), ["query_id", "probe_label", "sub_idx", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("d_micro").alias("adc_micro"))
+    )
+    local = (
+        adc.withColumn("_salt", F.pmod(F.col(id_col), F.lit(salt_buckets)))
+        .groupBy("query_id", "_salt")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("adc_micro", F.col(id_col)))),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select("query_id", F.explode("top").alias("t"))
+    )
+    final = (
+        local.groupBy("query_id")
+        .agg(F.slice(F.array_sort(F.collect_list("t")), 1, k).alias("top"))
+        .select("query_id", F.posexplode("top").alias("rank0", "t"))
+    )
+    return final.select(
+        "query_id",
+        F.col("t")[id_col].alias("neighbor_id"),
+        (F.col("t.adc_micro").cast("double") / 1e6).alias("adc_dist"),
+        (F.col("rank0") + 1).cast("int").alias("rank"),
+    )

@@ -268,3 +268,252 @@ def tx_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kept_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch E — leakage-safe splits and the composed IVFPQ index
+# ---------------------------------------------------------------------------
+
+
+def _leakage_split_oracle() -> str:
+    from .suite_llmops import _JACCARD_PAIRS_SQL
+
+    return f"""
+    WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+      WITH RECURSIVE r(id, seen) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.src, r.seen FROM edges e JOIN r ON e.dst = r.id
+      ) SELECT * FROM r
+    ),
+    clus AS (SELECT id AS doc_id, MIN(seen) AS cluster_id FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           CASE WHEN COALESCE(c.cluster_id, d.doc_id) % 100 < 96 THEN 'train'
+                WHEN COALESCE(c.cluster_id, d.doc_id) % 100 < 98 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN clus c ON c.doc_id = d.doc_id
+    """
+
+
+@query("sp_leakage_safe_split", oracle=_leakage_split_oracle())
+def sp_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-dup CLUSTERS are the
+    split unit, not documents — every doc inherits its connected
+    component's canonical id (dd_dup_clusters' closure over the exact
+    n-gram-Jaccard pairs) and the 96/2/2 bucket CASE runs on that
+    cluster id, so two near-duplicates can never straddle train and
+    test (the eval-contamination failure mode sp_split_assign's
+    per-doc hash cannot prevent). Singletons fall back to their own
+    id; assignment stays a pure row function of the cluster id —
+    deterministic across reruns and engines."""
+    from .llmops import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", "lang", id_window=25, n=3, threshold=0.1
+    )
+    clusters = dedup.dup_clusters(pairs.select("id_a", "id_b"))
+    assigned = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+    )
+    bucket = F.col("cluster_id") % 100
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 96, "train")
+        .when(bucket < 98, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _ivfpq_oracle(m: int = 8, dims: int = 64, k: int = 5, nprobe: int = 2) -> str:
+    Q = int(similarity.CENTROID_Q)
+    d = dims // m
+    ids = ", ".join(str(i) for i in _BQ_QUERY_IDS)
+    ccos = """
+      list_sum([CAST(q.qvec[i] AS DOUBLE) * c.centroid[i]
+                for i in generate_series(1, len(q.qvec))])
+      / (sqrt(list_sum([CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)
+                        for i in generate_series(1, len(q.qvec))]))
+         * sqrt(list_sum([c.centroid[i] * c.centroid[i]
+                          for i in generate_series(1, len(c.centroid))])))"""
+    diff2 = (
+        "list_sum([ (CAST(sv[i] AS DOUBLE) - csub[i])"
+        " * (CAST(sv[i] AS DOUBLE) - csub[i])"
+        " for i in generate_series(1, len(sv)) ])"
+    )
+    qdiff2 = diff2.replace("sv[i]", "qsv[i]").replace("len(sv)", "len(qsv)")
+    return f"""
+    WITH cent_dims AS (
+      SELECT label, i AS pos,
+             SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {Q}) AS BIGINT)) AS sq,
+             COUNT(*) AS n
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+      GROUP BY label, i
+    ),
+    cent AS (
+      SELECT label, list((CAST(sq AS DOUBLE) / n) / {Q} ORDER BY pos) AS centroid
+      FROM cent_dims GROUP BY label
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qvec
+      FROM embeddings WHERE vec_id IN ({ids})
+    ),
+    routed AS (
+      SELECT query_id, probe_label FROM (
+        SELECT q.query_id, c.label AS probe_label,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY ROUND({ccos}, 6) DESC,
+                                           c.label ASC) AS crank
+        FROM q CROSS JOIN cent c)
+      WHERE crank <= {nprobe}
+    ),
+    books AS (
+      SELECT label, s AS sub_idx, centroid[s*{d}+1 : (s+1)*{d}] AS csub
+      FROM cent, (SELECT unnest(generate_series(0, {m - 1})) AS s)
+    ),
+    subv AS (
+      SELECT vec_id, s AS sub_idx, embedding[s*{d}+1 : (s+1)*{d}] AS sv
+      FROM embeddings, (SELECT unnest(generate_series(0, {m - 1})) AS s)
+    ),
+    scored AS (
+      SELECT vec_id, sub_idx, label, ROUND({diff2}, 6) AS dist
+      FROM subv JOIN books USING (sub_idx)
+    ),
+    best AS (
+      SELECT vec_id, sub_idx, label AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub_idx
+                                     ORDER BY dist ASC, label ASC) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    qsub AS (
+      SELECT vec_id AS query_id, s AS sub_idx,
+             embedding[s*{d}+1 : (s+1)*{d}] AS qsv
+      FROM embeddings, (SELECT unnest(generate_series(0, {m - 1})) AS s)
+      WHERE vec_id IN ({ids})
+    ),
+    dtab AS (
+      SELECT query_id, sub_idx, label AS code,
+             CAST(ROUND(ROUND({qdiff2}, 6) * 1e6, 0) AS BIGINT) AS d_micro
+      FROM qsub JOIN books USING (sub_idx)
+    ),
+    cand AS (
+      SELECT r.query_id, e.vec_id
+      FROM embeddings e JOIN routed r ON e.label = r.probe_label
+      WHERE e.vec_id <> r.query_id
+    ),
+    adc AS (
+      SELECT c.query_id, c.vec_id, CAST(SUM(t.d_micro) AS BIGINT) AS adc_micro
+      FROM cand c
+      JOIN best b ON b.vec_id = c.vec_id
+      JOIN dtab t ON t.query_id = c.query_id
+                 AND t.sub_idx = b.sub_idx AND t.code = b.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT query_id, vec_id AS neighbor_id,
+             CAST(adc_micro AS DOUBLE) / 1e6 AS adc_dist,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_micro ASC, vec_id ASC)
+                  AS INT) AS rank
+      FROM adc) WHERE rank <= {k}
+    """
+
+
+@query("ss_ivfpq_topk", oracle=_ivfpq_oracle())
+def ss_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed (the FAISS ``IVFPQ`` architecture): coarse
+    routing to nprobe=2 cells, then ADC scoring of ONLY the routed
+    cells' PQ codes — ss_ivf_topk's candidate pruning × ss_pq_adc_topk's
+    m-byte compression in one plan, the shape every billion-vector
+    retrieval deployment runs. See similarity.ivfpq_topk for the
+    broadcast/cell-local join layout."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(emb, _BQ_QUERY_IDS, k=5, m=8, dims=64, nprobe=2)
+
+
+def _st_minhash_oracle() -> str:
+    from .suite_llmops import _minhash_ctes
+
+    sig = ", ".join(f"h{k}::VARCHAR" for k in range(32))
+    return f"""
+    WITH {_minhash_ctes("documents")},
+    sigkey AS (
+      SELECT doc_id, concat_ws('-', {sig}) AS sig FROM sigs
+    )
+    SELECT d.lang, CAST(COUNT(DISTINCT k.sig) AS BIGINT) AS n_unique_docs
+    FROM sigkey k JOIN documents d ON d.doc_id = k.doc_id
+    GROUP BY d.lang
+    """
+
+
+@query("st_minhash_dedup", oracle=_st_minhash_oracle())
+def st_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup dedup: each arriving document computes its
+    32-hash MinHash signature in the stateless scan stage (portable
+    md5-affine family — a pure projection, legal in a stream), and
+    streaming ``dropDuplicates`` on (lang, signature) keeps exactly
+    one representative per near-dup class; the drained survivors are
+    counted per language. The online twin of dd_exact_dedup at
+    near-dup granularity — the ingestion-time filter that stops a
+    crawl from re-admitting yesterday's boilerplate. State is
+    hash-partitioned on the dedup key; WHICH duplicate survives is
+    micro-batch-order-dependent but the per-language survivor COUNT —
+    the oracled surface — is deterministic. Production unbounded
+    streams would bound state with dropDuplicatesWithinWatermark;
+    the bounded availableNow drain keeps full state so the batch
+    oracle equality is exact."""
+    import os
+
+    from .llmops import dedup
+    from .suite_r4 import _stage_stream_dir, _stream_shuffle_partitions
+
+    stage = _stage_stream_dir(sf_dir, "documents")
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    sig = F.concat_ws(
+        "-",
+        F.transform(
+            dedup.minhash_signature(F.col("text")), lambda h: h.cast("string")
+        ),
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .select("lang", sig.alias("sig"))
+        .dropDuplicates(["lang", "sig"])
+    )
+    import uuid
+
+    sink = f"st_mh_dedup_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle_partitions(spark):
+        q = (
+            src.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(120):
+                raise TimeoutError(
+                    "st_minhash_dedup: availableNow drain did not finish "
+                    "within 120s — refusing to count a partial sink"
+                )
+        finally:
+            q.stop()
+    return (
+        spark.table(sink)
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_unique_docs"))
+    )

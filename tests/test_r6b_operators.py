@@ -127,3 +127,46 @@ def test_line_dedup_drops_repeated_segment(spark, sf_dir, tmp_path):
 def test_approx_quantiles_flag_true_everywhere(spark, sf_dir):
     rows = suite.QUERIES["x_approx_quantiles"](spark, sf_dir).collect()
     assert rows and all(r.est_within_band for r in rows)
+
+
+def test_leakage_safe_split_no_pair_straddles(spark, sf_dir):
+    from covid_19_fl_spark.llmops import dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", "lang", id_window=25, n=3, threshold=0.1
+    )
+    split = suite.QUERIES["sp_leakage_safe_split"](spark, sf_dir)
+    a = split.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    b = split.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    straddling = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert straddling == 0
+    # and it is a real split: every doc assigned exactly once
+    assert split.count() == docs.count()
+    assert split.select("doc_id").distinct().count() == docs.count()
+
+
+def test_ivfpq_full_routing_equals_pq_adc(spark):
+    # with nprobe >= |cells| the IVF stage prunes nothing, so IVFPQ
+    # must return exactly the plain PQ ADC top-k.
+    from covid_19_fl_spark.llmops.similarity import ivfpq_topk, pq_adc_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    nlabels = emb.select("label").distinct().count()
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist)
+        for r in ivfpq_topk(emb, [0, 1], k=3, nprobe=nlabels).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist)
+        for r in pq_adc_topk(emb, [0, 1], k=3).collect()
+    }
+    assert got == want
