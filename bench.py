@@ -253,6 +253,8 @@ HEADLINE = [
     "sp_leakage_safe_split",
     "ss_ivfpq_topk",
     "st_minhash_dedup",
+    # round 6 batch F: gradient-boosted regression stumps
+    "ml_gbm_stumps",
 ]
 
 

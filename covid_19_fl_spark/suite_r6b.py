@@ -517,3 +517,175 @@ def st_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").cast("long").alias("n_unique_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch F — gradient-boosted regression stumps
+# ---------------------------------------------------------------------------
+
+
+def _gbm_oracle() -> str:
+    """Unrolled 2-round GBM: round 1 fits a variance-reduction stump
+    on quantity → price-cents, round 2 fits a second stump on the
+    INTEGER residuals against the discount bin. Split score maximizes
+    S_L²/n_L + S_R²/n_R (≡ SSE reduction, Σr² cancels); S values are
+    exact ints ≤ 2^53 so the double squares are bit-identical in both
+    engines. Leaf predictions are floor-divided cents (int64)."""
+    return """
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS disc,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    b1 AS (
+      SELECT q AS bin, COUNT(*) AS n, SUM(cents) AS s FROM base GROUP BY 1
+    ),
+    t1 AS (SELECT SUM(n) AS tn, SUM(s) AS ts FROM b1),
+    c1 AS (
+      SELECT bin,
+             COALESCE(SUM(n) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ln,
+             COALESCE(SUM(s) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ls
+      FROM b1
+    ),
+    sc1 AS (
+      SELECT bin AS threshold,
+             CAST(ln AS BIGINT) AS left_n, CAST(tn - ln AS BIGINT) AS right_n,
+             CAST(ls AS BIGINT) // CAST(ln AS BIGINT) AS left_pred,
+             CAST(ts - ls AS BIGINT) // CAST(tn - ln AS BIGINT) AS right_pred,
+             ROUND(CAST(ls AS DOUBLE) * CAST(ls AS BIGINT) / ln
+                   + CAST(ts - ls AS DOUBLE) * CAST(ts - ls AS BIGINT) / (tn - ln),
+                   4) AS score
+      FROM c1 CROSS JOIN t1 WHERE ln > 0 AND tn - ln > 0
+    ),
+    best1 AS (
+      SELECT * FROM sc1
+      ORDER BY score DESC, threshold ASC LIMIT 1
+    ),
+    resid AS (
+      SELECT b.disc,
+             b.cents - (CASE WHEN b.q <= x.threshold
+                             THEN x.left_pred ELSE x.right_pred END) AS r
+      FROM base b CROSS JOIN best1 x
+    ),
+    b2 AS (
+      SELECT disc AS bin, COUNT(*) AS n, SUM(r) AS s FROM resid GROUP BY 1
+    ),
+    t2 AS (SELECT SUM(n) AS tn, SUM(s) AS ts FROM b2),
+    c2 AS (
+      SELECT bin,
+             COALESCE(SUM(n) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ln,
+             COALESCE(SUM(s) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ls
+      FROM b2
+    ),
+    sc2 AS (
+      SELECT bin AS threshold,
+             CAST(ln AS BIGINT) AS left_n, CAST(tn - ln AS BIGINT) AS right_n,
+             CAST(ls AS BIGINT) // CAST(ln AS BIGINT) AS left_pred,
+             CAST(ts - ls AS BIGINT) // CAST(tn - ln AS BIGINT) AS right_pred,
+             ROUND(CAST(ls AS DOUBLE) * CAST(ls AS BIGINT) / ln
+                   + CAST(ts - ls AS DOUBLE) * CAST(ts - ls AS BIGINT) / (tn - ln),
+                   4) AS score
+      FROM c2 CROSS JOIN t2 WHERE ln > 0 AND tn - ln > 0
+    ),
+    best2 AS (
+      SELECT * FROM sc2
+      ORDER BY score DESC, threshold ASC LIMIT 1
+    )
+    SELECT 1 AS round, 'quantity' AS feature, threshold, left_n, right_n,
+           left_pred, right_pred FROM best1
+    UNION ALL
+    SELECT 2, 'discount_pct', threshold, left_n, right_n,
+           left_pred, right_pred FROM best2
+    """
+
+
+@query("ml_gbm_stumps", oracle=_gbm_oracle())
+def ml_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-round gradient-boosted regression stumps (squared loss — the
+    LightGBM histogram recipe, done exactly): round 1 fits the
+    variance-reduction-optimal stump quantity → price-cents; round 2
+    fits a second stump on the INTEGER residuals against the discount
+    bin. Everything rides sufficient statistics: per-bin (count, sum)
+    histograms (one map-combinable shuffle per round), prefix windows
+    over the |bins|-row series for every candidate split, and the
+    split score S_L²/n_L + S_R²/n_R (the SSE-reduction identity — Σr²
+    cancels, so no squared-residual accumulator is ever needed). Leaf
+    predictions floor-divide in int64; the 1-row winner broadcasts
+    into the residual pass, so the corpus is scanned twice total.
+    AdaBoost (ml_adaboost_stumps) is the classification sibling; this
+    is the regression-boosting workhorse."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+
+    def best_stump(rows: DataFrame, feat: str, target: str) -> DataFrame:
+        bins = rows.groupBy(F.col(feat).alias("bin")).agg(
+            F.count("*").alias("n"), F.sum(target).alias("s")
+        )
+        tot = bins.agg(F.sum("n").alias("tn"), F.sum("s").alias("ts"))
+        wpre = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+        cum = bins.select(
+            "bin",
+            F.coalesce(F.sum("n").over(wpre), F.lit(0)).alias("ln"),
+            F.coalesce(F.sum("s").over(wpre), F.lit(0)).alias("ls"),
+        )
+        ln, ls = F.col("ln"), F.col("ls")
+        tn, ts = F.col("tn"), F.col("ts")
+        rs, rn = ts - ls, tn - ln
+        scored = (
+            cum.crossJoin(F.broadcast(tot))
+            .filter((ln > 0) & (rn > 0))
+            .select(
+                F.col("bin").alias("threshold"),
+                ln.alias("left_n"),
+                rn.alias("right_n"),
+                F.expr("ls div ln").alias("left_pred"),
+                F.expr("(ts - ls) div (tn - ln)").alias("right_pred"),
+                F.round(
+                    ls.cast("double") * ls / ln + rs.cast("double") * rs / rn, 4
+                ).alias("score"),
+            )
+        )
+        w = Window.orderBy(F.col("score").desc(), F.col("threshold").asc())
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+
+    best1 = best_stump(base, "q", "cents")
+    resid = base.crossJoin(F.broadcast(best1.select(
+        F.col("threshold").alias("thr1"),
+        F.col("left_pred").alias("lp1"),
+        F.col("right_pred").alias("rp1"),
+    ))).select(
+        "disc",
+        (
+            F.col("cents")
+            - F.when(F.col("q") <= F.col("thr1"), F.col("lp1")).otherwise(
+                F.col("rp1")
+            )
+        ).alias("r"),
+    )
+    best2 = best_stump(resid, "disc", "r")
+    out_cols = ["threshold", "left_n", "right_n", "left_pred", "right_pred"]
+    return (
+        best1.select(
+            F.lit(1).alias("round"), F.lit("quantity").alias("feature"), *out_cols
+        )
+        .unionByName(
+            best2.select(
+                F.lit(2).alias("round"),
+                F.lit("discount_pct").alias("feature"),
+                *out_cols,
+            )
+        )
+    )

@@ -170,3 +170,18 @@ def test_ivfpq_full_routing_equals_pq_adc(spark):
         for r in pq_adc_topk(emb, [0, 1], k=3).collect()
     }
     assert got == want
+
+
+def test_gbm_stumps_structure(spark, sf_dir):
+    rows = {r.round: r for r in suite.QUERIES["ml_gbm_stumps"](spark, sf_dir).collect()}
+    assert set(rows) == {1, 2}
+    n = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    for r in rows.values():
+        # every split is non-degenerate and partitions the full corpus
+        assert r.left_n > 0 and r.right_n > 0
+        assert r.left_n + r.right_n == n
+    # round 2 fits residuals: its leaf predictions are centered near
+    # zero relative to the round-1 price-scale predictions.
+    r1, r2 = rows[1], rows[2]
+    scale = max(abs(r1.left_pred), abs(r1.right_pred))
+    assert max(abs(r2.left_pred), abs(r2.right_pred)) < scale
