@@ -276,6 +276,9 @@ def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
     scores for every destination node — on a bipartite graph the two
     ID spaces never collide.
     """
+    if iterations < 1:
+        raise ValueError("hits: iterations must be >= 1 (auth scores only "
+                         "exist after the first half-step)")
     hubs = (
         edges.select("src")
         .distinct()
