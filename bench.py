@@ -255,6 +255,8 @@ HEADLINE = [
     "st_minhash_dedup",
     # round 6 batch F: gradient-boosted regression stumps
     "ml_gbm_stumps",
+    # round 6 batch G: serpentine load-balanced sharding
+    "sp_snake_sharding",
 ]
 
 

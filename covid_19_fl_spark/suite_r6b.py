@@ -689,3 +689,90 @@ def ml_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch G — serpentine load-balanced sharding
+# ---------------------------------------------------------------------------
+
+_SNAKE_WORKERS = 8
+
+
+@query(
+    "sp_snake_sharding",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, tokens,
+             ROW_NUMBER() OVER (ORDER BY tokens DESC, doc_id ASC) - 1 AS r0
+      FROM sized
+    ),
+    assigned AS (
+      SELECT tokens,
+             CASE WHEN (r0 // {_SNAKE_WORKERS}) % 2 = 0
+                  THEN r0 % {_SNAKE_WORKERS}
+                  ELSE {_SNAKE_WORKERS} - 1 - (r0 % {_SNAKE_WORKERS})
+             END AS worker
+      FROM ranked
+    ),
+    per AS (
+      SELECT worker, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(tokens) AS BIGINT) AS token_load
+      FROM assigned GROUP BY worker
+    ),
+    tot AS (SELECT SUM(token_load) AS total FROM per)
+    SELECT worker, n_docs, token_load,
+           ROUND(token_load * {_SNAKE_WORKERS}.0 / total, 6) AS load_ratio
+    FROM per, tot
+    """,
+)
+def sp_snake_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serpentine (snake-order) load-balanced sharding: documents sort
+    by token count descending and deal onto W workers
+    boustrophedon-style (row r0 → worker r0 mod W on even passes,
+    mirrored on odd passes), the deterministic one-pass stand-in for
+    LPT bin packing that data-parallel training uses to equalize
+    per-worker token load. The global rank comes from
+    operators/ranks.with_global_prefix's bucket-spine decomposition —
+    NO single-reducer sort anywhere (bucket = −tokens, a
+    non-decreasing function of the DESC sort key); assignment is then
+    a pure row expression and the report is one map-combinable
+    aggregate. ``load_ratio`` ≈ 1.0 per worker measures the balance
+    achieved (ratio of each worker's load to the ideal equal split)."""
+    from .llmops import text
+    from .operators.ranks import with_global_prefix
+
+    w = _SNAKE_WORKERS
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count(F.col("text")).cast("long").alias("tokens")
+    )
+    ranked = with_global_prefix(
+        docs,
+        bucket=-F.col("tokens"),
+        order_cols=[F.col("tokens").desc(), F.col("doc_id").asc()],
+        rn="rn",
+    ).withColumn("r0", F.col("rn") - 1)
+    assigned = ranked.select(
+        "tokens",
+        F.when(
+            F.expr(f"(r0 div {w}) % 2 = 0"), F.col("r0") % w
+        ).otherwise(F.lit(w - 1) - F.col("r0") % w).alias("worker"),
+    )
+    per = assigned.groupBy("worker").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("tokens").cast("long").alias("token_load"),
+    )
+    tot = per.agg(F.sum("token_load").alias("total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "worker",
+        "n_docs",
+        "token_load",
+        F.round(F.col("token_load") * float(w) / F.col("total"), 6).alias(
+            "load_ratio"
+        ),
+    )

@@ -185,3 +185,13 @@ def test_gbm_stumps_structure(spark, sf_dir):
     r1, r2 = rows[1], rows[2]
     scale = max(abs(r1.left_pred), abs(r1.right_pred))
     assert max(abs(r2.left_pred), abs(r2.right_pred)) < scale
+
+
+def test_snake_sharding_balances_load(spark, sf_dir):
+    rows = suite.QUERIES["sp_snake_sharding"](spark, sf_dir).collect()
+    assert len(rows) == 8
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n
+    # serpentine dealing of size-sorted docs keeps every worker within
+    # a few percent of the ideal equal token split
+    assert all(0.8 <= r.load_ratio <= 1.2 for r in rows)
