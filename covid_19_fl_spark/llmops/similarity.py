@@ -246,10 +246,16 @@ def ivf_topk_indexed(
     """Top-k over a persisted :func:`build_ivf_index` index.
     Ranking matches ``ivf_topk`` exactly (rounded cosine desc, id asc).
 
-    Routing collects ``nprobe`` (query, cluster) pairs per query id —
-    a handful of driver-side rows by contract — so the probe scan's
-    ``cluster IN (...)`` lands as a literal PartitionFilter and only
-    the routed partition directories are read (asserted in tests)."""
+    Routing never touches the driver: the probe join broadcasts the
+    routed (query, cluster) table and Spark's dynamic partition
+    pruning reuses that broadcast as a runtime PartitionFilter on the
+    hive-partitioned ``cluster`` column (asserted in tests as a
+    ``dynamicpruningexpression`` on the scan), so only the routed
+    partition directories are read. The earlier shape collected the
+    routed labels to build a literal ``IN`` filter — bounded at
+    |queries|·nprobe, but the one planning-time collect that grew
+    with query-batch size; a 10⁶-query batch would have funneled
+    through the driver."""
     centroids = spark.read.parquet(f"{path}/centroids")
     vectors = spark.read.parquet(f"{path}/vectors")
     queries = vectors.filter(F.col(id_col).isin(query_ids)).select(
@@ -269,10 +275,8 @@ def ivf_topk_indexed(
         .filter(F.col("crank") <= F.lit(int(nprobe)))
         .select("query_id", "qvec", F.col("label").alias("probe_label"))
     )
-    probe_labels = sorted({r.probe_label for r in routed.select("probe_label").collect()})
-    pruned = vectors.filter(F.col("cluster").isin([int(x) for x in probe_labels]))
     scored = (
-        pruned.join(F.broadcast(routed), pruned["cluster"] == routed.probe_label)
+        vectors.join(F.broadcast(routed), vectors["cluster"] == routed.probe_label)
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
@@ -720,13 +724,22 @@ def binary_codes(vec: Column) -> Column:
     Python). Each word is a left-fold over the REVERSED slice
     (acc*2 + bit) in plain int64 arithmetic, so codes are
     bit-identical across engines; the oracle spells the same numbers
-    as ``list_sum([1<<(j-1) where slice[j]>0])``."""
+    as ``list_sum([1<<(j-1) where slice[j]>0])``.
+
+    Zero-length vectors code to an EMPTY array: Spark's
+    ``sequence(0, -1)`` yields a descending ``[0, -1]`` (not empty,
+    unlike DuckDB's ``generate_series(0, -1)``), which would fabricate
+    a spurious two-word code — the guard below pins both engines to
+    the same empty-code semantics."""
     w = BQ_WORD_BITS
     zero = F.lit(0).cast("long")
     one = F.lit(1).cast("long")
     nwords = F.ceil(F.size(vec) / F.lit(float(w))).cast("int")
+    word_idx = F.when(
+        nwords > 0, F.sequence(F.lit(0), nwords - 1)
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(
-        F.sequence(F.lit(0), nwords - 1),
+        word_idx,
         lambda wi: F.aggregate(
             F.reverse(F.slice(vec, wi * w + 1, F.lit(w))),
             zero,

@@ -214,7 +214,7 @@ _SEG_WORDS = 10
     ),
     flagged AS (
       SELECT doc_id, pos, seg,
-             (doc_id * 1000000 + pos) = MIN(doc_id * 1000000 + pos)
+             {{'d': doc_id, 'p': pos}} = MIN({{'d': doc_id, 'p': pos}})
                OVER (PARTITION BY seg) AS keep
       FROM segs
     )
@@ -252,7 +252,12 @@ def tx_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos", "seg"),
     )
     wseg = Window.partitionBy("seg")
-    key = F.col("doc_id") * 1000000 + F.col("pos")
+    # Collision-free first-occurrence key: lexicographic MIN over the
+    # (doc_id, pos) struct — the earlier doc_id*1e6+pos arithmetic key
+    # collides for documents with >= 1e6 segments, silently corrupting
+    # the winner for huge docs (both engines compare structs
+    # lexicographically, so the oracle mirrors it exactly).
+    key = F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))
     flagged = segs.withColumn("keep", key == F.min(key).over(wseg))
     kept_structs = F.when(F.col("keep"), F.struct("pos", "seg"))
     return flagged.groupBy("doc_id").agg(
@@ -473,8 +478,17 @@ def st_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracled surface — is deterministic. Production unbounded
     streams would bound state with dropDuplicatesWithinWatermark;
     the bounded availableNow drain keeps full state so the batch
-    oracle equality is exact."""
+    oracle equality is exact.
+
+    Drain: foreachBatch → parquet APPEND (append-mode batches are
+    disjoint survivor sets, so appends never double-count), exactly
+    st_session_windows' shape — the earlier memory sink collected
+    every surviving (lang, sig) row into driver RAM, which on a
+    mostly-distinct 100 TB corpus is a corpus-sized driver collect.
+    Executors write survivors distributed; the driver only ever sees
+    the ≤|langs|-row final rollup."""
     import os
+    import uuid
 
     from .llmops import dedup
     from .suite_r4 import _stage_stream_dir, _stream_shuffle_partitions
@@ -493,13 +507,12 @@ def st_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", sig.alias("sig"))
         .dropDuplicates(["lang", "sig"])
     )
-    import uuid
-
-    sink = f"st_mh_dedup_{uuid.uuid4().hex[:8]}"
+    out_dir = f"/tmp/st_mh_dedup_{uuid.uuid4().hex[:8]}"
     with _stream_shuffle_partitions(spark):
         q = (
-            src.writeStream.format("memory")
-            .queryName(sink)
+            src.writeStream.foreachBatch(
+                lambda bdf, _eid: bdf.write.mode("append").parquet(out_dir)
+            )
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
@@ -513,7 +526,7 @@ def st_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     return (
-        spark.table(sink)
+        spark.read.parquet(out_dir)
         .groupBy("lang")
         .agg(F.count("*").cast("long").alias("n_unique_docs"))
     )

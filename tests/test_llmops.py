@@ -258,6 +258,14 @@ def test_ivf_index_persisted_matches_inline_and_prunes(spark, tmp_path, sf_dir):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cluster" in m.group(1), plan[:800]
+    # The pruning must be the broadcast-reused DYNAMIC filter, not a
+    # literal IN built from a driver-side collect of routed labels —
+    # the routed table never funnels through the driver.
+    assert "dynamicpruningexpression" in m.group(1), m.group(1)
+    import inspect
+
+    src = inspect.getsource(similarity.ivf_topk_indexed)
+    assert ".collect()" not in src, "ivf_topk_indexed must not collect"
 
 
 def test_inverted_index_semantics(spark):
