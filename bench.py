@@ -236,6 +236,7 @@ HEADLINE = [
     # round 6 batch B: link prediction, MMR re-rank, Gini importance,
     # stream-static enrichment
     "x_link_prediction",
+    "x_link_prediction_topm",
     "ss_mmr_rerank",
     "ml_gini_importance",
     "st_stream_static_enrich",

@@ -43,6 +43,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return tables.load(spark, sf_dir, name)
 
 
+# Hard ceiling for the two deliberately-uncapped lossless similarity
+# self-joins (dd_jaccard_prefix_join, dd_edit_distance_join). They are
+# oracle twins whose OUTPUT is expected-quadratic on duplicate-dense
+# corpora; the capped dd_*_topm_join twins are the production path.
+# The ceiling is far above every test corpus (sf0.1 = 5k docs, the
+# 100x scale replica = 500k) but trips LOUDLY before anyone schedules
+# an answer-sized join on a production corpus by accident.
+QUADRATIC_GUARD_MAX_ROWS = 2_000_000
+
+
+def guard_quadratic(df: DataFrame, query_name: str) -> DataFrame:
+    """Refuse to run an expected-quadratic lossless join above
+    QUADRATIC_GUARD_MAX_ROWS input rows (one cheap count job — linear,
+    column-pruned — against a potentially answer-sized output)."""
+    n = df.count()
+    if n > QUADRATIC_GUARD_MAX_ROWS:
+        raise RuntimeError(
+            f"{query_name}: corpus has {n:,} rows, above the "
+            f"{QUADRATIC_GUARD_MAX_ROWS:,}-row quadratic guard. This "
+            "query is the uncapped LOSSLESS oracle twin (output can be "
+            "quadratic in duplicate mass); run the capped top-m "
+            "production twin instead (dd_jaccard_topm_join / "
+            "dd_edit_topm_join)."
+        )
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (SURVEY §2.5)
 # ---------------------------------------------------------------------------
@@ -337,3 +364,4 @@ from . import suite_r5g  # noqa: E402,F401
 from . import suite_r5h  # noqa: E402,F401
 from . import suite_r6  # noqa: E402,F401
 from . import suite_r6b  # noqa: E402,F401
+from . import suite_r7  # noqa: E402,F401

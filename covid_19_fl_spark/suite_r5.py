@@ -1109,8 +1109,11 @@ def dd_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     11.7M pairs at sf0.1: an answer-sized result that measured corpus
     dup-saturation, not an operator)."""
     from .llmops import dedup
+    from .suite import guard_quadratic
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = guard_quadratic(
+        _t(spark, sf_dir, "documents"), "dd_jaccard_prefix_join"
+    )
     return dedup.jaccard_prefix_pairs(docs, "text", "doc_id", 60, 3)
 
 

@@ -73,10 +73,11 @@ def dd_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tolerant generalization a scraped corpus needs.
     """
     from .llmops.dedup import edit_distance_pairs
+    from .suite import guard_quadratic
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.substring("text", 1, _ED_PFX).alias("pfx")
-    )
+    docs = guard_quadratic(
+        _t(spark, sf_dir, "documents"), "dd_edit_distance_join"
+    ).select("doc_id", F.substring("text", 1, _ED_PFX).alias("pfx"))
     return edit_distance_pairs(docs, "pfx", "doc_id")
 
 

@@ -590,3 +590,23 @@ def test_dup_clusters_chain_exact_under_any_partitioning(spark):
     assert {(r.doc_id, r.cluster_id) for r in rows} == {
         (i, 1) for i in range(1, 201)
     }
+
+
+def test_quadratic_guard_trips_above_ceiling(spark):
+    """The two uncapped lossless similarity joins must refuse a
+    production-sized corpus loudly (VERDICT r6 ask #9) while staying
+    inert on every test corpus size."""
+    import inspect
+
+    from covid_19_fl_spark import suite, suite_r5, suite_r5b
+
+    small = spark.range(10).select(F.col("id").alias("doc_id"))
+    assert suite.guard_quadratic(small, "q").count() == 10  # passthrough
+
+    big = spark.range(suite.QUADRATIC_GUARD_MAX_ROWS + 1)
+    with pytest.raises(RuntimeError, match="quadratic guard"):
+        suite.guard_quadratic(big, "dd_jaccard_prefix_join")
+
+    # both uncapped twins actually call the guard
+    for fn in (suite_r5.dd_jaccard_prefix_join, suite_r5b.dd_edit_distance_join):
+        assert "guard_quadratic" in inspect.getsource(fn)
