@@ -237,6 +237,13 @@ HEADLINE = [
     # stream-static enrichment
     "x_link_prediction",
     "x_link_prediction_topm",
+    "cur_gopher_rules",
+    "ml_target_encoding",
+    "ss_rbo_eval",
+    "ml_isotonic_calibration",
+    "sp_curriculum_order",
+    "x_label_propagation",
+    "st_exactly_once_batchid",
     "ss_mmr_rerank",
     "ml_gini_importance",
     "st_stream_static_enrich",

@@ -1,17 +1,26 @@
-"""Round-7 suite batch — per-source capped link prediction.
+"""Round-7 suite batch.
 
-``x_link_prediction`` ranks every non-adjacent common-neighbor pair
-GLOBALLY (top-50 by resource allocation), which is the lossless
-report shape but funnels the final rank through one ordered limit.
-The production twin here is the recommender shape a 100 TB graph
-actually serves: each source vertex u gets its own top-m predicted
-partners via a u-partitioned rank — output bounded at m·|V| no
-matter how score mass concentrates, no global ordering anywhere in
-the plan (``dd_jaccard_topm_join``'s cap pattern applied to graphs).
+- ``x_link_prediction_topm`` — per-source capped link prediction, the
+  production twin of ``x_link_prediction``'s global top-50 (VERDICT r6
+  ask #3): each source vertex gets its own top-m predicted partners
+  via a src-partitioned rank, output ≤ m·|V|, no global sort.
+- ``cur_gopher_rules`` — Gopher-style multi-rule quality gate with
+  per-rule flags, pure scan-stage HOFs.
+- ``ml_target_encoding`` — leakage-safe K-fold out-of-fold categorical
+  target encoding from integer sufficient statistics.
+- ``ss_rbo_eval`` — rank-biased overlap between the exact and IVF
+  retrievers (top-weighted ranking agreement).
+- ``ml_isotonic_calibration`` — exact isotonic (PAV) fit via the
+  minimax closed form over bounded score bins.
+- ``sp_curriculum_order`` — easy→hard curriculum feed order through a
+  bucket-spine prefix rank (no global sort).
+- ``x_label_propagation`` — deterministic 3-round synchronous LPA.
+- ``st_exactly_once_batchid`` — exactly-once streaming ingest via an
+  idempotent batch_id-partitioned ledger, redelivery exercised.
 
-Reference tie-in: the reference has no graph surface; the bought-
-together graph derives from the same lineitem order/part pairs its
-county groupbys aggregate (cv-county-stats.py:49-52).
+Reference tie-in: the reference has no graph/ML/streaming surface;
+these derive from the same order/part/document tables its pandas
+groupbys aggregate (cv-county-stats.py:49-52, cv-stats.py:54-56).
 """
 
 from __future__ import annotations
@@ -155,4 +164,661 @@ def x_link_prediction_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym.withColumn("rk", F.row_number().over(wr).cast("long"))
         .filter(F.col("rk") <= _LP_TOP_M)
         .select("src", "partner", "cn", "ra", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule report
+# ---------------------------------------------------------------------------
+
+
+def _gopher_oracle() -> str:
+    from .suite_llmops import _STOP_SQL, _WORDS_SQL
+
+    w = _WORDS_SQL
+    return f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len({w}) AS BIGINT) AS n_words,
+             CAST(list_sum([len(x) for x in {w}]) AS DOUBLE)
+               / len({w}) AS mwl_raw,
+             CAST(len(list_filter({w}, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS DOUBLE) / len({w}) AS alpha_raw,
+             CAST(len(list_filter({w}, x -> list_contains({_STOP_SQL['en']}, x)))
+                  AS BIGINT) AS stop_hits
+      FROM documents
+    ),
+    flagged AS (
+      SELECT doc_id, n_words, mwl_raw, alpha_raw, stop_hits,
+             CAST(n_words BETWEEN 50 AND 100000 AS INT)
+               + CAST(mwl_raw BETWEEN 3.0 AND 10.0 AS INT)
+               + CAST(alpha_raw >= 0.8 AS INT)
+               + CAST(stop_hits >= 2 AS INT) AS n_ok
+      FROM feats
+    )
+    SELECT doc_id, n_words,
+           ROUND(mwl_raw, 6) AS mean_word_len,
+           ROUND(alpha_raw, 6) AS alpha_ratio,
+           stop_hits,
+           CAST(4 - n_ok AS BIGINT) AS n_rules_failed,
+           n_ok = 4 AS keep
+    FROM flagged
+    """
+
+
+@query("cur_gopher_rules", oracle=_gopher_oracle())
+def cur_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style multi-rule quality gate (Rae et al. 2021 §A1.1's
+    repetition-free subset): word-count band, mean-word-length band,
+    alphabetic-word ratio, and minimum stopword evidence — each rule a
+    named per-document flag plus the failed-rule count, so curation
+    can report WHY a document fell out, not just that it did
+    (cur_quality_filter's single blended score can't).
+
+    Every feature is a scan-stage higher-order fold over the token
+    array (one split, let-bound) — no shuffle, no UDF; rule
+    comparisons run on the UNROUNDED doubles (exact integer-count
+    divisions, identical IEEE in both engines) and rounding is
+    display-only. At 100 TB this is a pure map stage that pipelines
+    into whatever sink or sample follows."""
+    from .llmops import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = T.words(F.col("text"))
+    n_words = F.size(ws).cast("long")
+    sum_len = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mwl = sum_len.cast("double") / n_words
+    alpha_cnt = F.size(F.filter(ws, lambda x: x.rlike("[A-Za-z]")))
+    alpha = alpha_cnt.cast("double") / n_words
+    stops = T.stopword_hits(F.col("text"), "en").cast("long")
+    feats = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mwl_raw"),
+        alpha.alias("alpha_raw"),
+        stops.alias("stop_hits"),
+    )
+    n_ok = (
+        F.col("n_words").between(50, 100000).cast("int")
+        + F.col("mwl_raw").between(3.0, 10.0).cast("int")
+        + (F.col("alpha_raw") >= 0.8).cast("int")
+        + (F.col("stop_hits") >= 2).cast("int")
+    )
+    return feats.select(
+        "doc_id",
+        "n_words",
+        F.round("mwl_raw", 6).alias("mean_word_len"),
+        F.round("alpha_raw", 6).alias("alpha_ratio"),
+        "stop_hits",
+        (F.lit(4) - n_ok).cast("long").alias("n_rules_failed"),
+        (n_ok == 4).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-fold target encoding
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_target_encoding",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS category,
+             CAST(o_orderkey % 5 AS BIGINT) AS fold,
+             CAST(o_orderstatus = 'F' AS BIGINT) AS y
+      FROM orders
+    ),
+    cells AS (
+      SELECT category, fold,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s
+      FROM base GROUP BY 1, 2
+    ),
+    enriched AS (
+      SELECT category, fold, n, s,
+             CAST(SUM(n) OVER (PARTITION BY category) AS BIGINT) AS n_cat,
+             CAST(SUM(s) OVER (PARTITION BY category) AS BIGINT) AS s_cat,
+             CAST(SUM(n) OVER (PARTITION BY fold) AS BIGINT) AS n_fold,
+             CAST(SUM(s) OVER (PARTITION BY fold) AS BIGINT) AS s_fold,
+             CAST(SUM(n) OVER () AS BIGINT) AS n_tot,
+             CAST(SUM(s) OVER () AS BIGINT) AS s_tot
+      FROM cells
+    )
+    SELECT category, fold, n AS n_in_fold,
+           CAST(n_cat - n AS BIGINT) AS n_oof,
+           ROUND(CASE WHEN n_cat - n > 0
+                      THEN CAST(s_cat - s AS DOUBLE) / (n_cat - n)
+                      ELSE CAST(s_tot - s_fold AS DOUBLE) / (n_tot - n_fold)
+                 END, 6) AS enc_oof
+    FROM enriched
+    """,
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe K-fold out-of-fold target encoding: each
+    (category, fold) cell's encoding is the target mean computed over
+    every OTHER fold's rows of that category — the standard
+    categorical-feature trick (scikit's TargetEncoder) done the
+    train-safe way, with the global out-of-fold prior as the
+    degenerate-cell fallback.
+
+    One map-combined scan aggregates the fact table to |cats|·K
+    integer sufficient-statistic cells; every window after that runs
+    on the ≤25-row cell table (domain-bounded, never the fact table),
+    so at 100 TB the plan is one shuffle of partial (n, Σy) pairs.
+    Encodings are exact-integer differences divided once at the end —
+    identical IEEE division in both engines, 6dp display round."""
+    orders = _t(spark, sf_dir, "orders")
+    cells = (
+        orders.select(
+            F.col("o_orderpriority").alias("category"),
+            (F.col("o_orderkey") % 5).cast("long").alias("fold"),
+            (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+        )
+        .groupBy("category", "fold")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("s"))
+    )
+    wc = Window.partitionBy("category")
+    wf = Window.partitionBy("fold")
+    wg = Window.partitionBy()  # 25-row post-agg cell table: domain-bounded
+    e = cells.select(
+        "category",
+        "fold",
+        "n",
+        "s",
+        F.sum("n").over(wc).alias("n_cat"),
+        F.sum("s").over(wc).alias("s_cat"),
+        F.sum("n").over(wf).alias("n_fold"),
+        F.sum("s").over(wf).alias("s_fold"),
+        F.sum("n").over(wg).alias("n_tot"),
+        F.sum("s").over(wg).alias("s_tot"),
+    )
+    oof_n = F.col("n_cat") - F.col("n")
+    enc = F.when(
+        oof_n > 0, (F.col("s_cat") - F.col("s")).cast("double") / oof_n
+    ).otherwise(
+        (F.col("s_tot") - F.col("s_fold")).cast("double")
+        / (F.col("n_tot") - F.col("n_fold"))
+    )
+    return e.select(
+        "category",
+        "fold",
+        F.col("n").alias("n_in_fold"),
+        oof_n.cast("long").alias("n_oof"),
+        F.round(enc, 6).alias("enc_oof"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap between the exact and the IVF retriever
+# ---------------------------------------------------------------------------
+
+_RBO_P = 0.9
+_RBO_K = 5
+# W[m] = Σ_{d=m..K} (1-p)·p^(d-1)/d — the total RBO mass a common
+# neighbor first agreed on at depth m contributes. Precomputed in
+# Python and inlined as the SAME literal doubles into the Spark plan
+# and the DuckDB oracle, so neither engine evaluates pow() (whose
+# libm may differ) at query time.
+_RBO_W = [
+    sum((1.0 - _RBO_P) * _RBO_P ** (d - 1) / d for d in range(m, _RBO_K + 1))
+    for m in range(1, _RBO_K + 1)
+]
+
+
+def _rbo_oracle() -> str:
+    from .suite import ORACLES
+
+    w_list = "[" + ", ".join(repr(w) for w in _RBO_W) + "]"
+    return f"""
+    WITH exact AS (
+      SELECT * FROM ({ORACLES["ss_cosine_topk"]}) e
+    ), approx AS (
+      SELECT * FROM ({ORACLES["ss_ivf_topk"]}) a
+    ), common AS (
+      SELECT e.query_id,
+             GREATEST(e.rank, a.rank) AS m
+      FROM exact e JOIN approx a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    ), contrib AS (
+      SELECT query_id, m,
+             CAST(COUNT(*) AS BIGINT) AS n_m,
+             COUNT(*) * ({w_list})[m] AS c
+      FROM common GROUP BY 1, 2
+    )
+    SELECT query_id,
+           CAST(SUM(n_m) AS BIGINT) AS n_common,
+           ROUND(list_reduce(
+             list_prepend(0.0::DOUBLE, list(c ORDER BY m ASC)),
+             (acc, x) -> acc + x), 6) AS rbo
+    FROM contrib
+    GROUP BY query_id
+    """
+
+
+@query("ss_rbo_eval", oracle=_rbo_oracle())
+def ss_rbo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010, truncated prefix
+    form) between the exact brute-force retriever and the IVF
+    approximate retriever, per query — the ranking-similarity
+    companion to ss_ivf_recall (recall counts set hits; RBO weights
+    agreement by HOW HIGH it happens, p=0.9 top-weighted).
+
+    A common neighbor whose ranks are (r_e, r_a) first counts at
+    depth m = max(r_e, r_a), so its total mass Σ_{{d≥m}} (1-p)p^(d-1)/d
+    is a 5-entry literal lookup table shared verbatim with the oracle.
+    Per query the fold adds ≤K doubles in pinned m-ascending order —
+    bit-identical cross-engine. Cost is O(|queries|·k) join rows on
+    top of the two retrievals; the corpus is never re-scanned."""
+    from .llmops import similarity
+    from .suite_llmops import _QUERY_IDS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, _QUERY_IDS, k=_RBO_K).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rank_e")
+    )
+    approx = similarity.ivf_topk(emb, _QUERY_IDS, k=_RBO_K).select(
+        F.col("query_id").alias("a_qid"),
+        F.col("neighbor_id").alias("a_nid"),
+        F.col("rank").alias("rank_a"),
+    )
+    w_arr = F.array(*[F.lit(w) for w in _RBO_W])
+    common = exact.join(
+        approx,
+        (F.col("query_id") == F.col("a_qid"))
+        & (F.col("neighbor_id") == F.col("a_nid")),
+    ).select(
+        "query_id", F.greatest("rank_e", "rank_a").cast("int").alias("m")
+    )
+    contrib = common.groupBy("query_id", "m").agg(
+        F.count("*").alias("n_m")
+    ).select(
+        "query_id",
+        "m",
+        "n_m",
+        (F.col("n_m") * F.element_at(w_arr, F.col("m"))).alias("c"),
+    )
+    folded = contrib.groupBy("query_id").agg(
+        F.sum("n_m").cast("long").alias("n_common"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "c"))),
+                    lambda s: s["c"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("rbo"),
+    )
+    return folded.select("query_id", "n_common", "rbo")
+
+
+# ---------------------------------------------------------------------------
+# Exact isotonic calibration over bounded score bins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_isotonic_calibration",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS bin,
+             CAST(l_returnflag = 'R' AS BIGINT) AS y
+      FROM lineitem
+    ),
+    bins AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+      FROM base GROUP BY 1
+    ),
+    pre AS (
+      SELECT bin, n, s,
+             CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+             CAST(SUM(s) OVER (ORDER BY bin) AS BIGINT) AS cs
+      FROM bins
+    ),
+    t AS (
+      SELECT j.bin AS j, k.bin AS k,
+             CAST(k.cs - j.cs + j.s AS DOUBLE)
+               / CAST(k.cn - j.cn + j.n AS DOUBLE) AS seg_avg
+      FROM pre j JOIN pre k ON k.bin >= j.bin
+    ),
+    mn AS (
+      SELECT b.bin, t.j, MIN(t.seg_avg) AS lo
+      FROM pre b JOIN t ON t.j <= b.bin AND t.k >= b.bin
+      GROUP BY 1, 2
+    )
+    SELECT m.bin, p.n,
+           ROUND(CAST(p.s AS DOUBLE) / p.n, 6) AS raw_rate,
+           ROUND(MAX(m.lo), 6) AS iso_rate
+    FROM mn m JOIN pre p ON p.bin = m.bin
+    GROUP BY 1, 2, p.s
+    """,
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact isotonic regression (PAV fit) of return rate on the
+    discount bin, via the minimax closed form iso(i) =
+    max_{j<=i} min_{k>=i} mean(y[j..k]) — the calibration step that
+    turns a monotone score into calibrated probabilities
+    (ml_calibration_bins reports raw reliability; this enforces
+    monotonicity exactly, no iterative pooling).
+
+    One map-combined scan reduces the fact table to <=11 integer
+    (n, Σy) bins; everything after — prefix sums, all O(B²) segment
+    means, the minimax double-reduction — runs on that domain-bounded
+    bin table (the unpartitioned window and the range self-joins
+    touch <=11/66 rows; the tiny side broadcasts, so no
+    CartesianProduct and no data-sized shuffle). Segment means are
+    exact-integer differences divided once — identical IEEE both
+    engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    bins = (
+        li.select(
+            F.round(F.col("l_discount") * 100, 0).cast("long").alias("bin"),
+            (F.col("l_returnflag") == "R").cast("long").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("s"))
+    )
+    wp = Window.partitionBy().orderBy("bin")  # <=11-row bin table
+    pre = bins.select(
+        "bin",
+        "n",
+        "s",
+        F.sum("n").over(wp).cast("long").alias("cn"),
+        F.sum("s").over(wp).cast("long").alias("cs"),
+    )
+    j = pre.select(
+        F.col("bin").alias("j"),
+        F.col("n").alias("jn"),
+        F.col("s").alias("js"),
+        F.col("cn").alias("jcn"),
+        F.col("cs").alias("jcs"),
+    )
+    k = pre.select(
+        F.col("bin").alias("k"),
+        F.col("cn").alias("kcn"),
+        F.col("cs").alias("kcs"),
+    )
+    t = j.join(F.broadcast(k), F.col("k") >= F.col("j")).select(
+        "j",
+        "k",
+        (
+            (F.col("kcs") - F.col("jcs") + F.col("js")).cast("double")
+            / (F.col("kcn") - F.col("jcn") + F.col("jn")).cast("double")
+        ).alias("seg_avg"),
+    )
+    b = pre.select(F.col("bin"), F.col("n"), F.col("s"))
+    mn = (
+        b.join(
+            F.broadcast(t),
+            (F.col("j") <= F.col("bin")) & (F.col("k") >= F.col("bin")),
+        )
+        .groupBy("bin", "n", "s", "j")
+        .agg(F.min("seg_avg").alias("lo"))
+    )
+    return mn.groupBy("bin", "n", "s").agg(
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("raw_rate"),
+        F.round(F.max("lo"), 6).alias("iso_rate"),
+    ).select("bin", "n", "raw_rate", "iso_rate")
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering without a global sort
+# ---------------------------------------------------------------------------
+
+
+def _curriculum_oracle() -> str:
+    from .suite_llmops import _QUALITY_SQL
+
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, quality,
+             CAST(9 - LEAST(9, GREATEST(0, FLOOR(quality * 10))) AS BIGINT)
+               AS difficulty_bucket
+      FROM scored
+    )
+    SELECT doc_id, quality, difficulty_bucket,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY difficulty_bucket ASC,
+                      md5(CAST(doc_id AS VARCHAR)) ASC,
+                      doc_id ASC) AS BIGINT) AS pos
+    FROM bucketed
+    """
+
+
+@query("sp_curriculum_order", oracle=_curriculum_oracle())
+def sp_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: highest-quality (easiest) documents
+    first, in 10 fixed difficulty bands, shuffled deterministically
+    within each band by md5(doc_id) — the curriculum-learning feed
+    order (easy→hard) with sp_epoch_shuffle's reproducibility
+    property (any worker recomputes any position without a stored
+    permutation).
+
+    The GLOBAL position never runs through a global sort: the
+    difficulty band is the bucket of a bucket-spine prefix rank
+    (operators/ranks.with_global_prefix) — one map-combined count per
+    band, broadcast offsets, and a band-partitioned local rank. Fixed
+    score thresholds (not quantiles) keep the band assignment a pure
+    row function, so the plan is scan → one keyed shuffle — the same
+    shape at 100 TB."""
+    from .llmops import text as T
+    from .operators import ranks
+
+    docs = _t(spark, sf_dir, "documents")
+    q = T.quality_score(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        q.alias("quality"),
+        (
+            F.lit(9)
+            - F.least(
+                F.lit(9), F.greatest(F.lit(0), F.floor(q * 10).cast("int"))
+            )
+        )
+        .cast("long")
+        .alias("difficulty_bucket"),
+    )
+    ranked = ranks.with_global_prefix(
+        scored,
+        F.col("difficulty_bucket"),
+        [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")],
+        rn="pos",
+    )
+    return ranked.select("doc_id", "quality", "difficulty_bucket", "pos")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synchronous label propagation (3 rounds)
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    head = """
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0
+    ), edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), adj AS (
+      SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges
+    ), r0 AS (
+      SELECT DISTINCT a AS node, a AS label FROM adj
+    )"""
+    rounds = []
+    for i in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+    , r{i} AS (
+      SELECT node, label FROM (
+        SELECT ad.a AS node, l.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY ad.a
+                 ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+        FROM adj ad JOIN r{i - 1} l ON l.node = ad.b
+        GROUP BY ad.a, l.label
+      ) WHERE rn = 1
+    )""")
+    return (
+        head
+        + "".join(rounds)
+        + f"""
+    SELECT node, label AS community FROM r{_LPA_ROUNDS}
+    """
+    )
+
+
+@query("x_label_propagation", oracle=_lpa_oracle())
+def x_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    parts-bought-together graph, 3 fixed rounds: every vertex starts
+    as its own community and each round adopts the most frequent
+    label among its neighbors, ties to the smallest label — the
+    deterministic variant (classic async LPA is order-dependent;
+    synchronous + pinned tie-break replays identically on any engine,
+    which is what makes an exact oracle possible).
+
+    Each round is one edge-label equi-join + one (node, label) count
+    + a node-partitioned argmax window — two keyed shuffles, no
+    global ordering, bounded by the fixed round count (the bounded-
+    round contract of x_pagerank / x_hits). localCheckpoint truncates
+    lineage per round so round N's plan doesn't replay rounds 1..N-1.
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    adj = (
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint(eager=False)
+    )
+    labels = adj.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    wn = Window.partitionBy("a").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(_LPA_ROUNDS):
+        msgs = adj.join(labels, adj["b"] == labels["node"]).select("a", "label")
+        counts = msgs.groupBy("a", "label").agg(F.count("*").alias("c"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(wn))
+            .filter(F.col("rn") == 1)
+            .select(F.col("a").alias("node"), "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once streaming ingest via an idempotent batch-id ledger
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st_exactly_once_batchid",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def st_exactly_once_batchid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exactly-once ingest: each micro-batch's partial
+    per-language aggregate lands in a parquet ledger PARTITIONED BY
+    batch_id with dynamic partition overwrite — so redelivering a
+    batch (the at-least-once failure mode every foreachBatch sink must
+    survive: epoch retries after a sink failure) rewrites its OWN
+    partition in place instead of appending a duplicate. The query
+    DELIBERATELY delivers the first micro-batch twice; the final
+    rollup still equals the batch answer exactly, which is the whole
+    exactly-once-from-at-least-once contract (the Delta/Iceberg
+    txn-ledger idiom, spelled with plain parquet partitions).
+
+    Scale shape: per-batch partials are stateless map-combined
+    aggregates (bounded |langs| rows per batch), executors write them
+    distributed, and the driver only sees the final ≤|langs|-row
+    rollup. Replays cost one partition rewrite, never a table scan."""
+    import os
+    import uuid
+
+    from .suite_r4 import _stage_stream_dir, _stream_shuffle_partitions
+
+    stage = _stage_stream_dir(sf_dir, "documents")
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    src = spark.readStream.schema(schema).parquet(stage).select("lang", "n_chars")
+    ledger = f"/tmp/st_eo_ledger_{uuid.uuid4().hex[:8]}"
+    redelivered = {"done": False}
+
+    def sink(bdf: DataFrame, epoch_id: int) -> None:
+        part = (
+            bdf.groupBy("lang")
+            .agg(
+                F.count("*").cast("long").alias("p_docs"),
+                F.sum("n_chars").cast("long").alias("p_chars"),
+            )
+            .withColumn("batch_id", F.lit(int(epoch_id)))
+        )
+        writes = 1
+        if not redelivered["done"]:
+            redelivered["done"] = True
+            writes = 2  # simulated at-least-once redelivery of this epoch
+        for _ in range(writes):
+            (
+                part.write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(ledger)
+            )
+
+    ow_key = "spark.sql.sources.partitionOverwriteMode"
+    ow_old = spark.conf.get(ow_key, None)
+    spark.conf.set(ow_key, "dynamic")
+    try:
+        with _stream_shuffle_partitions(spark):
+            q = (
+                src.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(120):
+                    raise TimeoutError(
+                        "st_exactly_once_batchid: availableNow drain did "
+                        "not finish within 120s — refusing a partial ledger"
+                    )
+            finally:
+                q.stop()
+    finally:
+        if ow_old is None:
+            spark.conf.unset(ow_key)
+        else:
+            spark.conf.set(ow_key, ow_old)
+    return (
+        spark.read.parquet(ledger)
+        .groupBy("lang")
+        .agg(
+            F.sum("p_docs").cast("long").alias("n_docs"),
+            F.sum("p_chars").cast("long").alias("total_chars"),
+        )
     )
