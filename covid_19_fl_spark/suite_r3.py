@@ -1275,22 +1275,31 @@ def x_backlog_burndown(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1
     )
     SELECT custkey,
-           [frequency, ROUND(monetary, 2), last_month, n_priorities]
-             AS features,
+           CAST(frequency AS BIGINT) || ','
+             || CAST(CAST(ROUND(monetary * 100, 0) AS BIGINT) AS VARCHAR) || ','
+             || CAST(last_month AS BIGINT) || ','
+             || CAST(n_priorities AS BIGINT) AS features,
            CAST(custkey % 5 = 0 AS BOOLEAN) AS holdout
     FROM f
     """,
 )
 def ml_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-matrix export: per-customer feature VECTOR (array
-    column) assembled from one hash agg — frequency, exact-DECIMAL
-    monetary total, last-activity month index, priority diversity —
-    plus the deterministic id-mod holdout flag (sp_split_assign's
-    recipe). The array column is the contract every downstream trainer
-    (Arrow → numpy/torch) consumes; building it takes zero extra
-    shuffles because array() is a projection over the agg output.
-    DECIMAL → 2dp round before the array so the float payload is
-    identical across engines and partitionings."""
+    """Training-matrix export: per-customer feature VECTOR assembled
+    from one hash agg — frequency, exact-DECIMAL monetary total
+    (cents), last-activity month index, priority diversity — plus the
+    deterministic id-mod holdout flag (sp_split_assign's recipe).
+    Building the vector takes zero extra shuffles: it's a projection
+    over the agg output.
+
+    The registered surface packs the vector as comma-joined INTEGER
+    components (monetary quantized to cents): int64 components
+    stringify identically in every engine, so the packed column is
+    portable through the driver's value hash — a raw double-array
+    column materializes as numpy arrays from DuckDB but lists from
+    Spark (untested representation in the hash; the
+    test_no_oracle_emits_hugeint lint bans it from the attested
+    window). A trainer consuming Arrow directly would split/cast or
+    take the pre-pack agg columns."""
     orders = _t(spark, sf_dir, "orders")
     mi = F.year(F.col("o_orderdate").cast("date")) * 12 + F.month(
         F.col("o_orderdate").cast("date")
@@ -1305,11 +1314,12 @@ def ml_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return f.select(
         "custkey",
-        F.array(
-            F.col("frequency"),
-            F.round(F.col("monetary"), 2),
-            F.col("last_month"),
-            F.col("n_priorities"),
+        F.concat_ws(
+            ",",
+            F.col("frequency").cast("long").cast("string"),
+            F.round(F.col("monetary") * 100, 0).cast("long").cast("string"),
+            F.col("last_month").cast("long").cast("string"),
+            F.col("n_priorities").cast("long").cast("string"),
         ).alias("features"),
         (F.col("custkey") % 5 == 0).alias("holdout"),
     )
