@@ -265,6 +265,17 @@ HEADLINE = [
     "ml_gbm_stumps",
     # round 6 batch G: serpentine load-balanced sharding
     "sp_snake_sharding",
+    "tx_readability",
+    "tx_trigram_backoff",
+    "tx_hash_features",
+    "ss_knn_graph",
+    "x_clustering_coefficient",
+    "x_kmv_sketch",
+    "ml_ece_brier",
+    "x_ppr",
+    "tx_textrank",
+    "x_window_funnel",
+    "ss_rq_topk",
 ]
 
 

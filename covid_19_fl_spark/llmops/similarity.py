@@ -107,6 +107,106 @@ def cosine_topk(
     )
 
 
+def knn_graph(
+    emb: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine k-NN graph over a BOUNDED corpus, with a
+    mutual-edge flag → (vec_id, neighbor_id, cos_sim, rank, mutual).
+
+    Bounded-corpus contract (same as dd_semantic_dedup's fast path):
+    the normalized corpus matrix is collected once and broadcast —
+    n·dims·8 bytes per executor, fine to ~10⁶×64 — then each Arrow
+    batch of QUERY rows computes one vectorized ``Q @ C.T`` and emits
+    only its own top-k, so the corpus never shuffles and the n×n score
+    matrix never materializes beyond one batch stripe. For unbounded
+    corpora, route through IVF blocking (ivf_topk) instead; this is
+    the exact twin those retrievers are measured against.
+
+    Per-row selection is argpartition to a generous candidate margin
+    followed by an exact (cos desc, id asc) lexsort of the candidates
+    — O(n) select + O(margin·log margin) refine per row instead of a
+    full O(n log n) sort. The margin only matters if more than
+    ``4k+64`` candidates tie EXACTLY at the rounded 6dp boundary
+    value, which the oracle gate would catch.
+
+    Mutual flag: one self-equi-join of the k·n edge list against its
+    reversal — reciprocal edges are the high-precision subset kNN
+    consumers (near-dup clustering, label propagation) usually keep.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = emb.select(id_col, vec_col).collect()
+    schema = (
+        "vec_id long, neighbor_id long, cos_sim double, rank int,"
+        " mutual boolean"
+    )
+    if not rows:
+        return emb.sparkSession.createDataFrame([], schema)
+    c_ids = np.array([r[0] for r in rows], dtype="int64")
+    C = np.stack([np.asarray(r[1], dtype="float64") for r in rows])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    bc = emb.sparkSession.sparkContext.broadcast((c_ids, Cn))
+    margin = min(4 * k + 64, len(c_ids) - 1) if len(c_ids) > 1 else 1
+
+    def score(batches):
+        ids_all, Mn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qids = pdf[id_col].to_numpy()
+            Q = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            S = np.round(Qn @ Mn.T, 6)
+            out = {"vec_id": [], "neighbor_id": [], "cos_sim": []}
+            for r in range(len(qids)):
+                srow = S[r]
+                mask = ids_all != qids[r]
+                cand_ids, cand = ids_all[mask], srow[mask]
+                if len(cand) > margin:
+                    part = np.argpartition(-cand, margin - 1)[:margin]
+                    cand_ids, cand = cand_ids[part], cand[part]
+                order = np.lexsort((cand_ids, -cand))[:k]
+                out["vec_id"].extend([qids[r]] * len(order))
+                out["neighbor_id"].extend(cand_ids[order])
+                out["cos_sim"].extend(cand[order])
+            yield pd.DataFrame(out)
+
+    local = emb.select(id_col, vec_col).mapInPandas(
+        score, "vec_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    topk = (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    rev = topk.select(
+        F.col("vec_id").alias("r_neighbor"),
+        F.col("neighbor_id").alias("r_vec"),
+        F.lit(True).alias("m_flag"),
+    )
+    return (
+        topk.join(
+            rev,
+            (F.col("vec_id") == F.col("r_vec"))
+            & (F.col("neighbor_id") == F.col("r_neighbor")),
+            "left",
+        )
+        .select(
+            "vec_id",
+            "neighbor_id",
+            "cos_sim",
+            "rank",
+            F.coalesce("m_flag", F.lit(False)).alias("mutual"),
+        )
+    )
+
+
 # Centroid quantization scale: 2^24 (float32 significand width). See
 # label_centroids.
 CENTROID_Q = 16777216.0
@@ -949,4 +1049,141 @@ def ivfpq_topk(
         F.col("t")[id_col].alias("neighbor_id"),
         (F.col("t.adc_micro").cast("double") / 1e6).alias("adc_dist"),
         (F.col("rank0") + 1).cast("int").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Residual (additive) quantization — two-level codebook ANN
+# ---------------------------------------------------------------------------
+
+RQ_BUCKETS = 8
+
+
+def rq_encode(
+    emb: DataFrame,
+    buckets: int = RQ_BUCKETS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Two-level residual-quantization encoding (Chen et al. 2010's
+    residual vector quantization; the additive-codebook family of
+    Babenko & Lempitsky 2014): level 1 assigns each vector to its
+    nearest label-seeded centroid (the IVF coarse quantizer), level 2
+    quantizes the RESIDUAL vector against a second codebook seeded by
+    id-hash buckets — so a vector compresses to two small codes whose
+    codeword SUM approximates it, unlike PQ's per-subspace product.
+
+    Returns (id, c1_label, c2_code). Determinism: both codebooks use
+    the quantize-sum-divide centroid scheme (label_centroids), both
+    assignments are 6dp-rounded struct-mins (clustering.assign_nearest
+    — no windows), and residual subtraction is elementwise IEEE, so
+    codes are bit-identical across partitionings and engines.
+
+    Scale: two broadcast cross-joins against codebooks of ≤|labels| /
+    ``buckets`` rows with map-side-combinable argmins — the corpus
+    shuffles only for the per-dimension centroid sums (|labels|·dims
+    and buckets·dims rows)."""
+    from .clustering import assign_nearest
+
+    cent1 = label_centroids(emb, label_col=label_col, vec_col=vec_col).select(
+        F.col(label_col).alias("cluster_id"), "centroid"
+    )
+    a1 = assign_nearest(emb, cent1, id_col, vec_col)
+    resid = (
+        a1.join(F.broadcast(cent1), "cluster_id")
+        .select(
+            id_col,
+            F.col("cluster_id").alias("c1_label"),
+            F.zip_with(
+                F.col(vec_col),
+                F.col("centroid"),
+                lambda a, b: a.cast("double") - b,
+            ).alias("resid"),
+            (F.col(id_col) % buckets).cast("int").alias("rbucket"),
+        )
+    )
+    cent2 = label_centroids(
+        resid, label_col="rbucket", vec_col="resid"
+    ).select(F.col("rbucket").alias("cluster_id"), "centroid")
+    a2 = assign_nearest(
+        resid.select(id_col, "resid"), cent2, id_col, "resid"
+    ).select(id_col, F.col("cluster_id").alias("c2_code"))
+    return resid.select(id_col, "c1_label").join(a2, id_col)
+
+
+def rq_adc_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    buckets: int = RQ_BUCKETS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Asymmetric-distance top-k over residual-quantized codes: the
+    query scores a corpus item as dot(q, c1) + dot(q, c2) — two
+    codebook-table lookups, never a touch of the original vector (the
+    ADC trick, Jégou et al. 2011, on the additive decomposition).
+
+    Plan: the per-query×codeword dot tables (|Q|·|C1| and |Q|·|C2|
+    rows) build from two broadcast cross-joins, then broadcast onto
+    the CODES table (two ints per corpus vector) — the corpus's float
+    vectors are read once at encode time and never shuffle. Scoring a
+    100 TB corpus moves only its codes."""
+    from .clustering import assign_nearest  # noqa: F401  (doc cross-ref)
+
+    cent1 = label_centroids(emb, label_col=label_col, vec_col=vec_col).select(
+        F.col(label_col).alias("c1_label"), "centroid"
+    )
+    codes = rq_encode(
+        emb, buckets=buckets, id_col=id_col, vec_col=vec_col,
+        label_col=label_col,
+    )
+    a1 = assign_nearest(emb, cent1.select(
+        F.col("c1_label").alias("cluster_id"), "centroid"), id_col, vec_col)
+    resid = (
+        a1.join(
+            F.broadcast(cent1),
+            a1["cluster_id"] == cent1["c1_label"],
+        )
+        .select(
+            id_col,
+            F.zip_with(
+                F.col(vec_col), F.col("centroid"),
+                lambda a, b: a.cast("double") - b,
+            ).alias("resid"),
+            (F.col(id_col) % buckets).cast("int").alias("rbucket"),
+        )
+    )
+    cent2 = label_centroids(
+        resid, label_col="rbucket", vec_col="resid"
+    ).select(F.col("rbucket").alias("c2_code"), "centroid")
+
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    qc1 = q.crossJoin(F.broadcast(cent1)).select(
+        "query_id", "c1_label", dot(F.col("qvec"), F.col("centroid")).alias("d1")
+    )
+    qc2 = q.crossJoin(F.broadcast(cent2)).select(
+        "query_id", "c2_code", dot(F.col("qvec"), F.col("centroid")).alias("d2")
+    )
+    scored = (
+        codes.join(F.broadcast(qc1), "c1_label")
+        .join(F.broadcast(qc2), ["query_id", "c2_code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(F.col("d1") + F.col("d2"), 6).alias("adc_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_score", "rank")
     )

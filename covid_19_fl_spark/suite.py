@@ -365,3 +365,5 @@ from . import suite_r5h  # noqa: E402,F401
 from . import suite_r6  # noqa: E402,F401
 from . import suite_r6b  # noqa: E402,F401
 from . import suite_r7  # noqa: E402,F401
+from . import suite_r7b  # noqa: E402,F401
+from . import suite_r7c  # noqa: E402,F401
