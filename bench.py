@@ -276,6 +276,7 @@ HEADLINE = [
     "tx_textrank",
     "x_window_funnel",
     "ss_rq_topk",
+    "st_late_data_audit",
 ]
 
 

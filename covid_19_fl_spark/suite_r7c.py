@@ -338,3 +338,166 @@ def ss_rq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return rq_adc_topk(emb, _QUERY_IDS, k=5)
+
+
+# ---------------------------------------------------------------------------
+# st_late_data_audit — watermark drop accounting under a staged replay
+# ---------------------------------------------------------------------------
+
+_LDA_DELAY_MIN = 30
+_LDA_ECHO_DAYS = 5  # echo rows come from at least this many days before the tick
+_LDA_ECHO_MOD = 10  # deterministic echo subset: event_id % mod == 0
+
+
+@query(
+    "st_late_data_audit",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    co AS (SELECT date_trunc('day', m) AS tick_day,
+                  m - INTERVAL {_LDA_DELAY_MIN} MINUTE AS wm
+           FROM mx),
+    echo AS (
+      SELECT CAST(e.ts AS DATE) AS d FROM events e, co
+      WHERE e.ts < co.tick_day - INTERVAL {_LDA_ECHO_DAYS} DAY
+        AND e.event_id % {_LDA_ECHO_MOD} = 0
+    ),
+    win AS (SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1),
+    emitted AS (SELECT w.d, w.n FROM win w, co
+                WHERE CAST(w.d AS TIMESTAMP) + INTERVAL 1 DAY <= co.wm)
+    SELECT CAST((SELECT COUNT(*) FROM emitted) AS BIGINT)
+             AS n_windows_emitted,
+           CAST(COALESCE((SELECT SUM(n) FROM emitted), 0) AS BIGINT)
+             AS n_rows_emitted,
+           CAST((SELECT COUNT(*) FROM echo) AS BIGINT) AS n_echo_rows,
+           CAST((SELECT COUNT(DISTINCT d) FROM echo) AS BIGINT)
+             AS n_late_windows_expected,
+           CAST((SELECT COUNT(DISTINCT d) FROM echo) AS BIGINT)
+             AS n_late_windows_observed
+    """,
+)
+def st_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING late-data observability: replay the event table as
+    three micro-batches — the bulk history, then the newest day (the
+    "tick" that advances the watermark and finalizes the history),
+    then a deterministic REDELIVERY of old rows (event_id %
+    {_LDA_ECHO_MOD} == 0, ≥{_LDA_ECHO_DAYS} days before the tick) —
+    and reconcile the streamed result against the engine-side batch
+    arithmetic AND the stream's own ``numRowsDroppedByWatermark``
+    metric. This attests the at-least-once reality every production
+    stream lives with: redelivered rows for already-finalized windows
+    must be dropped, never double-counted, and the drop must be
+    OBSERVABLE.
+
+    Semantics pinned empirically on this Spark version (and encoded in
+    the oracle): (1) append mode emits a window once its end ≤
+    watermark (inclusive); (2) late rows for NEVER-SEEN windows are
+    NOT dropped — they aggregate and finalize immediately (so a
+    drop-audit must redeliver rows for EVICTED windows, which is
+    exactly what redelivery means in practice); (3) the dropped-rows
+    metric counts post-partial-aggregation state inputs — one row per
+    (window, input partition), so with the echo staged as a single
+    file/partition it equals the number of DISTINCT echoed days. The
+    sink never re-emits the echoed windows (asserted by the oracle's
+    original per-day counts).
+
+    Scale: bounded window state, finalized windows leave the store;
+    the single-file staging is harness-only pinning (batch order by
+    mtime, echo in one partition) — the operator under test is the
+    same watermark+window plan the sibling append query ships."""
+    import datetime
+    import glob as _glob
+    import os
+    import shutil
+    import time
+    import uuid
+
+    from .suite_r4 import _stream_shuffle_partitions
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    [mrow] = ev.agg(F.max("ts").alias("m")).collect()
+    tick_day = mrow.m.replace(hour=0, minute=0, second=0, microsecond=0)
+    echo_cut = tick_day - datetime.timedelta(days=_LDA_ECHO_DAYS)
+    bulk = ev.filter(F.col("ts") < F.lit(tick_day)).select("ts")
+    tick = ev.filter(F.col("ts") >= F.lit(tick_day)).select("ts")
+    echo = (
+        ev.filter(
+            (F.col("ts") < F.lit(echo_cut))
+            & (F.col("event_id") % _LDA_ECHO_MOD == 0)
+        )
+        .select("ts")
+    )
+
+    base = f"/tmp/st_late_audit_{uuid.uuid4().hex[:8]}"
+    stream_dir = os.path.join(base, "stream")
+    os.makedirs(stream_dir)
+    t0 = time.time() - 240
+    for i, (name, half) in enumerate(
+        (("a_bulk", bulk), ("b_tick", tick), ("c_echo", echo))
+    ):
+        tmp = os.path.join(base, f"{name}_tmp")
+        half.repartition(1).write.mode("overwrite").parquet(tmp)
+        [part] = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(stream_dir, f"{name}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+
+    schema = spark.read.parquet(stream_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    agg = (
+        src.withWatermark("ts", f"{_LDA_DELAY_MIN} minutes")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    sink = f"st_late_audit_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(180):
+                raise TimeoutError(
+                    "st_late_data_audit: availableNow drain did not "
+                    "finish within 180s — refusing a partial sink"
+                )
+        finally:
+            progress = [p for p in q.recentProgress if p]
+            q.stop()
+    data_batches = sum(1 for p in progress if p.get("numInputRows", 0) > 0)
+    if data_batches != 3:
+        raise AssertionError(
+            f"st_late_data_audit: drain took {data_batches} data "
+            "batches, expected exactly 3 (bulk, tick, echo) — the "
+            "staged-replay determinism pin is violated"
+        )
+    n_late_observed = sum(
+        int(so.get("numRowsDroppedByWatermark", 0))
+        for p in progress
+        for so in (p.get("stateOperators") or [])
+    )
+    n_echo_rows = echo.count()
+    # expected drop count computed INDEPENDENTLY of the stream metric:
+    # distinct echoed days, from the same batch frame the staging wrote
+    n_late_expected = echo.select(F.to_date("ts").alias("d")).distinct().count()
+    [krow] = (
+        spark.table(sink)
+        .agg(
+            F.count("*").cast("long").alias("nw"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("nr"),
+        )
+        .collect()
+    )
+    return spark.createDataFrame(
+        [(krow.nw, krow.nr, n_echo_rows, n_late_expected, n_late_observed)],
+        "n_windows_emitted long, n_rows_emitted long, n_echo_rows long,"
+        " n_late_windows_expected long, n_late_windows_observed long",
+    )

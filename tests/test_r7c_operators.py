@@ -176,3 +176,24 @@ def test_rq_reconstruction_better_than_coarse_only(spark, sf_dir):
         ]
     )
     assert e2 <= e1 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# st_late_data_audit
+# ---------------------------------------------------------------------------
+
+
+def test_late_data_audit_reconciles(spark, sf_dir):
+    [row] = suite.QUERIES["st_late_data_audit"](spark, sf_dir).collect()
+    # the stream's observed drop metric must equal the engine-side
+    # expectation (distinct echoed days), independently computed
+    assert row.n_late_windows_observed == row.n_late_windows_expected
+    assert row.n_late_windows_observed > 0  # the redelivery really dropped
+    assert row.n_echo_rows >= row.n_late_windows_expected
+    # emitted windows hold original counts only — no echo double-count
+    from covid_19_fl_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    total = ev.count()
+    assert 0 < row.n_rows_emitted <= total
+    assert row.n_windows_emitted > 0
