@@ -277,6 +277,9 @@ HEADLINE = [
     "x_window_funnel",
     "ss_rq_topk",
     "st_late_data_audit",
+    "cur_dataset_card",
+    "sp_domain_cap",
+    "ml_platt_scaling",
 ]
 
 

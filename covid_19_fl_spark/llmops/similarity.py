@@ -107,6 +107,11 @@ def cosine_topk(
     )
 
 
+# knn_graph bounded-corpus ceiling: 1M x 64 doubles = 512 MB broadcast
+# and ~10^12 x dims flops -- the practical edge of the exact twin.
+KNN_GRAPH_MAX_ROWS = 1_000_000
+
+
 def knn_graph(
     emb: DataFrame,
     k: int = 4,
@@ -139,6 +144,19 @@ def knn_graph(
     import numpy as np
     import pandas as pd
 
+    # Bounded-corpus guard (same posture as suite.guard_quadratic):
+    # compute is O(n²) flops and the matrix broadcast is O(n·dims) per
+    # executor — beyond this bound, route through IVF blocking instead
+    # of silently scheduling a month-long matmul.
+    n_corpus = emb.count()
+    if n_corpus > KNN_GRAPH_MAX_ROWS:
+        raise RuntimeError(
+            f"knn_graph: corpus has {n_corpus:,} rows, above the "
+            f"{KNN_GRAPH_MAX_ROWS:,}-row bounded-corpus guard. This is "
+            "the EXACT all-pairs twin (quadratic compute by design); "
+            "use the IVF-blocked retrievers (ivf_topk / ivfpq_topk) "
+            "for unbounded corpora."
+        )
     rows = emb.select(id_col, vec_col).collect()
     schema = (
         "vec_id long, neighbor_id long, cos_sim double, rank int,"

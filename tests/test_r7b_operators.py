@@ -257,3 +257,16 @@ def test_ppr_query_only_reachable(spark, sf_dir):
     rows = suite.QUERIES["x_ppr"](spark, sf_dir).collect()
     assert rows
     assert all(r.pr > 0 for r in rows)
+
+
+def test_knn_graph_guard_trips_loudly(spark, monkeypatch):
+    import covid_19_fl_spark.llmops.similarity as sim
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    monkeypatch.setattr(sim, "KNN_GRAPH_MAX_ROWS", 3)
+    with pytest.raises(RuntimeError, match="bounded-corpus guard"):
+        sim.knn_graph(emb, k=2)
