@@ -280,6 +280,8 @@ HEADLINE = [
     "cur_dataset_card",
     "sp_domain_cap",
     "ml_platt_scaling",
+    "mm_ahash_image_dedup",
+    "mm_wav_loudness",
 ]
 
 

@@ -337,3 +337,157 @@ def read_binary_media(
             F.col("length").cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Generative media fixtures + perceptual features — the REAL-codec
+# round-trip path (encode → decode → feature) under the oracle gate.
+# ---------------------------------------------------------------------------
+
+
+def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """REAL PNG encode with only the stdlib (grayscale 8-bit,
+    filter-type 0 scanlines, single IDAT) — the inverse of
+    _decode_png's supported subset, used to build deterministic image
+    payloads from table data so the decode path can run under the
+    exact-oracle gate instead of only pytest goldens."""
+    import struct
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_wav_pcm16(samples: list[int], framerate: int = 8000) -> bytes:
+    """REAL WAV encode via the stdlib ``wave`` module (mono PCM16) —
+    the inverse of _decode_wav, same oracle-gate purpose as
+    encode_png_gray."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def _md5_stream(text: str, salt: str, n_bytes: int) -> bytes:
+    """Deterministic byte stream from chained salted md5 digests —
+    the generative fixture both engines can recompute (DuckDB via
+    substr(md5(...)) hex slices)."""
+    out = bytearray()
+    j = 0
+    while len(out) < n_bytes:
+        out += hashlib.md5(f"{text}|{salt}|{j}".encode()).digest()
+        j += 1
+    return bytes(out[:n_bytes])
+
+
+def ahash_images(docs: DataFrame) -> DataFrame:
+    """Average-hash (aHash) image fingerprints over REAL PNG
+    round-trips: each document's text generates a deterministic 8×8
+    grayscale image (md5 byte stream), which is ENCODED to a real PNG
+    and DECODED back through _decode_png before hashing — so the
+    oracle equality (which computes the hash directly from the
+    generative formula) attests the whole stdlib codec path is
+    lossless inside the Arrow batch iterator. aHash is the classic
+    perceptual image-dedup fingerprint: bit_k = pixel_k > mean,
+    integer-exact here via pixel_k·64 > Σpixels. Returns
+    (doc_id, ahash_w0, ahash_w1, px_sum) — two 32-bit words.
+
+    Scale: map-only mapInPandas (no shuffle); at 100 TB this is the
+    same partition-preserving decode+featurize stage extract_features
+    runs, with the synth step replaced by object-store payload bytes.
+    """
+    import pandas as pdm
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "ahash_w0": [], "ahash_w1": [], "px_sum": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                px = _md5_stream(text, "px", 64)
+                png = encode_png_gray(8, 8, px)
+                w, h, ch, dec = _decode_png(png)
+                if (w, h, ch) != (8, 8, 1):
+                    raise AssertionError("ahash_images: PNG round-trip shape")
+                s = sum(dec)
+                w0 = sum(
+                    (1 << k) for k in range(32) if dec[k] * 64 > s
+                )
+                w1 = sum(
+                    (1 << k) for k in range(32) if dec[k + 32] * 64 > s
+                )
+                out["doc_id"].append(int(doc_id))
+                out["ahash_w0"].append(w0)
+                out["ahash_w1"].append(w1)
+                out["px_sum"].append(s)
+            yield pdm.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, ahash_w0 long, ahash_w1 long, px_sum long"
+    )
+
+
+def wav_loudness(docs: DataFrame) -> DataFrame:
+    """PCM loudness features over REAL WAV round-trips: each
+    document's text generates 32 deterministic PCM16 samples (md5
+    byte stream, big-endian pairs − 32768), wave-ENCODED and
+    _decode_wav-DECODED before integer loudness stats — peak |s|,
+    Σ|s|, Σs², and the 6dp RMS. Same oracle-gate contract as
+    ahash_images, for the audio leg. Returns
+    (doc_id, n_samples, peak_abs, sum_abs, rms)."""
+    import numpy as np
+    import pandas as pdm
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_samples": [],
+                "peak_abs": [],
+                "sum_abs": [],
+                "rms": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = _md5_stream(text, "au", 64)
+                samples = [
+                    (raw[2 * k] << 8 | raw[2 * k + 1]) - 32768
+                    for k in range(32)
+                ]
+                wav = encode_wav_pcm16(samples)
+                dec = np.frombuffer(_decode_wav(wav), dtype="<i2")
+                if len(dec) != 32:
+                    raise AssertionError("wav_loudness: WAV round-trip length")
+                a = np.abs(dec.astype("int64"))
+                sum_sq = int((dec.astype("int64") ** 2).sum())
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(32)
+                out["peak_abs"].append(int(a.max()))
+                out["sum_abs"].append(int(a.sum()))
+                out["rms"].append(round((sum_sq / 32) ** 0.5, 6))
+            yield pdm.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run,
+        "doc_id long, n_samples long, peak_abs long, sum_abs long,"
+        " rms double",
+    )

@@ -368,3 +368,4 @@ from . import suite_r7  # noqa: E402,F401
 from . import suite_r7b  # noqa: E402,F401
 from . import suite_r7c  # noqa: E402,F401
 from . import suite_r7d  # noqa: E402,F401
+from . import suite_r7e  # noqa: E402,F401
