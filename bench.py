@@ -282,6 +282,14 @@ HEADLINE = [
     "ml_platt_scaling",
     "mm_ahash_image_dedup",
     "mm_wav_loudness",
+    # round 7 batch F: curation / clustering / graph diagnostics
+    "sp_soft_dedup_weights",
+    "tx_heaps_law",
+    "x_modularity",
+    "ml_silhouette",
+    # round 7 batch G: curation governance reports
+    "cur_pii_risk_report",
+    "cur_mix_rebalance",
 ]
 
 

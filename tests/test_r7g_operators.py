@@ -1,0 +1,39 @@
+"""Property tests for the round-7 batch-G curation operators (PII
+risk report, mix-rebalance plan)."""
+
+from __future__ import annotations
+
+from covid_19_fl_spark import suite
+
+
+def test_pii_risk_report_consistency(spark, sf_dir):
+    from covid_19_fl_spark.tables import load
+
+    rows = suite.QUERIES["cur_pii_risk_report"](spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r.docs_with_pii <= r.n_docs
+        assert r.total_hits >= r.docs_with_pii  # each flagged doc has >=1 hit
+        assert abs(r.pii_doc_rate - r.docs_with_pii / r.n_docs) < 1e-5
+        assert r.hits_per_kilotoken >= 0.0
+
+
+def test_mix_rebalance_plan_invariants(spark, sf_dir):
+    rows = suite.QUERIES["cur_mix_rebalance"](spark, sf_dir).collect()
+    mix = {
+        r.source: r.mix_prob
+        for r in suite.QUERIES["sp_temperature_mix"](spark, sf_dir).collect()
+    }
+    # the plan's mix column IS sp_temperature_mix's published mix
+    assert {r.source: r.mix_prob for r in rows} == mix
+    assert abs(sum(r.mix_prob for r in rows) - 1.0) < 1e-4
+    total = sum(r.group_tokens for r in rows)
+    for r in rows:
+        assert 0.0 < r.sample_rate <= 1.0
+        assert r.achieved_tokens <= r.group_tokens
+        # capped sources achieve everything they have
+        if r.sample_rate == 1.0:
+            assert r.achieved_tokens == r.group_tokens
+    # the plan never spends more than the budget on any single source
+    assert all(r.target_tokens <= total for r in rows)
