@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 # Fixed-point scale: ranks are bigint multiples of 1e-12. Total mass =
 # SCALE (±floor-division dust), so per-node ranks for graphs up to
@@ -58,7 +59,14 @@ def pagerank(
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out"))
     # Edge list annotated with out-degree once, outside the loop — at
     # scale this is the expensive self-sized join, paid a single time.
-    adj = edges.join(out_deg, "src").localCheckpoint(eager=False)
+    # DISK_ONLY: the cached edge list is data-sized (|E| rows); letting
+    # it occupy unified memory starves the per-round SMJ/agg buffers —
+    # at the 100× corpus the MEMORY_AND_DISK default filled the store
+    # and OOM'd the personalized variant's tasks. Rounds scan it
+    # sequentially, so disk reads cost one pipelined pass each.
+    adj = edges.join(out_deg, "src").localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
 
     nodes = (
         edges.select(F.col("src").alias("node_id"))
@@ -129,7 +137,12 @@ def personalized_pagerank(
     seed indicator is a broadcast semi-annotated node column computed
     once, so personalization adds zero shuffles."""
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out"))
-    adj = edges.join(out_deg, "src").localCheckpoint(eager=False)
+    # DISK_ONLY for the data-sized edge cache — see pagerank() above:
+    # at the 100× corpus (100M directed edges) the MEMORY_AND_DISK
+    # default filled the unified store and OOM'd the round joins.
+    adj = edges.join(out_deg, "src").localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
     nodes = (
         edges.select(F.col("src").alias("node_id"))
         .union(edges.select(F.col("dst").alias("node_id")))
@@ -293,7 +306,10 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 12) -> DataFrame:
             F.col(edges.columns[1]).cast("long").alias("v"),
         )
         .dropDuplicates(["u", "v"])
-        .localCheckpoint(eager=False)
+        # DISK_ONLY: the peel loop checkpoints a (shrinking) EDGE list
+        # every round; the data-sized generations must not pile up in
+        # unified memory (the x_ppr 100× OOM pattern — see pagerank).
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     for _ in range(max_rounds):
         deg = (
@@ -308,7 +324,7 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 12) -> DataFrame:
             e.join(keep.withColumnRenamed("id", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("id", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         )
         if e2.count() == n_edges:
             return (
