@@ -402,6 +402,108 @@ def _md5_stream(text: str, salt: str, n_bytes: int) -> bytes:
     return bytes(out[:n_bytes])
 
 
+def materialize_png_corpus(docs: DataFrame, dest_dir: str) -> None:
+    """Write one REAL PNG file per document row into ``dest_dir`` —
+    the fixture generator for the ``read_binary_media`` oracle gate.
+    Pixels are the deterministic md5 byte stream (salt ``px``, same
+    formula as ahash_images, so DuckDB can recompute them), encoded
+    through the stdlib PNG writer; filenames carry the doc_id
+    (``doc{id}.png``) so the scan side can recover the join key from
+    the path alone.
+
+    Executed DISTRIBUTED via foreachPartition — no driver collect; in
+    local mode every task shares /tmp, on a cluster ``dest_dir`` would
+    be an object-store mount (the write pattern is identical). Writes
+    are atomic (tmp + rename) so a concurrent scan never sees a
+    torn file."""
+    import os
+
+    os.makedirs(dest_dir, exist_ok=True)
+
+    def write_part(rows) -> None:
+        import os as _os
+
+        for r in rows:
+            png = encode_png_gray(8, 8, _md5_stream(r["text"], "px", 64))
+            tmp = _os.path.join(dest_dir, f".doc{r['doc_id']}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(png)
+            _os.replace(tmp, _os.path.join(dest_dir, f"doc{r['doc_id']}.png"))
+
+    docs.select("doc_id", "text").foreachPartition(write_part)
+
+
+def decode_png_features(media: DataFrame) -> DataFrame:
+    """Decode scanned PNG payloads through the REAL stdlib path and
+    emit oracle-checkable pixel stats: (doc_id, width, height,
+    channels, px_sum), with doc_id recovered from the file path the
+    ``binaryFile`` source recorded (meta.source) — attesting both that
+    the scan found every file and that each payload inflates to
+    exactly the generative pixels. Map-only Arrow stage, no shuffle."""
+
+    keyed = media.select(
+        F.regexp_extract(F.col("meta.source"), r"doc(\d+)\.png", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "payload",
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "channels": [], "px_sum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, ch, pixels = _decode_png(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["px_sum"].append(sum(pixels))
+            yield pd.DataFrame(out)
+
+    return keyed.mapInPandas(
+        run, "doc_id long, width long, height long, channels long, px_sum long"
+    )
+
+
+def jpeg_dims(docs: DataFrame) -> DataFrame:
+    """JPEG feature plumbing over the optional-PIL path
+    (_decode_payload's ``image/*`` branch): each document generates a
+    per-doc-sized grayscale image (width 4 + doc_id % 5, height
+    4 + (doc_id // 5) % 5, md5 pixel stream salt ``jp``), PIL-encodes
+    it to a REAL baseline JPEG, and decodes it back through
+    _decode_payload — emitting (doc_id, width, height, n_raw_bytes).
+    JPEG is lossy, so the oracle pins the decode-invariant facts
+    (dimensions and raw-plane size), not pixel values. Raises
+    ImportError where Pillow is absent — callers gate registration on
+    PIL presence (suite_r8)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "n_raw_bytes": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = 4 + int(doc_id) % 5
+                h = 4 + (int(doc_id) // 5) % 5
+                im = Image.frombytes("L", (w, h), _md5_stream(text, "jp", w * h))
+                buf = io.BytesIO()
+                im.save(buf, format="JPEG", quality=95)
+                raw = _decode_payload(buf.getvalue(), "image/jpeg")
+                with Image.open(io.BytesIO(buf.getvalue())) as back:
+                    bw, bh = back.size
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(bw)
+                out["height"].append(bh)
+                out["n_raw_bytes"].append(len(raw))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, width long, height long, n_raw_bytes long"
+    )
+
+
 def ahash_images(docs: DataFrame) -> DataFrame:
     """Average-hash (aHash) image fingerprints over REAL PNG
     round-trips: each document's text generates a deterministic 8×8

@@ -371,3 +371,5 @@ from . import suite_r7d  # noqa: E402,F401
 from . import suite_r7e  # noqa: E402,F401
 from . import suite_r7f  # noqa: E402,F401
 from . import suite_r7g  # noqa: E402,F401
+from . import suite_r8  # noqa: E402,F401
+from . import suite_r8b  # noqa: E402,F401

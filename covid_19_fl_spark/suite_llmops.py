@@ -28,6 +28,12 @@ _STOP_SQL = {
 
 _WORDS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
 
+# llmops.text.fingerprint as one shared SQL fragment — the exact-dedup
+# key several oracles embed (tx_fingerprint and sp_soft_dedup_weights
+# import THIS constant; the dd_* oracles below spell it out verbatim,
+# pinned equal by tests/test_r8_operators.py::test_fp_sql_single_definition).
+_FP_SQL = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
 _PII_ORACLE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_ORACLE_PHONE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
 _PII_ORACLE_NUM = r"[0-9]+"
@@ -112,9 +118,9 @@ def tx_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tx_fingerprint",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
-           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+           {_FP_SQL} AS fp
     FROM documents
     """,
 )

@@ -677,6 +677,29 @@ def _lpa_oracle() -> str:
     )
 
 
+def _parts_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parts-bought-together edge list (undirected, u < v,
+    deduped) shared by x_label_propagation and x_modularity
+    (suite_r7f) — one definition so the clustering and its quality
+    score can never silently diverge on what the graph IS (round-7
+    advice)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+
+
 @query("x_label_propagation", oracle=_lpa_oracle())
 def x_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) over the
@@ -693,21 +716,7 @@ def x_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     round contract of x_pagerank / x_hits). localCheckpoint truncates
     lineage per round so round N's plan doesn't replay rounds 1..N-1.
     """
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 5 == 0)
-        .select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    edges = _parts_edges(spark, sf_dir)
     adj = (
         edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
         .unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))

@@ -31,8 +31,11 @@ from .operators import ranks
 from .suite import _t, query
 from .suite_advanced import _ols_line
 
-_WORDS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
-_FP_SQL = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+# Canonical tokenization/fingerprint oracle fragments — imported, not
+# re-declared, so sp_soft_dedup_weights can never drift from
+# tx_fingerprint / tx_token_stats if the shared formula changes
+# (round-7 advice).
+from .suite_llmops import _FP_SQL, _WORDS_SQL
 
 
 # ---------------------------------------------------------------------------
@@ -275,27 +278,15 @@ def x_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup, internal-edge count via two broadcast-able label lookups)
     and a 1-row broadcast for m — no new data-sized state beyond what
     LPA already shuffles."""
-    from .suite_r7 import x_label_propagation
+    from .suite_r7 import _parts_edges, x_label_propagation
 
-    lab = x_label_propagation(spark, sf_dir).withColumnRenamed(
-        "community", "community"
-    )
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 5 == 0)
-        .select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .cache()
-    )
+    lab = x_label_propagation(spark, sf_dir)
+    # One shared edge-list definition with LPA (suite_r7._parts_edges);
+    # cached because three downstream branches (degrees, m, internal
+    # count) consume it. Session-lifetime cache is the repo-wide
+    # precedent for bounded graph frames — the edge list is ~|E| of a
+    # 1/5-sampled co-purchase graph, not data-sized state.
+    edges = _parts_edges(spark, sf_dir).cache()
     adj = edges.select(F.col("u").alias("a")).unionAll(
         edges.select(F.col("v").alias("a"))
     )

@@ -1,0 +1,192 @@
+"""Round-8 suite — promoting the remaining multimodal pipeline verbs
+from pytest-only into the exact-oracle gate (round-7 verdict asks #6
+and #7):
+
+- ``mm_binary_media_scan`` — the real object-store ingest path:
+  ``read_binary_media`` (Spark's native ``binaryFile`` source) over a
+  distributed-materialized corpus of REAL PNG files, decoded back
+  through the stdlib inflate/unfilter path. The oracle recomputes the
+  generative pixel formula per doc_id, so equality attests listing,
+  glob pushdown, payload integrity, and decode end-to-end.
+- ``mm_resize_pipeline`` — ``resize_media``'s binary→binary
+  downsample stage under the oracle gate: sizes, the exact rational
+  scale factor, and a head-bytes hex probe of the resampled payload
+  (DuckDB recomputes it by slicing ``hex(encode(text))`` pairs).
+- ``mm_jpeg_dims`` — registered ONLY when Pillow is importable (the
+  documented optional-PIL branch of ``_decode_payload``): per-doc
+  sized grayscale images PIL-encoded to real baseline JPEGs and
+  decoded back; the oracle pins the decode-invariant facts (width,
+  height, raw plane size) since JPEG is lossy. Where PIL is absent
+  the query is simply not registered — a clean, machine-visible skip
+  (the registry count changes) instead of a guaranteed-red row.
+
+Reference tie-in: the reference has no media surface (it is an eager
+pandas/pymongo ETL, cv.py:1-173); this is the task brief's multimodal
+requirement with every Spark-side contract real (binaryFile scan,
+Arrow mapInPandas, map-only partition-preserving stages) and the
+codec layer real where the container's stdlib allows (PNG, WAV, and
+JPEG behind the optional PIL gate).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .llmops import multimodal
+from .suite import _t, query
+
+# byte b of the salted stream: hex pair (b%16)*2+1 of md5(text|salt|b//16)
+# (same generative formula as suite_r7e's mm_* rows)
+_B = (
+    "('0x' || substr(md5(text || '|{salt}|' || CAST({b} // 16 AS VARCHAR)),"
+    " ({b} % 16) * 2 + 1, 2))::BIGINT"
+)
+
+
+def _png_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf corpus) the generative PNG fixture
+    files for the binaryFile-scan query and return the directory.
+
+    Idempotent: a `_READY` marker carrying the row count skips
+    regeneration on repeat calls (bench warm passes); distinct sf
+    dirs get distinct directories. The write itself is distributed
+    (foreachPartition) — no driver-side row loop; in local mode every
+    task shares /tmp, on a cluster this would be an object-store
+    prefix with the identical write pattern."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    dest = os.path.join("/tmp", "spark_graft_media", f"{base}_{n}", "png")
+    marker = os.path.join(dest, "_READY")
+    try:
+        with open(marker) as fh:
+            if fh.read().strip() == str(n):
+                return dest
+    except OSError:
+        pass
+    multimodal.materialize_png_corpus(docs, dest)
+    with open(marker, "w") as fh:
+        fh.write(str(n))
+    return dest
+
+
+@query(
+    "mm_binary_media_scan",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             [{_B.format(salt="px", b="k")}
+              for k in generate_series(0, 63)] AS p
+      FROM documents
+    )
+    SELECT doc_id,
+           8::BIGINT AS width,
+           8::BIGINT AS height,
+           1::BIGINT AS channels,
+           CAST(list_sum(p) AS BIGINT) AS px_sum
+    FROM px
+    """,
+)
+def mm_binary_media_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-store media ingest end-to-end under the oracle gate:
+    one REAL PNG file per document is materialized distributed
+    (llmops/multimodal.materialize_png_corpus), scanned back with
+    ``read_binary_media`` — Spark's native ``binaryFile`` source with
+    `pathGlobFilter` pushdown, one row per file, no driver-side file
+    list — and decoded through the stdlib inflate/unfilter path
+    (decode_png_features). doc_id is recovered from the scanned PATH,
+    so a hash match proves the scan found every file, the glob
+    excluded the marker, and every payload inflates to exactly the
+    generative pixels DuckDB recomputes from the table.
+
+    Scale: the scan parallelizes by file (size-bin-packed splits) and
+    feeds a map-only Arrow decode stage — at 100 TB of media this is
+    listing-parallel ingest + partition-preserving featurization, the
+    exact extract_features shape with real payload bytes."""
+    dest = _png_corpus_dir(spark, sf_dir)
+    media = multimodal.read_binary_media(
+        spark, dest, glob="doc*.png", mime="image/png"
+    )
+    return multimodal.decode_png_features(media)
+
+
+@query(
+    "mm_resize_pipeline",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n
+      FROM documents
+    ), kk AS (
+      SELECT doc_id, h, n,
+             GREATEST(1, CAST(ceil(n / 64.0) AS BIGINT)) AS k
+      FROM b
+    )
+    SELECT doc_id,
+           n AS orig_bytes,
+           CAST(ceil(n / CAST(k AS DOUBLE)) AS BIGINT) AS n_bytes,
+           CAST(k AS INT) AS scale_den,
+           substr(h, 1, 2) || substr(h, 2 * k + 1, 2)
+             || substr(h, 4 * k + 1, 2) || substr(h, 6 * k + 1, 2)
+             AS head_hex
+    FROM kk
+    """,
+)
+def mm_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize/downsample pipeline verb under the oracle gate:
+    documents → media payloads (to_media) → ``resize_media``'s
+    binary→binary Arrow stage (deterministic byte striding, every
+    k-th byte with k = ceil(n/64) — the codec-free stand-in for an
+    image resize). Attested facts: original size, resampled size
+    ceil(n/k), the exact rational scale 1/k carried in the metadata
+    struct, and a hex probe of the first four RESAMPLED bytes
+    (positions 0, k, 2k, 3k of the source payload) — DuckDB recomputes
+    all of it by slicing hex(encode(text)) pairs, byte-exact with no
+    ASCII assumption.
+
+    Scale: map-only, partition-preserving, no shuffle — the plan is a
+    single mapInPandas over the scan at any corpus size."""
+    media = multimodal.to_media(_t(spark, sf_dir, "documents"))
+    resized = multimodal.resize_media(media, max_bytes=64)
+    return resized.select(
+        "doc_id",
+        F.col("meta.orig_bytes").alias("orig_bytes"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.scale_den").alias("scale_den"),
+        F.hex(F.substring(F.col("payload"), 1, 4)).alias("head_hex"),
+    )
+
+
+try:  # optional dependency — registration itself is the gate
+    import PIL  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+if _HAVE_PIL:
+
+    @query(
+        "mm_jpeg_dims",
+        oracle="""
+        SELECT doc_id,
+               CAST(4 + doc_id % 5 AS BIGINT) AS width,
+               CAST(4 + (doc_id // 5) % 5 AS BIGINT) AS height,
+               CAST((4 + doc_id % 5) * (4 + (doc_id // 5) % 5) AS BIGINT)
+                 AS n_raw_bytes
+        FROM documents
+        """,
+    )
+    def mm_jpeg_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Baseline-JPEG decode through the optional-PIL branch of
+        _decode_payload (llmops/multimodal.py): per-doc-sized
+        grayscale images are PIL-encoded to real JPEGs and decoded
+        back; the oracle pins the decode-invariant facts — width,
+        height, and raw plane size — because JPEG is lossy (pixel
+        values are codec-version-dependent, dimensions are not).
+        Registered only when Pillow imports; absent PIL the registry
+        simply lacks this row (clean skip, not a red)."""
+        return multimodal.jpeg_dims(_t(spark, sf_dir, "documents"))
