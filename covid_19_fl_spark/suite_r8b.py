@@ -161,3 +161,160 @@ def x_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+
+
+@query(
+    "x_skew_join_agg",
+    oracle="""
+    WITH f AS (
+      SELECT CASE WHEN l_orderkey % 10 < 7
+                  THEN 1 ELSE 1 + (l_partkey % 1000) END AS k,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+      FROM lineitem
+    ), d AS (
+      SELECT p_partkey AS k, p_brand FROM part WHERE p_partkey <= 1001
+    )
+    SELECT d.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(f.cents) AS BIGINT) / 100.0, 2) AS revenue
+    FROM f JOIN d USING (k)
+    GROUP BY 1
+    """,
+)
+def skew_join_plan(
+    spark: SparkSession, sf_dir: str, fact_partitions: int | None = None
+) -> DataFrame:
+    """The x_skew_join_agg plan builder, factored so the plan-shape
+    test can feed it a multi-partition fact. AQE's skew split carves a
+    hot REDUCE partition along MAP-task boundaries — with the local
+    single-file single-row-group parquet corpus the fact scan is ONE
+    map task and there is no boundary to split on, whereas a 100 TB
+    scan has thousands. ``fact_partitions`` simulates the multi-split
+    scan locally (tests pass 8); the registered query leaves it None —
+    no artificial exchange in the production plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    if fact_partitions:
+        li = li.repartition(fact_partitions)
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(1))
+        .otherwise(1 + (F.col("l_partkey") % 1000))
+        .cast("long")
+        .alias("k"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+    dim = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 1001)
+        .select(F.col("p_partkey").alias("k"), "p_brand")
+    )
+    return (
+        fact.join(dim, "k")
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.sum("cents").cast("long") / 100.0, 2).alias("revenue"),
+        )
+    )
+
+
+def x_skew_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately skewed fact/dim join — 70% of the fact rows map to
+    ONE join key — the workload shape where a static hash-shuffle join
+    stalls on its hottest reducer at 100 TB. Semantics are a plain
+    join+agg (exact-oracled); the SCALE mechanism is AQE's runtime
+    skew-join split, which carves the hot partition into
+    advisory-sized slices along map-task boundaries and replicates the
+    matching dim rows — pinned by tests/test_r8_operators.py::
+    test_skew_join_aqe_splits (SortMergeJoin(skew=true) in the
+    executed plan under a multi-split fact scan, the shape every real
+    cluster scan has). The engine-level salting twin for
+    aggregation-side skew is x_skew_salted_distinct; this is the
+    JOIN-side answer, delegated to the optimizer as it should be."""
+    return skew_join_plan(spark, sf_dir)
+
+
+def _morton16(xb, yb):
+    """Interleave two 8-bit bucket columns into a 16-bit Morton
+    (Z-order) code: bit k of x → bit 2k, bit k of y → bit 2k+1.
+    Pure integer shifts — DuckDB recomputes it identically with
+    (v // 2^k) % 2 arithmetic."""
+    z = F.lit(0)
+    for k in range(8):
+        z = z + F.shiftleft(F.shiftright(xb, k).bitwiseAND(F.lit(1)), 2 * k)
+        z = z + F.shiftleft(F.shiftright(yb, k).bitwiseAND(F.lit(1)), 2 * k + 1)
+    return z.cast("long")
+
+
+_Z_SQL = (
+    "list_sum([ (((xb // (1 << k)) % 2) * (1::BIGINT << (2 * k))"
+    " + ((yb // (1 << k)) % 2) * (1::BIGINT << (2 * k + 1)))"
+    " for k in generate_series(0, 7) ])"
+)
+
+
+@query(
+    "x_zorder_layout",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id % 256 AS xb,
+             CAST(FLOOR(value / 2) AS BIGINT) % 256 AS yb
+      FROM events
+    ), z AS (
+      SELECT xb, yb, CAST({_Z_SQL} AS BIGINT) // 1024 AS zcell FROM b
+    )
+    SELECT zcell,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(xb) AS BIGINT) AS min_xb,
+           CAST(MAX(xb) AS BIGINT) AS max_xb,
+           CAST(MIN(yb) AS BIGINT) AS min_yb,
+           CAST(MAX(yb) AS BIGINT) AS max_yb,
+           CAST(CASE WHEN MIN(xb) <= 63 AND MAX(xb) >= 32
+                      AND MIN(yb) <= 127 AND MAX(yb) >= 64
+                     THEN 1 ELSE 0 END AS BIGINT) AS touches_box
+    FROM z GROUP BY 1
+    """,
+)
+def x_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton space-filling-curve) clustering of a
+    two-dimensional key space — the multi-column locality layout
+    behind Delta/Iceberg OPTIMIZE ZORDER: interleaving the bits of
+    (user bucket, value bucket) makes rows close in BOTH dimensions
+    land in the same z-prefix cell, so a 2-D box predicate prunes to
+    the few cells whose min/max envelopes intersect it (touches_box),
+    instead of striping across every file the way a 1-D sort does.
+    Cells are fixed z-prefix shards (zcell = z >> 10): pure
+    shuffle-by-key, NO global sort anywhere in the plan. The oracle
+    recomputes the 16-bit interleave with integer arithmetic —
+    bit-exact in both engines.
+
+    Scale: per-cell min/max envelopes are exactly the file-skipping
+    statistics a lakehouse writer would persist; the whole plan is
+    one map + one keyed aggregation at any corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    buckets = ev.select(
+        (F.col("user_id") % 256).cast("long").alias("xb"),
+        (F.floor(F.col("value") / 2).cast("long") % 256).cast("long").alias("yb"),
+    )
+    cells = buckets.withColumn(
+        "z", _morton16(F.col("xb"), F.col("yb"))
+    ).withColumn("zcell", F.expr("z div 1024"))  # exact integer division
+    # touches_box: the fixed probe box xb∈[32,63] × yb∈[64,127]
+    return (
+        cells.groupBy("zcell")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("xb").cast("long").alias("min_xb"),
+            F.max("xb").cast("long").alias("max_xb"),
+            F.min("yb").cast("long").alias("min_yb"),
+            F.max("yb").cast("long").alias("max_yb"),
+        )
+        .withColumn(
+            "touches_box",
+            (
+                (F.col("min_xb") <= 63)
+                & (F.col("max_xb") >= 32)
+                & (F.col("min_yb") <= 127)
+                & (F.col("max_yb") >= 64)
+            ).cast("long"),
+        )
+    )

@@ -159,6 +159,58 @@ def test_partition_pruned_scan_lists_one_partition(spark):
     assert any(np == 1 for _, np in pruned_scans), pruned_scans
 
 
+def test_skew_join_aqe_splits(spark):
+    """AQE must split the hot reduce partition of the deliberately
+    skewed join (70% of fact rows on one key) into advisory-sized
+    slices: SortMergeJoin(skew=true) in the executed plan. The fact
+    side is repartitioned to 8 to simulate the multi-split scan every
+    real cluster has — locally the corpus is one parquet row group =
+    one map task, and a skewed partition can only be split along
+    map-task boundaries."""
+    from covid_19_fl_spark import suite_r8b
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2k",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = suite_r8b.skew_join_plan(spark, SF, fact_partitions=8)
+        plan = _executed_plan(df)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "SortMergeJoin(skew=true)" in plan, plan
+    # and the split is reflected in the reader: the skewed side reads
+    # expanded (sub-split) partitions
+    assert "skewed" in plan.split("SortMergeJoin", 1)[1], plan
+
+
+def test_zorder_cells_localize_box_query(spark):
+    """The z-order payoff, measured: the 2-D probe box (a 32×64 cell
+    of a 256×256 space = 1/32 of the area) must be answerable from a
+    small minority of z-cells — multi-dimensional locality that a 1-D
+    layout cannot give (any row-id or single-column ordering stripes
+    one dimension across ~all files)."""
+    rows = suite.QUERIES["x_zorder_layout"](spark, SF).collect()
+    touched = [r for r in rows if r["touches_box"] == 1]
+    assert rows and len(touched) <= max(2, len(rows) // 3), (
+        len(touched),
+        len(rows),
+    )
+    # envelope sanity: every cell's min/max bound its own rows
+    for r in rows:
+        assert 0 <= r["min_xb"] <= r["max_xb"] <= 255
+        assert 0 <= r["min_yb"] <= r["max_yb"] <= 255
+
+
 def test_fp_sql_single_definition():
     """The canonical fingerprint SQL fragment has ONE definition
     (suite_llmops._FP_SQL); suite_r7f imports it, and the dd_* oracles
