@@ -32,7 +32,7 @@ from __future__ import annotations
 import os
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .suite import _t, query
@@ -316,5 +316,80 @@ def x_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("min_yb") <= 127)
                 & (F.col("max_yb") >= 64)
             ).cast("long"),
+        )
+    )
+
+
+@query(
+    "x_compaction_plan",
+    oracle="""
+    WITH day AS (
+      SELECT CAST(ts AS DATE) AS dt, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1
+    ), c AS (
+      SELECT dt, n_rows,
+             COALESCE(CAST(SUM(n_rows) OVER (
+               ORDER BY dt ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING) AS BIGINT), 0) AS before_rows,
+             CAST(CEIL(CAST(SUM(n_rows) OVER () AS DOUBLE) / 8)
+               AS BIGINT) AS target
+      FROM day
+    )
+    SELECT before_rows // target AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+           MIN(dt) AS first_day,
+           MAX(dt) AS last_day
+    FROM c GROUP BY 1
+    """,
+)
+def x_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the production answer to the
+    small-files profile the 100× gate quantified on
+    mm_binary_media_scan (SCALECHECK.md): given per-partition size
+    statistics (here: events rows per day, the stand-in for file
+    bytes per object), assign contiguous partitions to target-sized
+    compaction bins with the deterministic next-fit-by-prefix-sum
+    rule bin = floor(rows_before / target) — exactly how lakehouse
+    OPTIMIZE jobs shard their rewrite work, and fully distributed
+    (no sequential bin-packing loop: the running sum IS the
+    assignment). Target = ⌈total/8⌉, so the plan adapts to corpus
+    size with a fixed bin count.
+
+    Scale: the prefix sum runs on the DOMAIN-BOUNDED day spine
+    (|days| rows post-aggregation, never the fact table) — the one
+    global window is over ≤|days| rows by construction, the same
+    bounded-series contract as the w* suite."""
+    day = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("dt"))
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )
+    w = Window.orderBy("dt").rowsBetween(Window.unboundedPreceding, -1)
+    c = day.select(
+        "dt",
+        "n_rows",
+        F.coalesce(F.sum("n_rows").over(w), F.lit(0)).cast("long").alias(
+            "before_rows"
+        ),
+        F.ceil(
+            F.sum("n_rows").over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            / 8.0
+        )
+        .cast("long")
+        .alias("target"),
+    )
+    return (
+        c.select(F.expr("before_rows div target").alias("bin"), "dt", "n_rows")
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.min("dt").alias("first_day"),
+            F.max("dt").alias("last_day"),
         )
     )

@@ -211,6 +211,32 @@ def test_zorder_cells_localize_box_query(spark):
         assert 0 <= r["min_yb"] <= r["max_yb"] <= 255
 
 
+def test_compaction_plan_invariants(spark):
+    rows = sorted(
+        suite.QUERIES["x_compaction_plan"](spark, SF).collect(),
+        key=lambda r: r["bin"],
+    )
+    total = suite._t(spark, SF, "events").count()
+    assert sum(r["total_rows"] for r in rows) == total  # nothing dropped
+    assert [r["bin"] for r in rows] == list(range(len(rows)))  # contiguous ids
+    # bins cover disjoint, ordered day ranges (contiguous partitions →
+    # a compaction job can rewrite each bin independently)
+    for a, b in zip(rows, rows[1:]):
+        assert a["last_day"] < b["first_day"]
+    # next-fit bound: every bin holds less than target + one max day
+    import math
+
+    target = math.ceil(total / 8)
+    max_day = max(
+        r["n_rows"]
+        for r in suite._t(spark, SF, "events")
+        .groupBy(F.to_date("ts").alias("dt"))
+        .agg(F.count("*").alias("n_rows"))
+        .collect()
+    )
+    assert all(r["total_rows"] < target + max_day for r in rows)
+
+
 def test_fp_sql_single_definition():
     """The canonical fingerprint SQL fragment has ONE definition
     (suite_llmops._FP_SQL); suite_r7f imports it, and the dd_* oracles
