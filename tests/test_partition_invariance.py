@@ -34,6 +34,13 @@ REPRESENTATIVES = [
     "x_peak_concurrency",
     # r4: corpus-frequency join + per-doc island merge
     "dd_exact_substr_spans",
+    # r8: binaryFile scan + Arrow decode (path-derived keys, no
+    # partitioning assumption in the fixture materialization)
+    "mm_binary_media_scan",
+    # r8: Morton interleave + z-prefix cells (pure keyed agg)
+    "x_zorder_layout",
+    # r8: domain-bounded prefix-sum bin assignment
+    "x_compaction_plan",
 ]
 
 
