@@ -162,3 +162,53 @@ def test_sweepline_on_empty(spark):
 
     df = spark.createDataFrame([], "k string, s long, e long, id long")
     assert sweepline.peak_concurrency(df, "k", "s", "e", "id").count() == 0
+
+
+def test_multimodal_resize_on_empty_and_tiny_payloads(spark):
+    """resize_media boundary shapes: empty payload (k clamps to 1,
+    stride of nothing is nothing), payload exactly at the cap
+    (untouched, scale 1/1), and one byte over (k=2 halves it)."""
+    from covid_19_fl_spark.llmops import multimodal
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "x" * 64), (2, "y" * 65)], DOC_SCHEMA
+    ).withColumn("source", F.lit("t"))
+    out = {
+        r.doc_id: r
+        for r in multimodal.resize_media(
+            multimodal.to_media(docs), max_bytes=64
+        ).collect()
+    }
+    assert out[0].meta.n_bytes == 0 and out[0].meta.scale_den == 1
+    assert out[1].meta.n_bytes == 64 and out[1].meta.scale_den == 1
+    assert out[2].meta.n_bytes == 33 and out[2].meta.scale_den == 2
+    assert bytes(out[2].payload) == b"y" * 33
+
+
+def test_multimodal_features_on_empty_corpus(spark):
+    from covid_19_fl_spark.llmops import multimodal
+
+    docs = spark.createDataFrame([], DOC_SCHEMA).withColumn(
+        "source", F.lit("t")
+    )
+    media = multimodal.to_media(docs)
+    assert multimodal.extract_features(media).count() == 0
+    assert multimodal.resize_media(media).count() == 0
+    assert multimodal.sample_frames(media).count() == 0
+
+
+def test_morton_interleave_boundaries():
+    """_morton16 must round-trip the corner cases of the 8-bit space
+    exactly (0, 255, single-axis extremes)."""
+    from covid_19_fl_spark.session import get_spark
+    from covid_19_fl_spark.suite_r8b import _morton16
+
+    spark = get_spark("covid_19_fl_spark-tests", cpus="8")
+    df = spark.createDataFrame(
+        [(0, 0), (255, 0), (0, 255), (255, 255), (170, 85)],
+        "xb long, yb long",
+    ).select(_morton16(F.col("xb"), F.col("yb")).alias("z"))
+    got = [r.z for r in df.collect()]
+    # x bits at even positions (0x5555 mask), y bits at odd (0xAAAA);
+    # (170, 85) = (10101010b, 01010101b) interleaves to 0x6666
+    assert got == [0, 0x5555, 0xAAAA, 0xFFFF, 0x6666]
