@@ -214,3 +214,77 @@ def cur_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("achieved_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus manifest: the reproducibility digest of a curation run (r8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cur_corpus_manifest",
+    oracle=f"""
+    WITH f AS (
+      SELECT source,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+             CAST(len({_WORDS_SQL}) AS BIGINT) AS n_words
+      FROM documents
+    ), h AS (
+      SELECT source, fp, n_words,
+             ('0x' || substr(md5(fp), 1, 15))::BIGINT % 2147483647 AS h0
+      FROM f
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_fp,
+           CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+           CAST(SUM(h0) % 2147483647 AS BIGINT) AS fp_digest,
+           CAST(SUM((1013904228 * h0 + 1908133490) % 2147483647)
+                % 2147483647 AS BIGINT) AS fp_digest2
+    FROM h GROUP BY source
+    """,
+)
+def cur_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus manifest — the reproducibility digest a
+    dataset release ships beside its datasheet (cur_dataset_card):
+    document count, unique-fingerprint count (dup-awareness), token
+    mass, and TWO order-independent content digests. Each document's
+    canonical fingerprint hashes through the portable 60-bit md5 path
+    (llmops/dedup.portable_hash), reduces mod P=2^31−1, and the
+    per-source digest is the COMMUTATIVE modular sum (plus an
+    affine-seeded second channel, seeds from dedup.affine_consts(1)) —
+    so the digest is invariant to partitioning, task order, and row
+    order, and two independently produced copies of a corpus can be
+    compared with |sources| rows instead of a full anti-join. Every
+    term is < 2^31 pre-sum, so the running sum stays overflow-safe
+    past 2^32 documents per source in both engines.
+
+    The reference re-exports its whole MongoDB collection to CSV to
+    compare runs (datasets/ exports); this is the engine-side answer
+    at 100 TB: one scan, one keyed agg, constant-width output.
+
+    Scale: map (md5 + modular arithmetic, whole-stage codegen) + one
+    map-side-combinable groupBy on |sources| keys; no data-sized
+    state anywhere."""
+    from .llmops import text as T2
+    from .llmops.dedup import PORTABLE_PRIME, affine_consts, portable_hash
+
+    a1, b1 = affine_consts(1)
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        T2.fingerprint(F.col("text")).alias("fp"),
+        T2.token_count(F.col("text")).cast("long").alias("n_words"),
+    ).withColumn("h0", portable_hash(F.col("fp")) % PORTABLE_PRIME)
+    return base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("fp").cast("long").alias("n_unique_fp"),
+        F.sum("n_words").cast("long").alias("n_tokens"),
+        (F.sum("h0") % PORTABLE_PRIME).cast("long").alias("fp_digest"),
+        (
+            F.sum((F.lit(a1) * F.col("h0") + F.lit(b1)) % PORTABLE_PRIME)
+            % PORTABLE_PRIME
+        )
+        .cast("long")
+        .alias("fp_digest2"),
+    )

@@ -42,3 +42,40 @@ def test_mix_rebalance_plan_invariants(spark, sf_dir):
     budget = total // 2
     assert all(r.target_tokens <= budget for r in rows)
     assert abs(sum(r.target_tokens for r in rows) - budget) <= len(rows)
+
+
+def test_corpus_manifest_order_independence(spark, sf_dir):
+    """The manifest digests must be invariant to physical row order /
+    partitioning (the property that lets two independently produced
+    corpus copies be compared digest-to-digest)."""
+    from covid_19_fl_spark.tables import load
+
+    base = {
+        r.source: r
+        for r in suite.QUERIES["cur_corpus_manifest"](spark, sf_dir).collect()
+    }
+    docs = load(spark, sf_dir, "documents")
+    total = docs.count()
+    assert sum(r.n_docs for r in base.values()) == total
+    for r in base.values():
+        assert 0 < r.n_unique_fp <= r.n_docs
+        assert 0 <= r.fp_digest < 2147483647
+        assert 0 <= r.fp_digest2 < 2147483647
+    # recompute from a reshuffled copy of the corpus: identical digests
+    from covid_19_fl_spark.llmops import text as T
+    from covid_19_fl_spark.llmops.dedup import PORTABLE_PRIME, portable_hash
+    from pyspark.sql import functions as F
+
+    shuffled = (
+        docs.repartition(7, "doc_id")
+        .select(
+            "source",
+            (portable_hash(T.fingerprint(F.col("text"))) % PORTABLE_PRIME).alias("h0"),
+        )
+        .groupBy("source")
+        .agg((F.sum("h0") % PORTABLE_PRIME).cast("long").alias("fp_digest"))
+        .collect()
+    )
+    assert {r.source: r.fp_digest for r in shuffled} == {
+        s: r.fp_digest for s, r in base.items()
+    }
