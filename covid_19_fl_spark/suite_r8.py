@@ -50,26 +50,30 @@ def _png_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per sf corpus) the generative PNG fixture
     files for the binaryFile-scan query and return the directory.
 
-    Idempotent: a `_READY` marker carrying the row count skips
-    regeneration on repeat calls (bench warm passes); distinct sf
-    dirs get distinct directories. The write itself is distributed
-    (foreachPartition) — no driver-side row loop; in local mode every
-    task shares /tmp, on a cluster this would be an object-store
-    prefix with the identical write pattern."""
-    docs = _t(spark, sf_dir, "documents")
-    n = docs.count()
+    Idempotent: a `_READY` marker carrying a CONTENT signature of the
+    source documents table (file sizes+mtimes, tables.content_sig —
+    round-8 advice) skips regeneration on repeat calls (bench warm
+    passes) with NO Spark job on the warm path, and a regenerated
+    corpus at the same path — even with the same row count — gets
+    fresh PNGs instead of a stale-fixture oracle red. The write itself
+    is distributed (foreachPartition) — no driver-side row loop; in
+    local mode every task shares /tmp, on a cluster this would be an
+    object-store prefix with the identical write pattern."""
+    from . import tables
+
+    sig = tables.content_sig(sf_dir, "documents")
     base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    dest = os.path.join("/tmp", "spark_graft_media", f"{base}_{n}", "png")
+    dest = os.path.join("/tmp", "spark_graft_media", f"{base}_{sig}", "png")
     marker = os.path.join(dest, "_READY")
     try:
         with open(marker) as fh:
-            if fh.read().strip() == str(n):
+            if fh.read().strip() == sig:
                 return dest
     except OSError:
         pass
-    multimodal.materialize_png_corpus(docs, dest)
+    multimodal.materialize_png_corpus(_t(spark, sf_dir, "documents"), dest)
     with open(marker, "w") as fh:
-        fh.write(str(n))
+        fh.write(sig)
     return dest
 
 

@@ -35,6 +35,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import tables
 from .suite import _t, query
 
 _BUCKETS = 8
@@ -53,13 +54,23 @@ def bucketed_table(
     count scan co-located — the SortMergeJoin planner elides BOTH the
     exchange and the sort. The in-memory catalog forgets tables across
     sessions; the data does not — re-registration overwrites in place
-    (idempotent: same deterministic input, same layout)."""
-    name = f"bkt_{table}_{_tag(sf_dir)}"
+    (idempotent: same deterministic input, same layout).
+
+    The catalog name and external path carry the bucket KEY, bucket
+    COUNT, and a content signature of the source table (round-8
+    advice): a caller bucketing the same table by a different key, or
+    a regenerated corpus at the same path, gets its own layout instead
+    of silently reusing the wrong one."""
+    sig = tables.content_sig(sf_dir, table)
+    name = f"bkt_{table}_{key}_{n}_{_tag(sf_dir)}_{sig}"
     if not spark.catalog.tableExists(name):
         (
             _t(spark, sf_dir, table)
             .write.mode("overwrite")
-            .option("path", f"/tmp/spark_graft_bucketed/{_tag(sf_dir)}/{table}")
+            .option(
+                "path",
+                f"/tmp/spark_graft_bucketed/{_tag(sf_dir)}/{table}_{key}_{n}_{sig}",
+            )
             .bucketBy(n, key)
             .sortBy(key)
             .format("parquet")
@@ -131,9 +142,20 @@ def x_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: partition pruning is THE first-order lever on a 100 TB
     time-series table — a day query on a year of data touches 0.3%
     of the bytes, before any row filter runs."""
+    # The re-layout is cached under /tmp keyed on a CONTENT signature
+    # of the source table (round-8 advice): a regenerated events corpus
+    # at the same path invalidates the cache instead of the query
+    # silently reading the stale layout while the oracle reads fresh.
+    sig = tables.content_sig(sf_dir, "events")
     dest = f"/tmp/spark_graft_partitioned/{_tag(sf_dir)}/events"
     marker = os.path.join(dest, "_SPARK_GRAFT_READY")
-    if not os.path.exists(marker):
+    fresh = False
+    try:
+        with open(marker) as fh:
+            fresh = fh.read().strip() == sig
+    except OSError:
+        pass
+    if not fresh:
         (
             _t(spark, sf_dir, "events")
             .withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
@@ -142,7 +164,7 @@ def x_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(dest)
         )
         with open(marker, "w") as fh:
-            fh.write("ok")
+            fh.write(sig)
     first_day = (
         _t(spark, sf_dir, "events")
         .agg(F.date_format(F.min(F.to_date("ts")), "yyyy-MM-dd"))
@@ -163,24 +185,6 @@ def x_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "x_skew_join_agg",
-    oracle="""
-    WITH f AS (
-      SELECT CASE WHEN l_orderkey % 10 < 7
-                  THEN 1 ELSE 1 + (l_partkey % 1000) END AS k,
-             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
-      FROM lineitem
-    ), d AS (
-      SELECT p_partkey AS k, p_brand FROM part WHERE p_partkey <= 1001
-    )
-    SELECT d.p_brand AS brand,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           ROUND(CAST(SUM(f.cents) AS BIGINT) / 100.0, 2) AS revenue
-    FROM f JOIN d USING (k)
-    GROUP BY 1
-    """,
-)
 def skew_join_plan(
     spark: SparkSession, sf_dir: str, fact_partitions: int | None = None
 ) -> DataFrame:
@@ -217,6 +221,24 @@ def skew_join_plan(
     )
 
 
+@query(
+    "x_skew_join_agg",
+    oracle="""
+    WITH f AS (
+      SELECT CASE WHEN l_orderkey % 10 < 7
+                  THEN 1 ELSE 1 + (l_partkey % 1000) END AS k,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+      FROM lineitem
+    ), d AS (
+      SELECT p_partkey AS k, p_brand FROM part WHERE p_partkey <= 1001
+    )
+    SELECT d.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(f.cents) AS BIGINT) / 100.0, 2) AS revenue
+    FROM f JOIN d USING (k)
+    GROUP BY 1
+    """,
+)
 def x_skew_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deliberately skewed fact/dim join — 70% of the fact rows map to
     ONE join key — the workload shape where a static hash-shuffle join

@@ -86,6 +86,35 @@ def _canonicalize(name: str, df: DataFrame) -> DataFrame:
     return df
 
 
+def content_sig(sf_dir: str, name: str) -> str:
+    """Cheap content signature of one corpus table: md5 over the sorted
+    (relative path, size, mtime_ns) of every data file under
+    ``sf_dir/name.parquet`` — no Spark job, just filesystem stats.
+
+    Used to key /tmp-cached derived layouts (bucketed tables, partition
+    re-layouts, media fixture corpora) so a REGENERATED corpus at the
+    same path invalidates the cache instead of silently serving the
+    stale layout while the DuckDB oracle reads the fresh table
+    (round-8 advice items on suite_r8/suite_r8b)."""
+    import hashlib
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    entries: list[tuple[str, int, int]] = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                if f.startswith(("_", ".")):
+                    continue  # markers / CRCs — not data
+                st = os.stat(os.path.join(root, f))
+                rel = os.path.relpath(os.path.join(root, f), path)
+                entries.append((rel, st.st_size, st.st_mtime_ns))
+    else:
+        st = os.stat(path)
+        entries.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
+    h = hashlib.md5(repr(sorted(entries)).encode()).hexdigest()
+    return h[:12]
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
 

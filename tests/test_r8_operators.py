@@ -14,7 +14,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from covid_19_fl_spark import suite, suite_r8
+from covid_19_fl_spark import suite, suite_r8, tables
 from covid_19_fl_spark.llmops import multimodal
 
 SF = "/root/testdata/sf0.001"
@@ -43,8 +43,26 @@ def test_png_corpus_materialization_is_idempotent(spark):
     # second call must hit the marker and not rewrite any file
     assert suite_r8._png_corpus_dir(spark, SF) == dest
     assert os.path.getmtime(marker) == before
+    # the marker carries the source-table content signature (round-8
+    # advice: regenerated corpus ⇒ new signature ⇒ fresh fixtures)
+    assert open(marker).read().strip() == tables.content_sig(SF, "documents")
     pngs = [f for f in os.listdir(dest) if f.endswith(".png")]
-    assert len(pngs) == int(open(marker).read())
+    assert len(pngs) == suite._t(spark, SF, "documents").count()
+
+
+def test_png_corpus_rekeys_on_content_change(spark, tmp_path):
+    """A corpus with identical row count but different bytes must get a
+    DIFFERENT cache directory (the round-8 advice failure mode: stale
+    fixtures surfacing as a confusing oracle red)."""
+    import shutil
+
+    alt = tmp_path / "sf0.001"
+    shutil.copytree(SF, alt)  # copy2 preserves mtimes → same signature
+    dest_orig = suite_r8._png_corpus_dir(spark, SF)
+    assert suite_r8._png_corpus_dir(spark, str(alt)) == dest_orig
+    # "regenerate" the documents table in place: same bytes, new mtime
+    os.utime(alt / "documents.parquet")
+    assert suite_r8._png_corpus_dir(spark, str(alt)) != dest_orig
 
 
 def test_resize_pipeline_scale_facts(spark):
