@@ -373,3 +373,4 @@ from . import suite_r7f  # noqa: E402,F401
 from . import suite_r7g  # noqa: E402,F401
 from . import suite_r8  # noqa: E402,F401
 from . import suite_r8b  # noqa: E402,F401
+from . import suite_r9  # noqa: E402,F401
