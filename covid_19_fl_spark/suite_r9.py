@@ -8,6 +8,10 @@ oracle-gated query row (round-8 verdict asks #3, #4, #7):
   v3 = RESTORE(1)) is committed once per corpus, then the query reads
   v1 by version, v2 by version, and HEAD, and the oracle recomputes
   every state from the same deterministic predicates.
+- ``x_time_travel_diff`` — the change-data-feed companion: per
+  consecutive version pair, added/removed keys + fixed-point spend via
+  two anti-joins over the immutable snapshots (v1→v2 = the refresh's
+  insertions, v2→v3 = the restore's removals).
 - ``mm_jpeg_header`` — baseline-JPEG dimensions WITHOUT a codec: a
   pure-stdlib SOF0 marker-walk parser (llmops/multimodal.
   parse_jpeg_header) over structurally-real JFIF containers built by
@@ -146,6 +150,67 @@ def x_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_version_stats(vt.read(2), "v2_full_refresh", 2))
         .unionByName(_version_stats(vt.read(), "head_restored", 3))
     )
+
+
+_TT_ADDED_STATS = """
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)),
+                  0) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+
+@query(
+    "x_time_travel_diff",
+    oracle=f"""
+    WITH delta AS ({_TT_ADDED_STATS})
+    SELECT 1::BIGINT AS from_version, 2::BIGINT AS to_version,
+           n AS n_added, cents AS added_cents,
+           0::BIGINT AS n_removed, 0::BIGINT AS removed_cents
+    FROM delta
+    UNION ALL
+    SELECT 2::BIGINT, 3::BIGINT, 0::BIGINT, 0::BIGINT, n, cents
+    FROM delta
+    """,
+)
+def x_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between committed versions — the change-data-feed
+    verb a versioned table enables (what Delta's CDF/table_changes
+    surfaces): for each consecutive version pair, the keys ADDED and
+    REMOVED with their fixed-point spend, computed as two keyed
+    anti-joins per pair over the immutable snapshots. v1→v2 (the full
+    refresh) adds exactly the o_orderkey % 3 = 0 rows; v2→v3 (the
+    RESTORE) removes the same set — so hash equality attests both the
+    diff plan and that RESTORE is a byte-exact rollback.
+
+    Scale: anti-joins shuffle both snapshots on the unique key once
+    per pair (AQE picks broadcast when a side is small); aggregates
+    are 1-row scalars — no driver materialization, no global sort."""
+    vt = _time_travel_table(spark, sf_dir)
+
+    def diff(old: DataFrame, new: DataFrame, from_v: int, to_v: int) -> DataFrame:
+        cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        added = new.join(old.select("o_orderkey"), "o_orderkey", "left_anti")
+        removed = old.join(new.select("o_orderkey"), "o_orderkey", "left_anti")
+        a = added.agg(
+            F.count("*").cast("long").alias("n_added"),
+            F.coalesce(F.sum(cents), F.lit(0)).cast("long").alias("added_cents"),
+        )
+        r = removed.agg(
+            F.count("*").cast("long").alias("n_removed"),
+            F.coalesce(F.sum(cents), F.lit(0)).cast("long").alias("removed_cents"),
+        )
+        return a.crossJoin(r).select(
+            F.lit(from_v).cast("long").alias("from_version"),
+            F.lit(to_v).cast("long").alias("to_version"),
+            "n_added",
+            "added_cents",
+            "n_removed",
+            "removed_cents",
+        )
+
+    v1, v2, head = vt.read(1), vt.read(2), vt.read()
+    return diff(v1, v2, 1, 2).unionByName(diff(v2, head, 2, 3))
 
 
 # ---------------------------------------------------------------------------

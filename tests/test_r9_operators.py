@@ -154,6 +154,22 @@ def test_time_travel_read_facts(spark):
     assert rows["head_restored"]["version"] == 3
 
 
+def test_time_travel_diff_directions(spark):
+    rows = {
+        (r["from_version"], r["to_version"]): r
+        for r in suite.QUERIES["x_time_travel_diff"](spark, SF).collect()
+    }
+    assert set(rows) == {(1, 2), (2, 3)}
+    orders = suite._t(spark, SF, "orders")
+    n_inserted = orders.filter(F.col("o_orderkey") % 3 == 0).count()
+    fwd, back = rows[(1, 2)], rows[(2, 3)]
+    # the full refresh only ADDS; the restore only REMOVES — and they
+    # move the exact same key set (byte-exact rollback)
+    assert (fwd["n_added"], fwd["n_removed"]) == (n_inserted, 0)
+    assert (back["n_added"], back["n_removed"]) == (0, n_inserted)
+    assert fwd["added_cents"] == back["removed_cents"] > 0
+
+
 def test_time_travel_build_is_idempotent(spark):
     vt1 = suite_r9._time_travel_table(spark, SF)
     v_before = vt1.current_version()
