@@ -152,6 +152,90 @@ def x_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _vacuumed_table(spark: SparkSession, sf_dir: str) -> VersionedParquetTable:
+    """A SEPARATE three-version history that is then ``vacuum``ed with
+    keep_last=1 (own /tmp dir — the shared _time_travel_table history
+    must stay fully readable for the read/diff queries). Built once
+    per corpus content; the vacuum outcome is deterministic, so
+    repeat calls (bench warm passes) just reopen the already-vacuumed
+    log."""
+    import shutil
+
+    sig = tables.content_sig(sf_dir, "orders")
+    dest = f"/tmp/spark_graft_timetravel/{_tag(sf_dir)}_{sig}_vac"
+    marker = os.path.join(dest, "_SPARK_GRAFT_READY")
+    vt = VersionedParquetTable(spark, dest)
+    fresh = False
+    try:
+        with open(marker) as fh:
+            fresh = fh.read().strip() == sig
+    except OSError:
+        pass
+    if not fresh:
+        shutil.rmtree(dest, ignore_errors=True)
+        orders = _t(spark, sf_dir, "orders")
+        vt.commit(orders.filter(F.col("o_orderkey") % 3 != 0))
+        vt.commit(orders, op="full_refresh")
+        vt.restore(1)
+        removed = vt.vacuum(keep_last=1)
+        # v2's snapshot dir is the ONLY reclaimable one: v1's dir is
+        # still referenced by HEAD (the restore) and must survive.
+        if len(removed) != 1:
+            raise AssertionError(
+                f"vacuum(keep_last=1) removed {removed!r}; expected "
+                "exactly the unreferenced v2 snapshot dir"
+            )
+        with open(marker, "w") as fh:
+            fh.write(sig)
+    return vt
+
+
+@query(
+    "x_time_travel_vacuum",
+    oracle="""
+    WITH v1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders WHERE o_orderkey % 3 != 0
+    )
+    SELECT 1::BIGINT AS version, 'overwrite' AS op,
+           n AS manifest_rows, n AS scan_rows FROM v1
+    UNION ALL
+    SELECT 3::BIGINT, 'restore(1)', n, n FROM v1
+    """,
+)
+def x_time_travel_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention (VACUUM) semantics under the oracle gate: a 3-version
+    history (v1 partial → v2 full refresh → v3 = RESTORE(1)) vacuumed
+    with keep_last=1. The correct outcome — pinned by hash equality —
+    is that exactly versions {1, 3} survive: v2's snapshot dir is
+    unreferenced and reclaimed (its manifest dropped with it, so stale
+    reads fail fast), while v1's dir SURVIVES retention because HEAD
+    (the restore) references it — the referenced-snapshot protection
+    that distinguishes a manifest-aware vacuum from an mtime sweep.
+    Each surviving version emits (version, op, manifest_rows,
+    scan_rows): manifest_rows from the commit log, scan_rows
+    recounted from the snapshot parquet — equality attests the log
+    matches the bytes after the sweep.
+
+    Scale: vacuum walks the manifest log and the snapshot-dir listing
+    (O(versions), never the data); the recounts are footer-parallel
+    count aggregates."""
+    vt = _vacuumed_table(spark, sf_dir)
+    parts = [
+        vt.read(m["version"]).agg(
+            F.lit(m["version"]).cast("long").alias("version"),
+            F.lit(m["op"]).alias("op"),
+            F.lit(m["n_rows"]).cast("long").alias("manifest_rows"),
+            F.count("*").cast("long").alias("scan_rows"),
+        )
+        for m in vt.history()  # O(versions) manifest log, 2 rows here
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 _TT_ADDED_STATS = """
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)),

@@ -170,6 +170,25 @@ def test_time_travel_diff_directions(spark):
     assert fwd["added_cents"] == back["removed_cents"] > 0
 
 
+def test_time_travel_vacuum_referenced_snapshot_survives(spark):
+    rows = {
+        r["version"]: r
+        for r in suite.QUERIES["x_time_travel_vacuum"](spark, SF).collect()
+    }
+    # v2 reclaimed; v1 survives retention because HEAD references it
+    assert set(rows) == {1, 3}
+    assert rows[1]["op"] == "overwrite"
+    assert rows[3]["op"] == "restore(1)"
+    for r in rows.values():
+        assert r["manifest_rows"] == r["scan_rows"] > 0
+    # the vacuumed log fails fast on the reclaimed version
+    vt = suite_r9._vacuumed_table(spark, SF)
+    with pytest.raises(KeyError):
+        vt.read(2)
+    # warm call reopens the same vacuumed history without rebuilding
+    assert [m["version"] for m in vt.history()] == [1, 3]
+
+
 def test_time_travel_build_is_idempotent(spark):
     vt1 = suite_r9._time_travel_table(spark, SF)
     v_before = vt1.current_version()
