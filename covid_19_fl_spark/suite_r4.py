@@ -63,6 +63,89 @@ def _stream_shuffle_partitions(spark: SparkSession, n: int = 16):
             spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+@contextmanager
+def _rocksdb_state_store(spark: SparkSession):
+    """Scope the RocksDB state store provider over a streaming drain.
+
+    The default HDFSBackedStateStoreProvider keeps every store's
+    working map ON HEAP — for a stream-stream join draining a whole
+    corpus in one availableNow batch (no watermark eviction until the
+    batch commits), state is O(both sides) and the round-9 full 100×
+    sweep measured the consequence: st_stream_left_outer_wm's join
+    state (60M lineitem + 7.5M orders buffered rows) exhausted a 24g
+    heap and took the SparkContext down with it. RocksDB keeps the
+    working set on executor-local disk with a bounded block cache —
+    the same provider every production Spark deployment runs for
+    exactly this reason. Conf is latched per query at start; restored
+    after the drain so batch plans and the bounded-state st_* drains
+    keep their defaults."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def _drain_to_parquet(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    name: str,
+    sf_dir: str,
+    timeout_sec: int = 600,
+) -> tuple[DataFrame, int]:
+    """availableNow drain of a potentially DATA-SIZED streaming output:
+    RocksDB state store + distributed foreachBatch parquet appends
+    instead of the driver-heap memory sink (a 100× join output is tens
+    of millions of rows — a memory sink materializes all of them in
+    the driver JVM). Batch 0 overwrites the per-(query, corpus) dest
+    dir, later batches append — each run self-cleans, /tmp never
+    accumulates across bench passes. Returns (DataFrame over the
+    drained rows, data-batch count) so callers keep their
+    single-batch exactness assertions."""
+    import re as _re
+
+    tag = _re.sub(r"[^0-9A-Za-z]+", "_", os.path.basename(os.path.normpath(sf_dir)))
+    dest = f"/tmp/covid_19_fl_spark-drain/{name}_{tag}"
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite" if batch_id == 0 else "append").parquet(dest)
+
+    with _stream_shuffle_partitions(spark), _rocksdb_state_store(spark):
+        q = (
+            stream_df.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(timeout_sec):
+                raise TimeoutError(
+                    f"{name}: availableNow drain did not finish within "
+                    f"{timeout_sec}s — refusing to aggregate a partial sink"
+                )
+        finally:
+            data_batches = sum(
+                1 for p in q.recentProgress if p and p.get("numInputRows", 0) > 0
+            )
+            q.stop()
+    try:
+        return spark.read.parquet(dest), data_batches
+    except Exception:  # noqa: BLE001 — zero-row drain writes no part files
+        return (
+            spark.createDataFrame([], stream_df.schema),
+            data_batches,
+        )
+
+
 def _stage_stream_dir(sf_dir: str, table: str) -> str:
     """File streaming sources need a DIRECTORY; the corpus ships
     read-only single files — stage a symlink dir under /tmp (no data
@@ -798,10 +881,11 @@ def x_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner equi-join under the exactness gate: the
     orders and lineitem streams join on orderkey with symmetric
-    streaming state, the joined rows append into a memory sink, and
-    the drained sink aggregates to per-returnflag counts + DECIMAL-
-    exact revenue — hash-matched against the batch join oracle
-    (SURVEY §2.11 stream-stream join, previously pytest-only).
+    streaming state, the joined rows drain through distributed
+    foreachBatch parquet appends, and the drained rows aggregate to
+    per-returnflag counts + DECIMAL-exact revenue — hash-matched
+    against the batch join oracle (SURVEY §2.11 stream-stream join,
+    previously pytest-only).
 
     Join state is hash-partitioned on the key, each matched pair
     emits exactly once whichever side arrives first, and the final
@@ -809,7 +893,11 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow drain reproduces the batch join bit-for-bit.
     Production unbounded streams would add event-time watermarks to
     both sides so the state store evicts matched keys; the bounded
-    drain keeps full state to preserve exact oracle equality.
+    drain keeps full state to preserve exact oracle equality — which
+    is why it runs on the RocksDB state store and a parquet sink
+    (_drain_to_parquet): full-corpus join state and a data-sized
+    output must live on disk, not the heap (pinned by the round-9
+    full 100× sweep, where the on-heap variant OOM'd).
     """
     ostage = _stage_stream_dir(sf_dir, "orders")
     lstage = _stage_stream_dir(sf_dir, "lineitem")
@@ -829,25 +917,11 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = items.join(orders, items.l_orderkey == orders.o_orderkey).select(
         "l_returnflag", "l_extendedprice"
     )
-    sink = f"st_ssj_{uuid.uuid4().hex[:8]}"
-    with _stream_shuffle_partitions(spark):
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            if not q.awaitTermination(120):
-                raise TimeoutError(
-                    "st_stream_stream_join: availableNow drain did not "
-                    "finish within 120s — refusing to aggregate a partial sink"
-                )
-        finally:
-            q.stop()
+    drained, _ = _drain_to_parquet(
+        spark, joined, "st_stream_stream_join", sf_dir
+    )
     return (
-        spark.table(sink)
+        drained
         .groupBy("l_returnflag")
         .agg(
             F.count("*").cast("long").alias("n_items"),

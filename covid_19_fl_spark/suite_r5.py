@@ -33,7 +33,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .suite import _t, query  # noqa: F401  (_t used by later additions)
-from .suite_r4 import _stage_stream_dir, _stream_shuffle_partitions
+from .suite_r4 import (
+    _drain_to_parquet,
+    _stage_stream_dir,
+    _stream_shuffle_partitions,
+)
 
 # Event-time band for the watermarked join: a lineitem matches its
 # order only if shipped within BAND days of the order date. TPC-H ships
@@ -119,29 +123,13 @@ def st_stream_stream_join_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= orders.o_ts + F.expr(f"INTERVAL {_SSJ_BAND_DAYS} DAYS")
         ),
     ).select("l_returnflag", "l_extendedprice")
-    sink = f"st_ssjwm_{uuid.uuid4().hex[:8]}"
-    with _stream_shuffle_partitions(spark):
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            if not q.awaitTermination(180):
-                raise TimeoutError(
-                    "st_stream_stream_join_wm: availableNow drain did "
-                    "not finish within 180s — refusing to aggregate a "
-                    "partial sink"
-                )
-        finally:
-            data_batches = sum(
-                1
-                for p in q.recentProgress
-                if p and p.get("numInputRows", 0) > 0
-            )
-            q.stop()
+    # RocksDB state store + distributed parquet sink: the single-batch
+    # drain holds BOTH sides' full state until commit (the watermark
+    # only evicts afterwards), which is O(corpus) — on-heap state plus
+    # a memory sink OOM'd the round-9 full 100× sweep on the outer twin.
+    drained, data_batches = _drain_to_parquet(
+        spark, joined, "st_stream_stream_join_wm", sf_dir
+    )
     if data_batches > 1:
         raise AssertionError(
             f"st_stream_stream_join_wm: drain took {data_batches} data "
@@ -149,7 +137,7 @@ def st_stream_stream_join_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "violated; raise maxFilesPerTrigger"
         )
     return (
-        spark.table(sink)
+        drained
         .groupBy("l_returnflag")
         .agg(
             F.count("*").cast("long").alias("n_items"),

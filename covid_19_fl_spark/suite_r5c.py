@@ -36,7 +36,11 @@ from pyspark.sql import functions as F
 
 from .llmops.dedup import portable_hash
 from .suite import _t, query
-from .suite_r4 import _stage_stream_dir, _stream_shuffle_partitions
+from .suite_r4 import (
+    _drain_to_parquet,
+    _stage_stream_dir,
+    _stream_shuffle_partitions,
+)
 
 # ---------------------------------------------------------------------------
 # x_kcore — k-core decomposition of the co-order parts graph
@@ -548,29 +552,15 @@ def st_stream_left_outer_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "left_outer",
     ).select("l_returnflag", "l_extendedprice")
-    sink = f"st_loj_{uuid.uuid4().hex[:8]}"
-    with _stream_shuffle_partitions(spark):
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            if not q.awaitTermination(180):
-                raise TimeoutError(
-                    "st_stream_left_outer_wm: availableNow drain did "
-                    "not finish within 180s — refusing to aggregate a "
-                    "partial sink"
-                )
-        finally:
-            data_batches = sum(
-                1
-                for p in q.recentProgress
-                if p and p.get("numInputRows", 0) > 0
-            )
-            q.stop()
+    # RocksDB state store + distributed parquet sink: this drain's
+    # single data batch buffers BOTH sides in join state before any
+    # eviction — at the round-9 full 100× sweep the on-heap default
+    # (HDFSBackedStateStore) exhausted a 24g heap right here and took
+    # the SparkContext down; the production provider + a non-driver
+    # sink is the fix, not a bigger heap.
+    drained, data_batches = _drain_to_parquet(
+        spark, joined, "st_stream_left_outer_wm", sf_dir
+    )
     if data_batches > 1:
         raise AssertionError(
             f"st_stream_left_outer_wm: drain took {data_batches} data "
@@ -578,7 +568,7 @@ def st_stream_left_outer_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "violated; raise maxFilesPerTrigger"
         )
     return (
-        spark.table(sink)
+        drained
         .groupBy(
             F.coalesce(F.col("l_returnflag"), F.lit("UNMATCHED")).alias(
                 "returnflag"
