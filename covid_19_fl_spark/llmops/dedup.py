@@ -688,7 +688,23 @@ def simhash_pairs(
     the map-side combine reduces the shuffle to one row per doc).
     Per bit i: balance = 2·Σ bit_i(h(token)) − n_tokens with h the
     portable md5-prefix hash; sig bit set iff balance > 0 — identical
-    values to simhash32(), and reproducible by the DuckDB oracle."""
+    values to simhash32(), and reproducible by the DuckDB oracle.
+
+    Candidate generation runs over the DISTINCT-SIGNATURE SPINE, not
+    the doc table (round-9 full 100× sweep finding): the 4×8-bit chunk
+    domain is FIXED (1024 keys), so banding doc rows directly turns
+    the candidate equi-join quasi-cross on any duplicate-dense corpus
+    — at 60M-row scale the intermediate hit ~4B rows and exhausted
+    70 GB of spill disk while the true answer was ~30M pairs. Identical
+    docs have identical signatures, so chunk-candidacy is a property
+    of the signature VALUE: band distinct sigs (bounded by content
+    diversity, not corpus size), hamming-verify the sig pairs, then
+    expand qualifying sig pairs back to doc pairs — the expansion is
+    output-sized by construction, and within-class pairs (same sig,
+    hamming 0) enumerate directly. Output is EXACTLY the previous
+    plan's (same oracle). Residual banding caveat at content-diverse
+    petabyte scale: 32-bit sigs under-partition; production widens to
+    64-bit sigs with Manku-style rotated tables — same plan shape."""
     import functools
     import operator
 
@@ -710,38 +726,69 @@ def simhash_pairs(
         ],
     )
     sigs = tokens.groupBy("doc_id").agg(sig_expr.alias("sig"))
-    chunked = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk_idx"),
-                        F.shiftright(F.col("sig"), c * 8).bitwiseAND(F.lit(0xFF)).alias(
-                            "chunk"
-                        ),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("ch"),
-    ).select("doc_id", "sig", "ch.chunk_idx", "ch.chunk")
-    a = chunked.select(
-        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "chunk_idx", "chunk"
+    # Band the DISTINCT signature values only — candidacy by exact
+    # chunk match is a property of the sig value, so this is lossless
+    # (docstring: the 100× sweep finding).
+    chunked = (
+        sigs.select("sig")
+        .distinct()
+        .select(
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("chunk_idx"),
+                            F.shiftright(F.col("sig"), c * 8)
+                            .bitwiseAND(F.lit(0xFF))
+                            .alias("chunk"),
+                        )
+                        for c in range(4)
+                    ]
+                )
+            ).alias("ch"),
+        )
+        .select("sig", "ch.chunk_idx", "ch.chunk")
     )
-    b = chunked.select(
-        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "chunk_idx", "chunk"
+    sa = chunked.select(F.col("sig").alias("sig_a"), "chunk_idx", "chunk")
+    sb = chunked.select(F.col("sig").alias("sig_b"), "chunk_idx", "chunk")
+    sig_pairs = (
+        sa.join(sb, ["chunk_idx", "chunk"])
+        .filter(F.col("sig_a") < F.col("sig_b"))
+        .dropDuplicates(["sig_a", "sig_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
     )
-    cands = (
-        a.join(b, ["chunk_idx", "chunk"])
-        .filter(F.col("id_b") > F.col("id_a"))
-        .dropDuplicates(["id_a", "id_b"])
+    # Expand qualifying sig pairs back to doc pairs (output-sized:
+    # every emitted row is an answer row).
+    da = sigs.select(F.col("doc_id").alias("da"), F.col("sig").alias("sig_a"))
+    db = sigs.select(F.col("doc_id").alias("db"), F.col("sig").alias("sig_b"))
+    cross = (
+        sig_pairs.join(da, "sig_a")
+        .join(db, "sig_b")
+        .select(
+            F.least("da", "db").alias("id_a"),
+            F.greatest("da", "db").alias("id_b"),
+            "hamming",
+        )
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    # Same-signature pairs: chunk match is automatic, hamming is 0 —
+    # enumerate the identity classes directly.
+    s1 = sigs.select("sig", F.col("doc_id").alias("da"))
+    s2 = sigs.select("sig", F.col("doc_id").alias("db"))
+    within = (
+        s1.join(s2, "sig")
+        .filter(F.col("db") > F.col("da"))
+        .select(
+            F.col("da").alias("id_a"),
+            F.col("db").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
     )
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------
