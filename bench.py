@@ -357,6 +357,21 @@ def main() -> None:
     # second full pass over 60M rows would double a multi-hour run.
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     errors: dict[str, str] = {}
+    exempt: dict[str, str] = {}
+
+    def _classify_failure(name: str, exc: Exception) -> None:
+        """A deliberate scale guard (guard_quadratic / bounded-corpus)
+        is a DESIGNED refusal, not a defect — record it as a
+        machine-readable exemption so a scale-sweep artifact carries
+        `exempt: {query: reason}` instead of a stack trace (VERDICT r9
+        ask #4: the 100× artifact must never show a guarded twin as an
+        unresolved error)."""
+        msg = f"{type(exc).__name__}: {exc}"
+        if isinstance(exc, RuntimeError) and "guard" in str(exc):
+            exempt[name] = "expected-quadratic: " + str(exc).split(".")[0][:200]
+        else:
+            errors[name] = msg[:300]
+
     ok_names = []
     for name in names:
         if not warmup:
@@ -366,7 +381,7 @@ def main() -> None:
             suite.QUERIES[name](spark, sf_dir).count()
             ok_names.append(name)
         except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            _classify_failure(name, exc)
 
     # Two timed passes, keep the per-query MINIMUM: the min of repeated
     # steady-state runs estimates plan cost with the machine-load noise
@@ -377,7 +392,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for _ in range(passes):
         for name in ok_names:
-            if name in errors:
+            if name in errors or name in exempt:
                 continue  # failed a timed pass — drop, don't re-time
             t0 = time.perf_counter()
             try:
@@ -385,12 +400,24 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 # Same isolation as warmup: a transient timed-pass
                 # failure must not sink the whole round's numbers.
-                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                _classify_failure(name, exc)
                 timings.pop(name, None)
                 continue
             t = round(time.perf_counter() - t0, 4)
             if name not in timings or t < timings[name]:
                 timings[name] = t
+            if sf >= 1:
+                # Scale sweeps (10×/100×) shuffle GBs per query in ONE
+                # session; dereferenced shuffle files are only deleted
+                # after a JVM GC lets the ContextCleaner see them (the
+                # round-9 100× sweep filled the disk this way). Python
+                # gc first so py4j drops its JVM handles, then an
+                # explicit JVM GC — a few-hundred-ms pause per query,
+                # noise at scale, skipped entirely at sf<1.
+                import gc as _gc
+
+                _gc.collect()
+                spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
     # The driver records only the TAIL of stdout, so a 140-query map on
@@ -410,6 +437,8 @@ def main() -> None:
     }
     if errors:
         full["errors"] = errors
+    if exempt:
+        full["exempt"] = exempt
     # Overridable so the 10×/100× scale harness can keep per-SF full
     # maps side by side (tools/scale_regression.py reads "queries"
     # from these files).
@@ -513,6 +542,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "n_exempt": len(exempt),
         "passes": passes,
         "regressions": regressions,
         "queries_full": sidecar,

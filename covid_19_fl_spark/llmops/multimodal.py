@@ -474,7 +474,16 @@ def parse_jpeg_header(data: bytes) -> dict:
                         n_ff += 1
                         j += 2
                         continue
-                    break  # a real marker (EOI / RST) ends the scan
+                    if 0xD0 <= data[j + 1] <= 0xD7:
+                        # RST0-7 restart marker: entropy data continues
+                        # after it (baseline JPEGs encoded with restart
+                        # intervals) — skip the 2 marker bytes, keep
+                        # counting so n_entropy_bytes/n_ff_bytes are
+                        # correct on ANY baseline JPEG, not only the
+                        # suite's RST-free containers.
+                        j += 2
+                        continue
+                    break  # a real marker (EOI) ends the scan
                 n_raw += 1
                 j += 1
             out["n_entropy_bytes"] = n_raw

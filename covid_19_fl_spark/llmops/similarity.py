@@ -172,26 +172,35 @@ def knn_graph(
 
     def score(batches):
         ids_all, Mn = bc.value
+        # Bound the score stripe: an Arrow batch can be ~10k rows, and
+        # 10k × n_corpus × 8 bytes is 16 GB at the 100× corpus (200k
+        # vectors) — the round-9 100× sweep killed its Python worker
+        # exactly here. Sub-stripe the matmul so resident memory is
+        # STRIPE × n_corpus × 8 (≈ 400 MB at 100×) regardless of
+        # Arrow batch sizing; BLAS throughput is unchanged.
+        stripe = max(1, min(8192, (256 << 20) // max(1, Mn.shape[0] * 8)))
         for pdf in batches:
             if not len(pdf):
                 continue
-            qids = pdf[id_col].to_numpy()
-            Q = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-            S = np.round(Qn @ Mn.T, 6)
-            out = {"vec_id": [], "neighbor_id": [], "cos_sim": []}
-            for r in range(len(qids)):
-                srow = S[r]
-                mask = ids_all != qids[r]
-                cand_ids, cand = ids_all[mask], srow[mask]
-                if len(cand) > margin:
-                    part = np.argpartition(-cand, margin - 1)[:margin]
-                    cand_ids, cand = cand_ids[part], cand[part]
-                order = np.lexsort((cand_ids, -cand))[:k]
-                out["vec_id"].extend([qids[r]] * len(order))
-                out["neighbor_id"].extend(cand_ids[order])
-                out["cos_sim"].extend(cand[order])
-            yield pd.DataFrame(out)
+            for lo in range(0, len(pdf), stripe):
+                sub = pdf.iloc[lo : lo + stripe]
+                qids = sub[id_col].to_numpy()
+                Q = np.stack(sub[vec_col].to_numpy()).astype("float64")
+                Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+                S = np.round(Qn @ Mn.T, 6)
+                out = {"vec_id": [], "neighbor_id": [], "cos_sim": []}
+                for r in range(len(qids)):
+                    srow = S[r]
+                    mask = ids_all != qids[r]
+                    cand_ids, cand = ids_all[mask], srow[mask]
+                    if len(cand) > margin:
+                        part = np.argpartition(-cand, margin - 1)[:margin]
+                        cand_ids, cand = cand_ids[part], cand[part]
+                    order = np.lexsort((cand_ids, -cand))[:k]
+                    out["vec_id"].extend([qids[r]] * len(order))
+                    out["neighbor_id"].extend(cand_ids[order])
+                    out["cos_sim"].extend(cand[order])
+                yield pd.DataFrame(out)
 
     local = emb.select(id_col, vec_col).mapInPandas(
         score, "vec_id long, neighbor_id long, cos_sim double"

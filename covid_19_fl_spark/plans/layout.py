@@ -13,6 +13,10 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from contextlib import contextmanager
+
+from ..confs import scoped_conf
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -176,8 +180,9 @@ def clustered_file_ranges(path: str, column: str) -> list[tuple]:
     return ranges
 
 
-def with_runtime_filters(spark: SparkSession) -> None:
-    """Enable runtime (Bloom-filter) join pruning with thresholds low
+@contextmanager
+def with_runtime_filters(spark: SparkSession):
+    """Scope runtime (Bloom-filter) join pruning with thresholds low
     enough to fire at test scale. In a selective fact-dim join Catalyst
     injects `BloomFilterAggregate` on the filtered side and a
     `might_contain` predicate into the big side's scan stage — rows that
@@ -186,11 +191,20 @@ def with_runtime_filters(spark: SparkSession) -> None:
     shuffling the whole fact table and shuffling only the ~matching
     fraction. (Production defaults: creation side ≤ 10 MB broadcast-ish
     threshold, application side ≥ 10 GB scan — the knobs here exist so
-    the plan shape is testable on MBs.)"""
-    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
-    )
-    spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
-    )
+    the plan shape is testable on MBs.)
+
+    A CONTEXT MANAGER since round 10: optimizer thresholds tuned for a
+    demonstration must not leak into every later query in the session
+    (the conf-discipline rule confs.py documents); callers hold the
+    scope open over the plan build AND its collect."""
+    with scoped_conf(
+        spark,
+        {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "creationSideThreshold": "100MB",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "0",
+        },
+    ):
+        yield

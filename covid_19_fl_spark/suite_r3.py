@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .confs import ensure_session_defaults
 from .llmops import dedup, similarity, text
 from .operators import bloom, ranks
 from .suite import ORACLES as _ORACLES
@@ -1434,8 +1435,7 @@ def st_stream_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _stage_stream_dir(sf_dir, "events")
     # Same physical-type normalization as tables.load (nanos long vs
     # micros timestamp_ntz), applied to the STREAM.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_session_defaults(spark)
     schema = spark.read.parquet(path).schema
     src = spark.readStream.schema(schema).parquet(stage)
     ts_type = schema["ts"].dataType.simpleString()

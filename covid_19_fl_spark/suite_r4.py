@@ -24,6 +24,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .confs import ensure_session_defaults, scoped_conf
 from .llmops import similarity
 from .streaming import stateful
 from .suite import _t, query
@@ -52,15 +53,8 @@ def _stream_shuffle_partitions(spark: SparkSession, n: int = 16):
     start; restoring afterwards leaves batch plans untouched. A real
     cluster sizes this to state volume ÷ target per-store size —
     the pin is drain-harness tuning, not operator semantics."""
-    old = spark.conf.get("spark.sql.shuffle.partitions", None)
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": str(n)}):
         yield
-    finally:
-        if old is None:
-            spark.conf.unset("spark.sql.shuffle.partitions")
-        else:
-            spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 @contextmanager
@@ -84,15 +78,8 @@ def _rocksdb_state_store(spark: SparkSession):
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider"
     )
-    old = spark.conf.get(key, None)
-    spark.conf.set(key, rocks)
-    try:
+    with scoped_conf(spark, {key: rocks}):
         yield
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
 
 
 def _drain_to_parquet(
@@ -103,21 +90,28 @@ def _drain_to_parquet(
     timeout_sec: int = 600,
 ) -> tuple[DataFrame, int]:
     """availableNow drain of a potentially DATA-SIZED streaming output:
-    RocksDB state store + distributed foreachBatch parquet appends
+    RocksDB state store + distributed foreachBatch parquet writes
     instead of the driver-heap memory sink (a 100× join output is tens
     of millions of rows — a memory sink materializes all of them in
-    the driver JVM). Batch 0 overwrites the per-(query, corpus) dest
-    dir, later batches append — each run self-cleans, /tmp never
-    accumulates across bench passes. Returns (DataFrame over the
-    drained rows, data-batch count) so callers keep their
-    single-batch exactness assertions."""
+    the driver JVM). foreachBatch is AT-LEAST-ONCE: an epoch retried
+    after a sink failure redelivers the same batch_id, so each batch
+    writes mode("overwrite") into its OWN batch_id=N subdirectory —
+    a redelivery rewrites its own partition instead of double-
+    appending rows (idempotent, the K2/exactly-once-ledger posture).
+    Batch 0 clears the per-(query, corpus) dest dir first, so each run
+    self-cleans and /tmp never accumulates across bench passes.
+    Returns (DataFrame over the drained rows, data-batch count) so
+    callers keep their single-batch exactness assertions."""
     import re as _re
+    import shutil as _sh
 
     tag = _re.sub(r"[^0-9A-Za-z]+", "_", os.path.basename(os.path.normpath(sf_dir)))
     dest = f"/tmp/covid_19_fl_spark-drain/{name}_{tag}"
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
-        df.write.mode("overwrite" if batch_id == 0 else "append").parquet(dest)
+        if batch_id == 0:
+            _sh.rmtree(dest, ignore_errors=True)
+        df.write.mode("overwrite").parquet(f"{dest}/b{batch_id}")
 
     with _stream_shuffle_partitions(spark), _rocksdb_state_store(spark):
         q = (
@@ -138,7 +132,13 @@ def _drain_to_parquet(
             )
             q.stop()
     try:
-        return spark.read.parquet(dest), data_batches
+        # recursiveFileLookup: the per-batch subdirs are plain names
+        # (b0, b1, ...), NOT key=value partition dirs — the drained
+        # frame's schema must stay exactly the stream's schema.
+        return (
+            spark.read.option("recursiveFileLookup", "true").parquet(dest),
+            data_batches,
+        )
     except Exception:  # noqa: BLE001 — zero-row drain writes no part files
         return (
             spark.createDataFrame([], stream_df.schema),
@@ -231,8 +231,7 @@ def st_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _stage_stream_dir(sf_dir, "events")
     # Same physical-type normalization as tables.load (nanos long vs
     # micros timestamp_ntz), applied to the STREAM.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_session_defaults(spark)
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # The CUSUM fold is order-sensitive ACROSS micro-batches: the
     # oracle assumes one global event_id-ordered fold, but the monitor
@@ -655,7 +654,7 @@ def st_dedup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-admit a duplicate whose first sighting was evicted).
     """
     stage = _stage_stream_dir(sf_dir, "events")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_session_defaults(spark)
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     src = (
         spark.readStream.schema(schema)
@@ -1091,8 +1090,7 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode drain keeps the oracle equality exact instead.
     """
     stage = _stage_stream_dir(sf_dir, "events")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_session_defaults(spark)
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     src = spark.readStream.schema(schema).parquet(stage)
     ts_type = schema["ts"].dataType.simpleString()
@@ -1123,9 +1121,7 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.streaming.sessionWindow.merge.sessions."
         "in.local.partition"
     )
-    _lm_old = spark.conf.get(_lm_key, None)
-    spark.conf.set(_lm_key, "true")
-    try:
+    with scoped_conf(spark, {_lm_key: "true"}):
         with _stream_shuffle_partitions(spark):
             # foreachBatch → parquet overwrite instead of a memory
             # sink: complete mode re-emits the whole session table per
@@ -1152,11 +1148,6 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             finally:
                 q.stop()
-    finally:
-        if _lm_old is None:
-            spark.conf.unset(_lm_key)
-        else:
-            spark.conf.set(_lm_key, _lm_old)
     return spark.read.parquet(out_dir).select(
         "user_id",
         F.col("w.start").alias("session_start"),

@@ -32,6 +32,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .confs import ensure_session_defaults
 from .suite import _t, query  # noqa: F401  (_t used by later additions)
 from .suite_r4 import (
     _drain_to_parquet,
@@ -90,7 +91,7 @@ def st_stream_stream_join_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     lschema = spark.read.parquet(
         os.path.join(sf_dir, "lineitem.parquet")
     ).schema
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_session_defaults(spark)
     orders = (
         spark.readStream.schema(oschema)
         .option("maxFilesPerTrigger", 1_000_000)
@@ -193,8 +194,7 @@ def st_windowed_counts_append_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality is exact rather than approximate).
     """
     stage = _stage_stream_dir(sf_dir, "events")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_session_defaults(spark)
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     src = (
         spark.readStream.schema(schema)
@@ -1228,8 +1228,7 @@ def st_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _os.path.join(sf_dir, "events.parquet")
     stage = _stage_stream_dir(sf_dir, "events")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_session_defaults(spark)
     schema = spark.read.parquet(path).schema
     src = spark.readStream.schema(schema).parquet(stage)
     ts_type = schema["ts"].dataType.simpleString()

@@ -34,6 +34,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .confs import ensure_session_defaults
 from .llmops.dedup import portable_hash
 from .suite import _t, query
 from .suite_r4 import (
@@ -518,7 +519,7 @@ def st_stream_left_outer_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     lschema = spark.read.parquet(
         os.path.join(sf_dir, "lineitem.parquet")
     ).schema
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_session_defaults(spark)
     orders = (
         spark.readStream.schema(oschema)
         .option("maxFilesPerTrigger", 1_000_000)
@@ -627,8 +628,7 @@ def st_sliding_counts_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     leave the store on emit. The same plan pointed at Kafka is the
     canonical trailing-48h dashboard feed."""
     stage = _stage_stream_dir(sf_dir, "events")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_session_defaults(spark)
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     src = (
         spark.readStream.schema(schema)

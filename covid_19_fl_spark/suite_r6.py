@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from .confs import ensure_session_defaults
 from .suite import _t, query
 
 _TOP_M = 3
@@ -733,10 +734,10 @@ def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .suite_r4 import _stage_stream_dir, _stream_shuffle_partitions
 
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_session_defaults(spark)
     # ts is unused here, but the schema read must survive both parquet
     # physical types the corpus has shipped (nanos long / micros).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_session_defaults(spark)
     stage = _stage_stream_dir(sf_dir, "events")
     src = spark.readStream.schema(spark.read.parquet(stage).schema).parquet(stage)
     enriched = src.withColumn(

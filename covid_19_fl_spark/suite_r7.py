@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from .confs import scoped_conf
 from .suite import _t, query
 
 _LP_TOP_M = 3
@@ -717,10 +718,17 @@ def x_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage per round so round N's plan doesn't replay rounds 1..N-1.
     """
     edges = _parts_edges(spark, sf_dir)
+    # EAGER checkpoints (round 10): x_modularity fans the final labels
+    # into THREE join branches; eager materialization stores each round
+    # exactly once so every consumer reads the same blocks — lazy
+    # checkpoints could in principle be recomputed per-branch before
+    # the marker lands, and after the r9 session-dependent hash flake
+    # on x_modularity this family buys determinism insurance for the
+    # price of materializing ~|V| rows per round.
     adj = (
         edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
         .unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     labels = adj.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -733,7 +741,7 @@ def x_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             counts.withColumn("rn", F.row_number().over(wn))
             .filter(F.col("rn") == 1)
             .select(F.col("a").alias("node"), "label")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("label").alias("community"))
 
@@ -800,9 +808,7 @@ def st_exactly_once_batchid(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     ow_key = "spark.sql.sources.partitionOverwriteMode"
-    ow_old = spark.conf.get(ow_key, None)
-    spark.conf.set(ow_key, "dynamic")
-    try:
+    with scoped_conf(spark, {ow_key: "dynamic"}):
         with _stream_shuffle_partitions(spark):
             q = (
                 src.writeStream.foreachBatch(sink)
@@ -818,11 +824,6 @@ def st_exactly_once_batchid(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             finally:
                 q.stop()
-    finally:
-        if ow_old is None:
-            spark.conf.unset(ow_key)
-        else:
-            spark.conf.set(ow_key, ow_old)
     return (
         spark.read.parquet(ledger)
         .groupBy("lang")

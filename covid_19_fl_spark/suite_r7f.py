@@ -233,7 +233,7 @@ def _modularity_oracle() -> str:
         + """, lab AS (
       SELECT node, label AS community FROM r3
     ), m AS (
-      SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM edges
+      SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM edges
     ), deg AS (
       SELECT a AS z, COUNT(*) AS d FROM adj GROUP BY 1
     ), comm AS (
@@ -249,15 +249,25 @@ def _modularity_oracle() -> str:
       JOIN lab lv ON lv.node = e.v
       WHERE lu.community = lv.community
       GROUP BY 1
+    ), exact AS (
+      -- Integer-exact Q_c = (4*m*L_c - D_c^2) / (4*m^2), emitted as
+      -- exactly-rounded millionths so no float ever touches the value
+      -- (the r9 driver flake was a session-dependent hash mismatch on
+      -- this column; integers cannot sit on a rounding boundary).
+      SELECT c.community, c.n_nodes,
+             COALESCE(i.l_c, 0) AS internal_edges,
+             c.degree_sum,
+             4 * m.m * CAST(COALESCE(i.l_c, 0) AS HUGEINT)
+               - CAST(c.degree_sum AS HUGEINT) * CAST(c.degree_sum AS HUGEINT)
+               AS numer,
+             4 * m.m * m.m AS denom
+      FROM comm c LEFT JOIN internal i USING (community), m
     )
-    SELECT c.community, c.n_nodes,
-           COALESCE(i.l_c, 0) AS internal_edges,
-           c.degree_sum,
-           ROUND(CAST(COALESCE(i.l_c, 0) AS DOUBLE) / m.m
-                 - (CAST(c.degree_sum AS DOUBLE) / (2.0 * m.m))
-                   * (CAST(c.degree_sum AS DOUBLE) / (2.0 * m.m)),
-                 6) AS q_contrib
-    FROM comm c LEFT JOIN internal i USING (community), m
+    SELECT community, n_nodes, internal_edges, degree_sum,
+           CAST(CASE WHEN numer < 0 THEN -1 ELSE 1 END
+                * ((ABS(numer) * 2000000 + denom) // (2 * denom))
+                AS DOUBLE) / 1000000.0 AS q_contrib
+    FROM exact
     """
     )
 
@@ -271,13 +281,22 @@ def x_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the evaluation half of the LPA pair (a clustering you can't score
     is a clustering you can't tune).
 
-    All inputs are exact integers (edge counts, degree sums); the two
-    divisions and one subtraction are the only doubles, identical IEEE
-    in both engines, 6dp round at the very end. Shape: the bounded
-    3-round LPA plans plus three keyed aggs (degree, per-community
-    rollup, internal-edge count via two broadcast-able label lookups)
-    and a 1-row broadcast for m — no new data-sized state beyond what
-    LPA already shuffles."""
+    INTEGER-EXACT (round 10): Q_c = (4mL_c − D_c²)/(4m²) is a rational
+    with exactly-known integer numerator/denominator, so q_contrib is
+    computed as exactly-rounded millionths via DECIMAL(38,0) integer
+    arithmetic (``div``) and only cast to double at the very end — the
+    same integer divided by the same 10⁶ is the same IEEE double in
+    every engine and every session. The round-9 driver showcase
+    recorded a session-dependent hash mismatch on this query's old
+    ``ROUND(double, 6)`` tail (green in the full sweep 29 min earlier
+    and in 4 isolated reruns); a float round boundary was one of the
+    three suspects, and this closes that channel permanently. At 100×
+    (m ≈ 2·10⁷ edges) the intermediates reach ~10²¹ — beyond BIGINT,
+    comfortably inside DECIMAL(38,0)/HUGEINT on the two engines.
+    Shape: the bounded 3-round LPA plans plus three keyed aggs
+    (degree, per-community rollup, internal-edge count via two
+    broadcast-able label lookups) and a 1-row broadcast for m — no new
+    data-sized state beyond what LPA already shuffles."""
     from .suite_r7 import _parts_edges, x_label_propagation
 
     lab = x_label_propagation(spark, sf_dir)
@@ -291,7 +310,7 @@ def x_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("v").alias("a"))
     )
     deg = adj.groupBy(F.col("a").alias("z")).agg(F.count("*").alias("d"))
-    m = edges.agg(F.count("*").cast("double").alias("m"))
+    m = edges.agg(F.count("*").alias("m_edges"))
     comm = (
         lab.join(deg, lab["node"] == deg["z"])
         .groupBy("community")
@@ -309,8 +328,8 @@ def x_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("cu").alias("community"))
         .agg(F.count("*").cast("long").alias("l_c"))
     )
-    half = F.col("degree_sum").cast("double") / (F.lit(2.0) * F.col("m"))
-    return (
+    d38 = "decimal(38,0)"
+    exact = (
         comm.join(internal, "community", "left")
         .crossJoin(F.broadcast(m))
         .select(
@@ -320,13 +339,36 @@ def x_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "internal_edges"
             ),
             "degree_sum",
-            F.round(
-                F.coalesce(F.col("l_c"), F.lit(0)).cast("double") / F.col("m")
-                - half * half,
-                6,
-            ).alias("q_contrib"),
+            (
+                F.lit(4).cast(d38)
+                * F.col("m_edges").cast(d38)
+                * F.coalesce(F.col("l_c"), F.lit(0)).cast(d38)
+                - F.col("degree_sum").cast(d38)
+                * F.col("degree_sum").cast(d38)
+            ).alias("numer"),
+            (
+                F.lit(4).cast(d38)
+                * F.col("m_edges").cast(d38)
+                * F.col("m_edges").cast(d38)
+            ).alias("denom"),
         )
     )
+    # Exactly-rounded millionths (HALF_UP away from zero): both engines'
+    # integer division truncates toward zero, so divide magnitudes and
+    # re-apply the sign — floor((|numer|*1e6 + denom/2) / denom).
+    return exact.select(
+        "community",
+        "n_nodes",
+        "internal_edges",
+        "degree_sum",
+        (
+            F.when(F.col("numer") < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr(
+                "(abs(numer) * CAST(2000000 AS decimal(38,0)) + denom) "
+                "div (CAST(2 AS decimal(38,0)) * denom)"
+            )
+        ).cast("double").alias("q_contrib"),
+    ).withColumn("q_contrib", F.col("q_contrib") / F.lit(1000000.0))
 
 
 # ---------------------------------------------------------------------------

@@ -71,6 +71,11 @@ def _png_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
                 return dest
     except OSError:
         pass
+    # signature miss: drop superseded fixture corpora for this sf tag
+    # before materializing the fresh one (r9 advice — orphan cleanup)
+    tables.purge_stale_layouts(
+        os.path.join("/tmp", "spark_graft_media"), f"{base}_", f"{base}_{sig}"
+    )
     multimodal.materialize_png_corpus(_t(spark, sf_dir, "documents"), dest)
     with open(marker, "w") as fh:
         fh.write(sig)

@@ -64,6 +64,14 @@ def bucketed_table(
     sig = tables.content_sig(sf_dir, table)
     name = f"bkt_{table}_{key}_{n}_{_tag(sf_dir)}_{sig}"
     if not spark.catalog.tableExists(name):
+        # A regenerated corpus produces a new signature — purge the
+        # superseded layout dirs for this (table, key, n) family so
+        # /tmp doesn't accumulate orphans across rounds (r9 advice).
+        tables.purge_stale_layouts(
+            f"/tmp/spark_graft_bucketed/{_tag(sf_dir)}",
+            f"{table}_{key}_{n}_",
+            f"{table}_{key}_{n}_{sig}",
+        )
         (
             _t(spark, sf_dir, table)
             .write.mode("overwrite")

@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import tables
+from .confs import ensure_session_defaults
 from .llmops import multimodal
 from .sinks.versioned import VersionedParquetTable
 from .suite import _t, query
@@ -87,6 +88,11 @@ def _time_travel_table(spark: SparkSession, sf_dir: str) -> VersionedParquetTabl
         pass
     if not fresh:
         shutil.rmtree(dest, ignore_errors=True)  # half-built leftovers
+        # and superseded-signature histories for this corpus tag
+        # (r9 advice — /tmp orphan cleanup on signature miss)
+        tables.purge_stale_layouts(
+            "/tmp/spark_graft_timetravel", f"{_tag(sf_dir)}_", f"{_tag(sf_dir)}_{sig}"
+        )
         orders = _t(spark, sf_dir, "orders")
         v1 = vt.commit(orders.filter(F.col("o_orderkey") % 3 != 0))
         v2 = vt.commit(orders, op="full_refresh")
@@ -386,8 +392,7 @@ if HAVE_PROTOBUF:
         from .streaming import stateful
 
         stage = _stage_stream_dir(sf_dir, "events")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ensure_session_defaults(spark)
         schema = spark.read.parquet(
             os.path.join(sf_dir, "events.parquet")
         ).schema

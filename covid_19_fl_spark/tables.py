@@ -12,6 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from .confs import ensure_session_defaults
 
 TABLE_NAMES = (
     "region",
@@ -41,11 +42,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     # Date semantics (timestamp→date casts) must not depend on the host
-    # JVM timezone of whatever session the caller hands us.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # JVM timezone of whatever session the caller hands us; nanosAsLong
+    # keeps the events.parquet physical-type read stable. Both are part
+    # of the canonical conf state (confs.SESSION_DEFAULTS) every
+    # registered query pins at entry — asserting it here too keeps
+    # direct library callers (tests, pipelines) order-independent.
+    ensure_session_defaults(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         # The corpus has shipped ts as TIMESTAMP(NANOS) (read as long via
         # nanosAsLong) and as TIMESTAMP(MICROS) (read as timestamp_ntz).
@@ -113,6 +117,28 @@ def content_sig(sf_dir: str, name: str) -> str:
         entries.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
     h = hashlib.md5(repr(sorted(entries)).encode()).hexdigest()
     return h[:12]
+
+
+def purge_stale_layouts(parent: str, prefix: str, keep: str) -> None:
+    """Remove signature-keyed cached layouts superseded by ``keep``.
+
+    The /tmp caches keyed on ``content_sig`` (bucketed tables, media
+    fixture corpora, time-travel histories) embed the signature in the
+    directory name — correct for staleness, but a regenerated corpus
+    orphans the prior-signature dir forever (round-9 advice). On a
+    signature miss, callers purge every sibling ``prefix*`` dir under
+    ``parent`` except the one being (re)built. No-op when the parent
+    doesn't exist; never touches dirs outside the given prefix family.
+    """
+    import shutil
+
+    try:
+        siblings = os.listdir(parent)
+    except OSError:
+        return
+    for d in siblings:
+        if d.startswith(prefix) and d != keep:
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

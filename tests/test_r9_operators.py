@@ -87,6 +87,27 @@ def test_jpeg_encoder_rejects_bad_dims():
         mm.encode_baseline_jpeg_container(70000, 4, b"x")
 
 
+def test_jpeg_parser_scans_past_restart_markers():
+    """Baseline JPEGs encoded with restart intervals embed RST0-7
+    markers INSIDE the entropy-coded section; the scan must continue
+    past them (counting resumes after the 2 marker bytes) so
+    n_entropy_bytes / n_ff_bytes are correct on any baseline JPEG,
+    not only the suite's RST-free containers."""
+    base = mm.encode_baseline_jpeg_container(4, 4, bytes([0x10]) * 16)
+    eoi = base.rindex(b"\xff\xd9")
+    # splice RST0 and RST5 markers into the middle of the entropy bytes
+    cut = eoi - 8
+    with_rst = (
+        base[:cut] + b"\xff\xd0" + base[cut : cut + 4] + b"\xff\xd5" + base[cut + 4 :]
+    )
+    plain = mm.parse_jpeg_header(base)
+    facts = mm.parse_jpeg_header(with_rst)
+    assert (facts["width"], facts["height"]) == (4, 4)
+    # marker bytes are not entropy data: counts match the RST-free stream
+    assert facts["n_entropy_bytes"] == plain["n_entropy_bytes"] == 16
+    assert facts["n_ff_bytes"] == plain["n_ff_bytes"] == 0
+
+
 @pytest.mark.skipif(not HAVE_PIL, reason="Pillow not installed")
 def test_jpeg_parser_agrees_with_pil_on_real_jpegs():
     """parse_jpeg_header must read REAL codec-produced JPEGs, not just

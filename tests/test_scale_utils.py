@@ -123,9 +123,11 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
     filter."""
     from covid_19_fl_spark import tables
 
-    layout.with_runtime_filters(spark)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
+    from covid_19_fl_spark.confs import scoped_conf
+
+    with layout.with_runtime_filters(spark), scoped_conf(
+        spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+    ):
         orders = tables.load(spark, sf_dir, "orders").filter(
             F.col("o_orderpriority") == "1-URGENT"
         )
@@ -140,9 +142,17 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         ).count()
-    finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    # scoped_conf restored the session's prior thresholds on exit — the
+    # demo knobs (creation threshold 100MB, application threshold 0)
+    # must not leak into later tests/queries.
+    assert (
+        spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            None,
+        )
+        != "0"
+    )
 
 
 def test_cluster_conf_sizing(spark):

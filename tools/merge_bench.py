@@ -29,9 +29,25 @@ def main() -> None:
 
     queries = dict(base.get("queries", {}))
     queries.update(part.get("queries", {}))
+    # A part-run ERROR on a query the base timed successfully must not
+    # be silently masked by the base timing (r9 advice): the part ran
+    # later/at the same scale, so its failure is news — surface it.
+    for k, v in part.get("errors", {}).items():
+        if k in base.get("queries", {}):
+            print(
+                f"WARNING: {k} errored in the part run but keeps its base "
+                f"timing {base['queries'][k]}s — part error: {v[:120]}"
+            )
     errors = {
         k: v
         for k, v in {**base.get("errors", {}), **part.get("errors", {})}.items()
+        if k not in queries
+    }
+    # Machine-readable scale-guard exemptions (bench.py "exempt" block):
+    # merged the same way; a timing anywhere wins over an exemption.
+    exempt = {
+        k: v
+        for k, v in {**base.get("exempt", {}), **part.get("exempt", {})}.items()
         if k not in queries
     }
     out = dict(base)
@@ -42,6 +58,17 @@ def main() -> None:
         out["errors"] = errors
     else:
         out.pop("errors", None)
+    if exempt:
+        out["exempt"] = exempt
+    else:
+        out.pop("exempt", None)
+    # Derived round-over-round comparison blocks were computed against
+    # the BASE run's query map — after a merge they'd describe a map
+    # that no longer exists. Drop them; tools/scale_regression.py (or a
+    # fresh bench pass) recomputes them from the merged queries (r9
+    # advice: stale-derived-blocks fix).
+    for stale in ("regressions", "slowest10_vs_prior", "machine_factor_vs_prior"):
+        out.pop(stale, None)
     out["merged_from"] = {
         "base": {"n_queries": len(base.get("queries", {})),
                  "n_errors": len(base.get("errors", {}))},
@@ -53,7 +80,7 @@ def main() -> None:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(
         f"{dest}: {out['n_queries']} queries, {len(errors)} errors, "
-        f"total {out['value']}s"
+        f"{len(exempt)} exempt, total {out['value']}s"
     )
 
 
