@@ -47,18 +47,27 @@ def test_queries_and_oracles_align():
     assert set(os_) == set(qs), sorted(set(qs) - set(os_))
 
 
-def test_showcase_prefix_leads_with_backlog_and_debuts():
-    # the driver attests ~45-50 in order; the round-9 window must keep
-    # the never-attested backlog inside the first 31 registered names
-    registered_prefix = [n for n in entry.SHOWCASE if n in suite.QUERIES][:31]
+def test_showcase_prefix_leads_with_round10_priorities():
+    # the driver attests ~45-50 in order; round 10's window must open
+    # with the red-row close-out and keep every changed-body query
+    # inside the first 31 registered names
+    registered = [n for n in entry.SHOWCASE if n in suite.QUERIES]
+    # the r9 red row re-attests FIRST — nothing may push it out of any
+    # plausible driver window
+    assert registered[0] == "x_modularity"
+    assert registered[1] == "x_label_propagation"
+    prefix = registered[:31]
     for name in (
-        "x_time_travel_read",
-        "x_time_travel_diff",
-        "x_time_travel_vacuum",
+        "st_stream_stream_join",
+        "st_stream_left_outer_wm",
+        "st_stream_stream_join_wm",
+        "st_session_windows",
+        "st_exactly_once_batchid",
+        "ss_knn_graph",
         "mm_jpeg_header",
+        "x_time_travel_read",
+        "x_time_travel_vacuum",
         "x_bucketed_join_agg",
-        "x_zorder_layout",
-        "cur_corpus_manifest",
-        "x_year_over_year",
+        "dd_simhash_pairs",
     ):
-        assert name in registered_prefix, name
+        assert name in prefix, name

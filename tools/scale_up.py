@@ -101,7 +101,14 @@ def main() -> None:
         print(f"copied {tbl}")
     for tbl, keys in KEY_FAMILIES.items():
         df = tables.load(spark, args.src, tbl)
-        _replicate(df, keys, steps, args.replicas).write.mode(
+        # The broadcast-crossJoin replication preserves the SOURCE's
+        # partition count — sf0.1 tables are single files, so a 100×
+        # replica written as-is collapses to ONE file/row-group and
+        # every downstream scan (and all per-row compute projected into
+        # it: shingles, minhash, simhash) runs as ONE task. A corpus
+        # meant to exhibit cluster behavior must fan out: 32 output
+        # files ≈ one per local core, each with its own row groups.
+        _replicate(df, keys, steps, args.replicas).repartition(32).write.mode(
             "overwrite"
         ).parquet(os.path.join(args.dst, f"{tbl}.parquet"))
         print(f"replicated {tbl} x{args.replicas}")
