@@ -732,12 +732,19 @@ def cur_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     composed lazy plan; the portable hash family makes even this
     composition exactly reproducible by the DuckDB oracle. Unit
     semantics are covered per-stage by the oracled dd_*/tx_*/cur_*
-    queries and tests/test_curation.py."""
+    queries and tests/test_curation.py.
+
+    Round 10: counts via ``curation.funnel_counts`` — one conditional
+    aggregation over per-document survivor flags instead of six union
+    legs, so the LSH/CC subtree executes once per funnel instead of
+    four times (tests/test_curation.py pins funnel_counts ≡
+    funnel_report(curate(...)); the unchanged oracle pins the rows)."""
     from .llmops import curation
 
     docs = _t(spark, sf_dir, "documents")
-    stages = curation.curate(docs, None, curation.CurationConfig())
-    return curation.funnel_report(stages).orderBy("stage_order")
+    return curation.funnel_counts(
+        docs, None, curation.CurationConfig()
+    ).orderBy("stage_order")
 
 
 _JACCARD_PAIRS_SQL = """

@@ -60,6 +60,42 @@ def test_curation_funnel(spark, corpus, eval_set):
     assert funnel["sampled"] == 2  # no sample_pct → pass-through
 
 
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        curation.CurationConfig(
+            min_quality=0.3, min_tokens=5, near_dup_threshold=0.4
+        ),
+        curation.CurationConfig(
+            min_quality=0.3, min_tokens=5, near_dup_threshold=0.4, sample_pct=50
+        ),
+        curation.CurationConfig(min_quality=0.0, min_tokens=1),
+    ],
+    ids=["default", "with-sample", "keep-all"],
+)
+def test_funnel_counts_matches_funnel_report(spark, corpus, eval_set, cfg):
+    """The round-10 single-pass funnel (one conditional aggregation
+    over survivor flags) must report row-for-row what the six-leg
+    union over curate() stages reports — with and without a benchmark
+    side and a sampling stage."""
+    for bench in (None, eval_set):
+        expected = sorted(
+            (r.stage_order, r.stage, r.n_docs)
+            for r in curation.funnel_report(curation.curate(corpus, bench, cfg)).collect()
+        )
+        got = sorted(
+            (r.stage_order, r.stage, r.n_docs)
+            for r in curation.funnel_counts(corpus, bench, cfg).collect()
+        )
+        assert got == expected
+
+
+def test_funnel_counts_empty_corpus(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    rows = curation.funnel_counts(empty).collect()
+    assert len(rows) == 6 and all(r.n_docs == 0 for r in rows)
+
+
 def test_curation_chunks_cover_survivors(spark, corpus, eval_set):
     stages = curation.curate(
         corpus,
