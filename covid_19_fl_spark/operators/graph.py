@@ -56,6 +56,12 @@ def pagerank(
     depth for high iteration counts (a lazy localCheckpoint truncates
     lineage without forcing an extra job per round).
     """
+    # Materialize the raw edge list ONCE (round 10): out_deg, the adj
+    # join, and the two node-set union legs each referenced ``edges``
+    # — 4 re-runs of the caller's build (orders⋈lineitem + distinct)
+    # before the adj checkpoint ever existed. DISK_ONLY, same
+    # data-sized-cache rationale as adj below.
+    edges = edges.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out"))
     # Edge list annotated with out-degree once, outside the loop — at
     # scale this is the expensive self-sized join, paid a single time.
@@ -136,6 +142,8 @@ def personalized_pagerank(
     unchanged — one rank⋈edge equi-join plus one partial-agg sum; the
     seed indicator is a broadcast semi-annotated node column computed
     once, so personalization adds zero shuffles."""
+    # Raw edges materialized once — see pagerank() (round 10).
+    edges = edges.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out"))
     # DISK_ONLY for the data-sized edge cache — see pagerank() above:
     # at the 100× corpus (100M directed edges) the MEMORY_AND_DISK
@@ -379,6 +387,15 @@ def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
     if iterations < 1:
         raise ValueError("hits: iterations must be >= 1 (auth scores only "
                          "exist after the first half-step)")
+    # Materialize the edge list ONCE (round 10): hits references
+    # ``edges`` 2×/iteration plus the hub init — 7 references at 3
+    # iterations, and callers pass an expensive build (orders⋈lineitem
+    # + distinct), so un-truncated lineage re-ran that join/dedup 7
+    # times per action. DISK_ONLY for the data-sized frame reused
+    # across rounds, same rationale as the pagerank/ppr adj pin
+    # (measured there at 100×: memory-resident edge caches starve the
+    # round joins' execution memory).
+    edges = edges.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     hubs = (
         edges.select("src")
         .distinct()
