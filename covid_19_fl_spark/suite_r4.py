@@ -52,7 +52,13 @@ def _stream_shuffle_partitions(spark: SparkSession, n: int = 16):
     stream-stream join). The streaming query latches the value at
     start; restoring afterwards leaves batch plans untouched. A real
     cluster sizes this to state volume ÷ target per-store size —
-    the pin is drain-harness tuning, not operator semantics."""
+    the pin is drain-harness tuning, not operator semantics.
+    ``SPARK_GRAFT_STREAM_SHUFFLE`` overrides the default (round 10):
+    the right width is state volume ÷ target per-store size, so scale
+    sweeps raise it (e.g. 64+ at the 100× corpus) without code edits —
+    measured at sf0.1: 8 and 16 equal, 32 is 1.4× slower (per-store
+    fixed cost dominates tiny stores)."""
+    n = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", str(n)))
     with scoped_conf(spark, {"spark.sql.shuffle.partitions": str(n)}):
         yield
 
@@ -78,7 +84,27 @@ def _rocksdb_state_store(spark: SparkSession):
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider"
     )
-    with scoped_conf(spark, {key: rocks}):
+    # Changelog checkpointing (round 10): by default every commit
+    # uploads a FULL RocksDB snapshot per store — for a stream-stream
+    # join that is 4 stores × shuffle-partitions × batches full-file
+    # writes even when the delta is tiny. The changelog mode ships the
+    # per-commit delta and lets the background maintenance thread
+    # consolidate snapshots — strictly a checkpoint-format change
+    # (state contents and query results are byte-identical; the
+    # oracle-gated drains pin that), and the posture production
+    # RocksDB deployments run for exactly this write-amplification
+    # reason.
+    changelog = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    # trackTotalNumberOfRows=false (round 10): keeping the exact
+    # numRowsTotal metric costs RocksDB a per-commit full count pass
+    # over every store. No drain assertion reads numRowsTotal (the
+    # eviction pytest runs the default on-heap provider where the
+    # metric is free; numRowsDroppedByWatermark, which st_late_data_-
+    # audit reads, is an operator counter and unaffected). Measured:
+    # −0.4 s per stream-stream drain at sf0.1; at scale the saving is
+    # a full O(state) scan per store per commit.
+    track = "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+    with scoped_conf(spark, {key: rocks, changelog: "true", track: "false"}):
         yield
 
 
