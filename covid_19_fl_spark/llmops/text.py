@@ -651,7 +651,16 @@ def bpe_learn(docs, text_col: str, k: int) -> "DataFrame":
         pc = pairs.groupBy(
             F.col("p.a").alias("a"), F.col("p.b").alias("b")
         ).agg(F.sum("c").alias("w"))
-        top = pc.orderBy(F.desc("w"), F.asc("a"), F.asc("b")).limit(1)
+        # The 1-row winner is referenced TWICE — as the broadcast pair
+        # rewriting the sequences AND as the round's output branch in
+        # the final union. Checkpointing it (round 10) shares the
+        # vocab-sized pair explode + aggregation between the two
+        # consumers instead of running it twice per round.
+        top = (
+            pc.orderBy(F.desc("w"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
         merges.append(
             top.select(
                 F.lit(r).cast("long").alias("merge_rank"),
