@@ -194,7 +194,14 @@ def chunk_spans(
     clamped at 1, which covers every token and never emits an empty
     trailing chunk.
     """
-    w = words(F.col(text_col))
+    # Materialize the token array as a real column first (round 10):
+    # the chunk HOF's lambda slices it twice per chunk, and an inlined
+    # ``words(text)`` expression re-runs the regex split at every
+    # reference (HOFs have no common-subexpression elimination — the
+    # word_shingles let-binding lesson), making chunking O(chunks ×
+    # split) per document instead of one split.
+    base = df.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    w = F.col("_w")
     n = F.size(w)
     n_chunks = F.lit(1) + F.greatest(
         F.ceil((n - F.lit(size)) / F.lit(float(stride))), F.lit(0)
@@ -209,7 +216,7 @@ def chunk_spans(
             F.array_join(F.slice(w, i * stride + 1, size), " ").alias("chunk_text"),
         ),
     )
-    return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+    return base.select(F.col(id_col), F.explode(chunks).alias("c")).select(
         id_col,
         F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
         F.col("c.start_tok").cast("int").alias("start_tok"),
@@ -306,7 +313,15 @@ def bm25_topk(
     + driver merge, never a global sort.
     """
     q = F.array(*[F.lit(t) for t in query_terms])
-    w = words(F.lower(F.col(text_col)))
+    # Token array materialized once per row (round 10): the per-term
+    # lambda filters it |q| times, and an inlined ``words(lower(text))``
+    # expression re-runs the regex split at every reference inside a
+    # HOF (no common-subexpression elimination) — |q|+1 splits per doc.
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        words(F.lower(F.col(text_col))).alias("_w"),
+    )
+    w = F.col("_w")
     per_term = F.filter(
         F.transform(
             q,
@@ -317,8 +332,8 @@ def bm25_topk(
         ),
         lambda s: s["tf"] > 0,
     )
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
+    base = tok.select(
+        "doc_id",
         F.size(w).alias("dl"),
         F.explode(per_term).alias("m"),
     ).select("doc_id", "dl", F.col("m.term").alias("term"), F.col("m.tf").alias("tf"))

@@ -78,16 +78,24 @@ def x_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct("ts", "event_id", "event_type"))
         ).alias("s")
     )
-    types = F.transform(F.col("s"), lambda x: x["event_type"])
-    tri = seq.filter(F.size("s") >= 3).select(
+    # Materialize the type list as a real column BEFORE the trigram
+    # HOF (round 10): HOFs run interpreted with no common-subexpression
+    # elimination, so referencing the `transform(s, …)` expression
+    # inside the lambda re-projected the WHOLE struct array for every
+    # element_at — 3 full-array projections per trigram position,
+    # O(len²) per user (the word_shingles let-binding lesson).
+    tl = seq.filter(F.size("s") >= 3).select(
+        F.transform(F.col("s"), lambda x: x["event_type"]).alias("tl")
+    )
+    tri = tl.select(
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size("s") - 2),
+                F.sequence(F.lit(1), F.size("tl") - 2),
                 lambda i: F.concat_ws(
                     ">",
-                    F.element_at(types, i),
-                    F.element_at(types, i + 1),
-                    F.element_at(types, i + 2),
+                    F.element_at(F.col("tl"), i),
+                    F.element_at(F.col("tl"), i + 1),
+                    F.element_at(F.col("tl"), i + 2),
                 ),
             )
         ).alias("path")
