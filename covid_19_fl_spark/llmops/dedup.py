@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .text import fingerprint, words
 
@@ -456,7 +457,16 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     df = pairs.select(
         F.col("id_a").cast("long").alias("src"),
         F.col("id_b").cast("long").alias("dst"),
-    )
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    # The partition probe below MATERIALIZES the plan under AQE
+    # (`.rdd` on an adaptive plan executes its query stages to learn
+    # the final partitioning) — without the checkpoint above, the
+    # whole candidate-pair pipeline (LSH bands / Jaccard verify /
+    # whatever the caller built) ran once for the probe and AGAIN for
+    # the first contraction pass. The checkpoint makes the probe's
+    # execution THE materialization every pass then reads (round 10);
+    # DISK_ONLY because the pair list is data-sized (the pagerank adj
+    # rationale).
     parts = max(1, df.rdd.getNumPartitions())
     schema = "src long, dst long"
     while parts > 1:

@@ -322,6 +322,11 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 12) -> DataFrame:
         # measured 1.7× slower at sf0.1 (2.9s → 5.0s).
         .localCheckpoint(eager=False)
     )
+    # Round 10: carry the surviving-edge count across rounds — round
+    # r's pre-peel count IS round r-1's post-peel count, so one count
+    # job per round suffices (was two: a re-count of the unchanged
+    # checkpoint plus the new frame's count).
+    n_edges = None
     for _ in range(max_rounds):
         deg = (
             e.select(F.col("u").alias("id"))
@@ -330,14 +335,16 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 12) -> DataFrame:
             .agg(F.count("*").alias("deg"))
         )
         keep = deg.filter(F.col("deg") >= k).select("id")
-        n_edges = e.count()
+        if n_edges is None:
+            n_edges = e.count()
         e2 = (
             e.join(keep.withColumnRenamed("id", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("id", "v"), "v", "left_semi")
             .select("u", "v")
             .localCheckpoint(eager=False)
         )
-        if e2.count() == n_edges:
+        n2 = e2.count()
+        if n2 == n_edges:
             return (
                 e2.select(F.col("u").alias("id"))
                 .unionAll(e2.select(F.col("v").alias("id")))
@@ -345,7 +352,7 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 12) -> DataFrame:
                 .agg(F.count("*").cast("long").alias("core_degree"))
                 .filter(F.col("core_degree") >= k)
             )
-        e = e2
+        e, n_edges = e2, n2
     raise RuntimeError(
         f"kcore: no fixpoint within {max_rounds} peeling rounds — "
         "raise max_rounds (measured depth grew past the configured "
