@@ -360,6 +360,84 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 12) -> DataFrame:
     )
 
 
+def ra_link_scores(edges: DataFrame) -> DataFrame:
+    """Common-neighbor / resource-allocation link-prediction scores →
+    ``(u, w, cn, ra)`` for every NON-adjacent pair with at least one
+    common neighbor, ``u < w``; ``cn`` the common-neighbor count and
+    ``ra = round(Σ_z 1/deg(z), 6)`` folded over the pair's SORTED
+    degree list so the 6dp round is bit-identical cross-engine.
+
+    ``edges`` must be the undirected deduplicated edge list (u < v).
+    It is consumed twice (adjacency build + the non-adjacency probe) —
+    callers should hand in a cached/checkpointed frame.
+
+    Plan shape (round 10): one groupBy collects each vertex's SORTED
+    neighbor array, pairs are generated by array arithmetic inside the
+    scan stage, and the center's degree rides along as ``size(ns)`` —
+    replacing the former adj⋈adj wedge SortMergeJoin AND the separate
+    degree aggregate + degree join (three exchanges of wedge-sized
+    data) with one |V|-row exchange. The adjacency anti-join runs
+    AFTER the (u, w) aggregation — the probe sees |distinct pairs|
+    rows instead of |wedges| — which is equivalent because the
+    anti-join key IS the group key. Skew bound is unchanged: a hot
+    vertex produced deg² wedge rows in one join partition before and
+    produces the same pairs from one array now."""
+    adj = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    nbrs = adj.groupBy(F.col("a").alias("z")).agg(
+        F.sort_array(F.collect_list("b")).alias("ns")
+    )
+    # neighbors are distinct and sorted ascending, so index pairs
+    # (i < j) enumerate exactly the u < w wedge pairs of center z.
+    # TWO pipelined explodes, not one flatten(transform(transform)):
+    # a single flattened pair array would materialize deg² structs in
+    # ONE row for a hot vertex — the nested generate keeps peak memory
+    # at O(deg) (one suffix slice per emitted row).
+    pairs = (
+        nbrs.select(
+            "ns",
+            F.size("ns").cast("double").alias("d"),
+            F.posexplode("ns").alias("i", "u"),
+        )
+        .select(
+            "d",
+            "u",
+            F.explode(
+                F.slice(
+                    "ns",
+                    F.col("i") + F.lit(2),
+                    F.greatest(F.size("ns") - F.col("i") - 1, F.lit(0)),
+                )
+            ).alias("w"),
+        )
+        .select("u", "w", "d")
+    )
+    cand = pairs.groupBy("u", "w").agg(
+        F.count("*").alias("cn"),
+        F.sort_array(F.collect_list("d")).alias("ds"),
+    )
+    probe = edges.select(F.col("u").alias("eu"), F.col("v").alias("ev"))
+    return (
+        cand.join(
+            probe,
+            (F.col("u") == F.col("eu")) & (F.col("w") == F.col("ev")),
+            "left_anti",
+        )
+        .select(
+            "u",
+            "w",
+            "cn",
+            F.round(
+                F.aggregate(
+                    "ds", F.lit(0.0), lambda acc, x: acc + F.lit(1.0) / x
+                ),
+                6,
+            ).alias("ra"),
+        )
+    )
+
+
 # HITS fixed-point scale. Smaller than PR_SCALE because the
 # max-normalized update multiplies a pre-normalization sum (bounded by
 # max_in_degree * HITS_SCALE) by HITS_SCALE before the floor division:

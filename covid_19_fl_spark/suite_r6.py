@@ -327,15 +327,21 @@ def x_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     recommender primitives (Zhou et al. RA beats Adamic-Adar's
     1/log deg, and stays exactly cross-engine: no transcendental).
 
-    Plan shape: wedges come from adj⋈adj on the middle vertex
-    (skew-bounded by max degree, same as the triangle census),
-    adjacency is excluded by an anti-join probe of the edge set, and
-    RA folds each pair's SORTED degree list sequentially — the
-    order-pinned summation both engines replay bit-for-bit before the
-    6dp round. Output is the global top-50 by (RA, CN) via
+    Plan shape (round 10): wedge pairs are generated from each
+    center's sorted neighbor ARRAY (one |V|-row groupBy) instead of
+    the former adj⋈adj SortMergeJoin, the center degree rides along
+    as size(ns) instead of a separate degree aggregate + join, and
+    the adjacency anti-join probes the (u, w) AGGREGATE rather than
+    the raw wedge stream — same rows, three fewer wedge-sized
+    exchanges (operators/graph.ra_link_scores). RA still folds each
+    pair's SORTED degree list sequentially — the order-pinned
+    summation both engines replay bit-for-bit before the 6dp round.
+    Output is the global top-50 by (RA, CN) via
     TakeOrderedAndProject — at 100 TB you'd cap per-u instead
     (doc-partitioned rank, dd_jaccard_topm_join's shape).
     """
+    from .operators.graph import ra_link_scores
+
     li = (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") % 5 == 0)
@@ -350,48 +356,10 @@ def x_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
-        # feeds three subtrees (adjacency both ways + the anti probe)
+        # feeds two subtrees (adjacency + the anti probe)
         .cache()
     )
-    adj = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
-        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
-    )
-    deg = adj.groupBy(F.col("a").alias("z")).agg(F.count("*").alias("d"))
-    w1, w2 = adj.alias("w1"), adj.alias("w2")
-    wedge = (
-        w1.join(w2, F.col("w1.b") == F.col("w2.a"))
-        .filter(F.col("w1.a") < F.col("w2.b"))
-        .select(
-            F.col("w1.a").alias("u"),
-            F.col("w1.b").alias("z"),
-            F.col("w2.b").alias("w"),
-        )
-    )
-    probe = edges.select(F.col("u").alias("eu"), F.col("v").alias("ev"))
-    nonadj = wedge.join(
-        probe,
-        (F.col("u") == F.col("eu")) & (F.col("w") == F.col("ev")),
-        "left_anti",
-    )
-    wd = nonadj.join(deg, "z").select("u", "w", "d")
-    scores = (
-        wd.groupBy("u", "w")
-        .agg(
-            F.count("*").alias("cn"),
-            F.sort_array(F.collect_list(F.col("d").cast("double"))).alias("ds"),
-        )
-        .select(
-            "u",
-            "w",
-            "cn",
-            F.round(
-                F.aggregate(
-                    "ds", F.lit(0.0), lambda acc, x: acc + F.lit(1.0) / x
-                ),
-                6,
-            ).alias("ra"),
-        )
-    )
+    scores = ra_link_scores(edges)
     top = scores.orderBy(
         F.col("ra").desc(), F.col("cn").desc(), F.col("u").asc(), F.col("w").asc()
     ).limit(50)

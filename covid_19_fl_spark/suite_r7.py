@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+from pyspark.storagelevel import StorageLevel
 
 from .confs import scoped_conf
 from .suite import _t, query
@@ -94,7 +95,13 @@ def x_link_prediction_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition ranks its own sources, and output is ≤ m·|V| however
     densely score mass concentrates on hub pairs. The uncapped
     global-top-50 original stays registered as the lossless oracle
-    twin."""
+    twin. Round 10: the scoring pipeline is the shared
+    operators/graph.ra_link_scores neighbor-array plan (wedge pairs
+    from sorted adjacency arrays, degree as size(ns), anti-join after
+    the pair aggregation) — see x_link_prediction's docstring for the
+    exchange accounting."""
+    from .operators.graph import ra_link_scores
+
     li = (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") % 5 == 0)
@@ -109,47 +116,15 @@ def x_link_prediction_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
-        # feeds three subtrees (adjacency both ways + the anti probe)
+        # feeds two subtrees (adjacency + the anti probe)
         .cache()
     )
-    adj = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
-        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
-    )
-    deg = adj.groupBy(F.col("a").alias("z")).agg(F.count("*").alias("d"))
-    w1, w2 = adj.alias("w1"), adj.alias("w2")
-    wedge = (
-        w1.join(w2, F.col("w1.b") == F.col("w2.a"))
-        .filter(F.col("w1.a") < F.col("w2.b"))
-        .select(
-            F.col("w1.a").alias("u"),
-            F.col("w1.b").alias("z"),
-            F.col("w2.b").alias("w"),
-        )
-    )
-    probe = edges.select(F.col("u").alias("eu"), F.col("v").alias("ev"))
-    nonadj = wedge.join(
-        probe,
-        (F.col("u") == F.col("eu")) & (F.col("w") == F.col("ev")),
-        "left_anti",
-    )
-    wd = nonadj.join(deg, "z").select("u", "w", "d")
-    scores = (
-        wd.groupBy("u", "w")
-        .agg(
-            F.count("*").alias("cn"),
-            F.sort_array(F.collect_list(F.col("d").cast("double"))).alias("ds"),
-        )
-        .select(
-            "u",
-            "w",
-            "cn",
-            F.round(
-                F.aggregate(
-                    "ds", F.lit(0.0), lambda acc, x: acc + F.lit(1.0) / x
-                ),
-                6,
-            ).alias("ra"),
-        )
+    # The symmetrization below references scores TWICE (one select per
+    # direction) — checkpoint so the scoring pipeline executes once and
+    # both union branches read the materialized pairs (DISK_ONLY: the
+    # pair list is data-sized, the pagerank adj rationale).
+    scores = ra_link_scores(edges).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
     )
     sym = scores.select(
         F.col("u").alias("src"), F.col("w").alias("partner"), "cn", "ra"
@@ -701,6 +676,55 @@ def _parts_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_labels(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """3 synchronous LPA rounds over the undirected (u < v) edge list.
+    Returns ``(labels, nbrs)``: the final (node, label) assignment and
+    the eager-checkpointed adjacency-ARRAY frame (b, dsts) it
+    propagated over, so callers get degrees for free
+    (deg(b) = size(dsts)) — x_modularity consumes both.
+
+    Round-10 plan: the per-round edge⋈label join runs against the
+    grouped neighbor arrays (|V| rows, one list per vertex) instead of
+    the flat 2|E|-row adjacency, then explodes — the join shuffles |V|
+    array rows + |V| labels per round instead of 2|E| + |V|. The
+    argmax is max(struct(c, -label)) — identical to the former
+    row_number window's (c desc, label asc) pick — which replaces the
+    window's exchange+sort with a partial-aggregating hash agg.
+
+    EAGER checkpoints: x_modularity fans the final labels into three
+    join branches; eager materialization stores each round exactly
+    once so every consumer reads the same blocks — determinism
+    insurance bought after the r9 session-dependent hash flake, kept
+    through this rewrite."""
+    adj = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    nbrs = (
+        adj.groupBy("b")
+        .agg(F.collect_list("a").alias("dsts"))
+        .localCheckpoint(eager=True)
+    )
+    labels = nbrs.select(F.col("b").alias("node"), F.col("b").alias("label"))
+    for _ in range(_LPA_ROUNDS):
+        msgs = nbrs.join(labels, F.col("b") == F.col("node")).select(
+            F.explode("dsts").alias("a"), "label"
+        )
+        counts = msgs.groupBy("a", "label").agg(F.count("*").alias("c"))
+        labels = (
+            counts.groupBy("a")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c").alias("c"), (-F.col("label")).alias("nl")
+                    )
+                ).alias("m")
+            )
+            .select(F.col("a").alias("node"), (-F.col("m.nl")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels, nbrs
+
+
 @query("x_label_propagation", oracle=_lpa_oracle())
 def x_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) over the
@@ -711,38 +735,14 @@ def x_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     synchronous + pinned tie-break replays identically on any engine,
     which is what makes an exact oracle possible).
 
-    Each round is one edge-label equi-join + one (node, label) count
-    + a node-partitioned argmax window — two keyed shuffles, no
-    global ordering, bounded by the fixed round count (the bounded-
-    round contract of x_pagerank / x_hits). localCheckpoint truncates
+    Each round is one neighbor-array⋈label equi-join + one
+    (node, label) count + a node-keyed struct-argmax — keyed shuffles
+    only, no global ordering, bounded by the fixed round count (the
+    bounded-round contract of x_pagerank / x_hits); see _lpa_labels
+    for the round-10 plan accounting. localCheckpoint truncates
     lineage per round so round N's plan doesn't replay rounds 1..N-1.
     """
-    edges = _parts_edges(spark, sf_dir)
-    # EAGER checkpoints (round 10): x_modularity fans the final labels
-    # into THREE join branches; eager materialization stores each round
-    # exactly once so every consumer reads the same blocks — lazy
-    # checkpoints could in principle be recomputed per-branch before
-    # the marker lands, and after the r9 session-dependent hash flake
-    # on x_modularity this family buys determinism insurance for the
-    # price of materializing ~|V| rows per round.
-    adj = (
-        edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-        .unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
-        .localCheckpoint(eager=True)
-    )
-    labels = adj.select(F.col("a").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    wn = Window.partitionBy("a").orderBy(F.col("c").desc(), F.col("label").asc())
-    for _ in range(_LPA_ROUNDS):
-        msgs = adj.join(labels, adj["b"] == labels["node"]).select("a", "label")
-        counts = msgs.groupBy("a", "label").agg(F.count("*").alias("c"))
-        labels = (
-            counts.withColumn("rn", F.row_number().over(wn))
-            .filter(F.col("rn") == 1)
-            .select(F.col("a").alias("node"), "label")
-            .localCheckpoint(eager=True)
-        )
+    labels, _ = _lpa_labels(_parts_edges(spark, sf_dir))
     return labels.select("node", F.col("label").alias("community"))
 
 

@@ -297,19 +297,23 @@ def x_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (degree, per-community rollup, internal-edge count via two
     broadcast-able label lookups) and a 1-row broadcast for m — no new
     data-sized state beyond what LPA already shuffles."""
-    from .suite_r7 import _parts_edges, x_label_propagation
+    from .suite_r7 import _lpa_labels, _parts_edges
 
-    lab = x_label_propagation(spark, sf_dir)
-    # One shared edge-list definition with LPA (suite_r7._parts_edges);
-    # cached because three downstream branches (degrees, m, internal
-    # count) consume it. Session-lifetime cache is the repo-wide
-    # precedent for bounded graph frames — the edge list is ~|E| of a
-    # 1/5-sampled co-purchase graph, not data-sized state.
+    # One shared edge-list definition AND one shared edge FRAME with
+    # LPA (round 10): the edge build (lineitem self-join + distinct)
+    # used to run twice — once inside x_label_propagation's own
+    # _parts_edges call and once here. Cached because three branches
+    # (LPA's adjacency, m, internal count) consume it. Session-
+    # lifetime cache is the repo-wide precedent for bounded graph
+    # frames — ~|E| of a 1/5-sampled co-purchase graph, not data-sized
+    # state. Degrees are read off LPA's checkpointed neighbor arrays
+    # (deg = size(dsts)) instead of a separate adjacency aggregate.
     edges = _parts_edges(spark, sf_dir).cache()
-    adj = edges.select(F.col("u").alias("a")).unionAll(
-        edges.select(F.col("v").alias("a"))
+    labels, nbrs = _lpa_labels(edges)
+    lab = labels.select("node", F.col("label").alias("community"))
+    deg = nbrs.select(
+        F.col("b").alias("z"), F.size("dsts").cast("long").alias("d")
     )
-    deg = adj.groupBy(F.col("a").alias("z")).agg(F.count("*").alias("d"))
     m = edges.agg(F.count("*").alias("m_edges"))
     comm = (
         lab.join(deg, lab["node"] == deg["z"])
