@@ -132,11 +132,13 @@ def ngram_jaccard_pairs(
     bounded candidate set. No range join, no nested loop — survives a
     1000-executor shuffle.
     """
+    # Cached (round 10): both join sides below read this frame —
+    # uncached, the tokenize + n-gram shingling ran twice per pass.
     shingled = df.select(
         F.col(id_col),
         F.col(block_col),
         word_shingles(F.col(text_col), n).alias("shingles"),
-    )
+    ).cache()
     left = shingled.select(
         F.col(id_col).alias("id_a"),
         F.col(block_col).alias("blk"),
@@ -735,7 +737,12 @@ def simhash_pairs(
             for i in range(32)
         ],
     )
-    sigs = tokens.groupBy("doc_id").agg(sig_expr.alias("sig"))
+    # Cached (round 10): sigs feeds FIVE consumers below (the distinct-
+    # signature spine, both sides of the doc expansion, both sides of
+    # the within-class enumeration) — uncached, the token explode +
+    # md5 hash + 32-bit balance agg re-ran for each. 16 bytes/doc, the
+    # same materialized-signatures stage minhash_lsh_pairs caches.
+    sigs = tokens.groupBy("doc_id").agg(sig_expr.alias("sig")).cache()
     # Band the DISTINCT signature values only — candidacy by exact
     # chunk match is a property of the sig value, so this is lossless
     # (docstring: the 100× sweep finding).
@@ -903,11 +910,13 @@ def containment_pairs(
     replaced by a rounded-value filter on BOTH engines (identical
     rounding → identical boundary decisions).
     """
+    # Cached (round 10): both join sides below read this frame —
+    # uncached, the md5 shingle hashing ran twice per pass.
     shingled = df.select(
         F.col(id_col),
         F.col(block_col),
         hashed_word_shingles(F.col(text_col), n).alias("hs"),
-    )
+    ).cache()
     left = shingled.select(
         F.col(id_col).alias("id_a"),
         F.col(block_col).alias("blk"),
@@ -1054,10 +1063,18 @@ def jaccard_prefix_pairs(
     on a corpus where the qualifying OUTPUT itself is quadratic (e.g.
     wholesale replication), any exact join pays the answer size; τ
     and n are the knobs that keep the answer meaningful."""
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        hashed_word_shingles(F.col(text_col), n).alias("ts"),
-    ).withColumn("t", F.size("ts"))
+    # Cached (round 10): toks feeds THREE consumers (the prefix explode
+    # and both verify sides) — uncached, the md5 shingle hashing (the
+    # dominant scalar cost) re-ran for each. Same rationale as
+    # minhash_lsh_pairs' materialized shingle base.
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            hashed_word_shingles(F.col(text_col), n).alias("ts"),
+        )
+        .withColumn("t", F.size("ts"))
+        .cache()
+    )
     ex = toks.select("doc_id", "t", F.explode("ts").alias("w"))
     freq = ex.groupBy("w").agg(F.count("*").alias("df"))
     rn_w = Window.partitionBy("doc_id").orderBy(
