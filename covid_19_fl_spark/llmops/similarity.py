@@ -511,9 +511,21 @@ def pq_codebooks(
     d=dims/m blocks — so this reuses label_centroids' quantize-sum-
     divide exact mean (bit-identical across partitionings and engines)
     and slices in a zero-shuffle projection."""
+    return _books_from_centroids(
+        label_centroids(emb, label_col, vec_col), m, dims, label_col
+    )
+
+
+def _books_from_centroids(
+    centroids: DataFrame, m: int, dims: int, label_col: str = "label"
+) -> DataFrame:
+    """Slice an existing (label, centroid) table into the m sub-space
+    codebooks — zero-shuffle projection, shared so callers that already
+    built the coarse centroids (ivfpq_topk) don't run the quantize-sum
+    explode aggregate a second time (round 10)."""
     d = _pq_sub_dims(m, dims)
     return (
-        label_centroids(emb, label_col, vec_col)
+        centroids
         .select(label_col, F.explode(_sub_slices("centroid", m, d)).alias("b"))
         .select("b.sub_idx", label_col, F.col("b.sv").alias("centroid_sub"))
     )
@@ -1004,6 +1016,9 @@ def ivfpq_topk(
     for the same reasons as ss_ivf_topk + ss_pq_adc_topk (quantize-
     sum-divide centroids, 6dp micro-distance integers)."""
     d = _pq_sub_dims(m, dims)
+    # One quantize-sum centroid build feeds BOTH the coarse router and
+    # the PQ codebooks (the books are sliced centroids — round 10;
+    # previously pq_codebooks re-aggregated the corpus).
     centroids = label_centroids(emb, label_col, vec_col)
     queries = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
@@ -1022,7 +1037,7 @@ def ivfpq_topk(
         .filter(F.col("crank") <= F.lit(int(nprobe)))
         .select("query_id", "qvec", F.col(label_col).alias("probe_label"))
     )
-    books = pq_codebooks(emb, m=m, dims=dims, label_col=label_col, vec_col=vec_col)
+    books = _books_from_centroids(centroids, m, dims, label_col)
     subv = emb.select(
         F.col(id_col), F.explode(_sub_slices(F.col(vec_col), m, d)).alias("p")
     ).select(id_col, "p.sub_idx", "p.sv")
@@ -1111,6 +1126,30 @@ def rq_encode(
     ``buckets`` rows with map-side-combinable argmins — the corpus
     shuffles only for the per-dimension centroid sums (|labels|·dims
     and buckets·dims rows)."""
+    _, resid, cent2 = _rq_model(emb, buckets, id_col, vec_col, label_col)
+    from .clustering import assign_nearest
+
+    a2 = assign_nearest(
+        resid.select(id_col, "resid"), cent2, id_col, "resid"
+    ).select(id_col, F.col("cluster_id").alias("c2_code"))
+    return resid.select(id_col, "c1_label").join(a2, id_col)
+
+
+def _rq_model(
+    emb: DataFrame,
+    buckets: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The shared residual-quantization model build →
+    ``(cent1, resid, cent2)``: level-1 codebook, the CACHED residual
+    frame (id, c1_label, resid, rbucket), and the level-2 codebook.
+    Extracted (round 10) because rq_adc_topk used to re-derive the
+    whole chain (level-1 centroids → assignment → residuals → level-2
+    centroids) a second time beside its rq_encode call; resid is
+    cached because three consumers read it (the level-2 centroid
+    aggregate, the level-2 assignment, and the code projection)."""
     from .clustering import assign_nearest
 
     cent1 = label_centroids(emb, label_col=label_col, vec_col=vec_col).select(
@@ -1129,14 +1168,12 @@ def rq_encode(
             ).alias("resid"),
             (F.col(id_col) % buckets).cast("int").alias("rbucket"),
         )
+        .cache()
     )
     cent2 = label_centroids(
         resid, label_col="rbucket", vec_col="resid"
     ).select(F.col("rbucket").alias("cluster_id"), "centroid")
-    a2 = assign_nearest(
-        resid.select(id_col, "resid"), cent2, id_col, "resid"
-    ).select(id_col, F.col("cluster_id").alias("c2_code"))
-    return resid.select(id_col, "c1_label").join(a2, id_col)
+    return cent1, resid, cent2
 
 
 def rq_adc_topk(
@@ -1158,34 +1195,18 @@ def rq_adc_topk(
     the CODES table (two ints per corpus vector) — the corpus's float
     vectors are read once at encode time and never shuffle. Scoring a
     100 TB corpus moves only its codes."""
-    from .clustering import assign_nearest  # noqa: F401  (doc cross-ref)
+    from .clustering import assign_nearest
 
-    cent1 = label_centroids(emb, label_col=label_col, vec_col=vec_col).select(
-        F.col(label_col).alias("c1_label"), "centroid"
-    )
-    codes = rq_encode(
-        emb, buckets=buckets, id_col=id_col, vec_col=vec_col,
-        label_col=label_col,
-    )
-    a1 = assign_nearest(emb, cent1.select(
-        F.col("c1_label").alias("cluster_id"), "centroid"), id_col, vec_col)
-    resid = (
-        a1.join(
-            F.broadcast(cent1),
-            a1["cluster_id"] == cent1["c1_label"],
-        )
-        .select(
-            id_col,
-            F.zip_with(
-                F.col(vec_col), F.col("centroid"),
-                lambda a, b: a.cast("double") - b,
-            ).alias("resid"),
-            (F.col(id_col) % buckets).cast("int").alias("rbucket"),
-        )
-    )
-    cent2 = label_centroids(
-        resid, label_col="rbucket", vec_col="resid"
-    ).select(F.col("rbucket").alias("c2_code"), "centroid")
+    # One shared model build (round 10): this function used to call
+    # rq_encode AND re-derive cent1/assignment/residuals/cent2 itself —
+    # the whole encode pipeline executed twice per pass.
+    c1, resid, c2 = _rq_model(emb, buckets, id_col, vec_col, label_col)
+    cent1 = c1.select(F.col("cluster_id").alias("c1_label"), "centroid")
+    cent2 = c2.select(F.col("cluster_id").alias("c2_code"), "centroid")
+    a2 = assign_nearest(
+        resid.select(id_col, "resid"), c2, id_col, "resid"
+    ).select(id_col, F.col("cluster_id").alias("c2_code"))
+    codes = resid.select(id_col, "c1_label").join(a2, id_col)
 
     q = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
