@@ -117,6 +117,11 @@ def kmeans_lloyd(
     assigned = None
     for _ in range(rounds):
         assigned = assign_nearest(emb, cents, id_col, vec_col)
+        # NOT checkpointed (round 10, measured): each round references
+        # the previous cents ONCE, so lineage is LINEAR in rounds — a
+        # consumer replays at most a bounded constant factor, and a
+        # per-round localCheckpoint cost +15-20 % at sf0.1
+        # (ml_silhouette 2.53→3.08 s) for no structural win.
         cents = _centroids(assigned, vec_col)
     return assigned.select(id_col, "cluster_id", "rdist")
 

@@ -707,12 +707,16 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", F.explode(words(F.lower(F.trim(F.col("text"))))).alias("term")
     )
+    # dt is the declared minimal sufficient statistic and feeds both
+    # the likelihood counts and the scoring join; ctl feeds the token
+    # totals, the vocabulary, AND the likelihood grid — uncached, each
+    # consumer replayed the tokenize+explode pass (round 10).
     dt = toks.groupBy("doc_id", F.col("lang").alias("actual"), "term").agg(
         F.count("*").alias("cnt")
-    )
+    ).cache()
     ctl = dt.groupBy("term", F.col("actual").alias("lang")).agg(
         F.sum("cnt").alias("c")
-    )
+    ).cache()
     totl = ctl.groupBy("lang").agg(F.sum("c").alias("tot"))
     vocab = ctl.select("term").distinct()
     vn = vocab.agg(F.count("*").alias("v"))
