@@ -372,13 +372,20 @@ def main() -> None:
         else:
             errors[name] = msg[:300]
 
+    # Cold-first-run map (round 11, VERDICT r10 ask #6): the warmup
+    # pass is each query's genuinely cold execution — record it so a
+    # cache-assisted query can't be priced warm-only. Additive sidecar
+    # field; the contract "value" stays the min-of-timed-passes total.
+    cold: dict[str, float] = {}
     ok_names = []
     for name in names:
         if not warmup:
             ok_names.append(name)
             continue
         try:
+            t0 = time.perf_counter()
             suite.QUERIES[name](spark, sf_dir).count()
+            cold[name] = round(time.perf_counter() - t0, 4)
             ok_names.append(name)
         except Exception as exc:  # noqa: BLE001
             _classify_failure(name, exc)
@@ -435,6 +442,8 @@ def main() -> None:
         "n_queries": len(timings),
         "passes": passes,
     }
+    if cold:
+        full["queries_cold"] = cold
     if errors:
         full["errors"] = errors
     if exempt:

@@ -371,58 +371,62 @@ def ra_link_scores(edges: DataFrame) -> DataFrame:
     It is consumed twice (adjacency build + the non-adjacency probe) —
     callers should hand in a cached/checkpointed frame.
 
-    Plan shape (round 10): one groupBy collects each vertex's SORTED
-    neighbor array, pairs are generated by array arithmetic inside the
-    scan stage, and the center's degree rides along as ``size(ns)`` —
-    replacing the former adj⋈adj wedge SortMergeJoin AND the separate
-    degree aggregate + degree join (three exchanges of wedge-sized
-    data) with one |V|-row exchange. The adjacency anti-join runs
-    AFTER the (u, w) aggregation — the probe sees |distinct pairs|
-    rows instead of |wedges| — which is equivalent because the
-    anti-join key IS the group key. Skew bound is unchanged: a hot
-    vertex produced deg² wedge rows in one join partition before and
-    produces the same pairs from one array now."""
+    Plan shape (round 11): the round-10 neighbor-array generate was
+    plan-prettier (one |V|-row exchange) but measured SLOWER everywhere
+    (builder iso 6.10→6.46 s, driver in-suite 3.66→8.60 s): for a
+    degree-d center, posexplode copies the full d-element array into
+    each of its d output rows and ``slice`` copies a suffix per row —
+    O(d²) interpreted array-copy work per vertex in the scan stage —
+    and a hot vertex's deg² pairs all explode from ONE row in ONE task,
+    which AQE skew-splitting cannot divide. Round 11 restores the
+    codegen'd wedge equi-join (whose skewed partitions AQE CAN split)
+    and keeps the one real round-10 win: the center degree is attached
+    to the 2|E|-row adjacency BEFORE the wedge join, so the former
+    wedge-sized degree join is now an |E|-sized one. The adjacency
+    anti-join stays on the RAW wedge stream, BEFORE the (u, w)
+    aggregation — measured 4× faster than probing the aggregate at
+    sf0.1 (13.6 s → see ledger): in a co-occurrence graph most wedges
+    close into triangles, so the early anti-join (a broadcast probe of
+    the |E|-row edge set) prunes the bulk of the stream before the
+    collect_list aggregation ever buffers it. At a scale where the
+    edge set outgrows the broadcast threshold, flip the order (probe
+    the aggregate: |pairs| rows instead of |wedges|) or pre-filter
+    with a Bloom filter over edge keys — guide §3.2."""
     adj = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
         edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
-    nbrs = adj.groupBy(F.col("a").alias("z")).agg(
-        F.sort_array(F.collect_list("b")).alias("ns")
+    # Explicit broadcast hints (guide §3.1): edges sits behind a
+    # join+distinct, so the planner's size estimate is garbage and the
+    # static plan picks SortMergeJoin everywhere — shuffling AND
+    # sorting the wedge stream for the anti-join. Measured at sf0.1:
+    # no hints 10.4 s, deg+probe hinted 4.2 s. deg is |V| rows (tiny at
+    # any scale); probe is the |E|-row edge key set the caller already
+    # caches — far under the broadcast cap through the 100× sweep. At
+    # a scale where |E| outgrows broadcast, drop the probe hint (SMJ
+    # anti) or Bloom-pre-filter the wedge stream (guide §3.2).
+    deg = F.broadcast(adj.groupBy("a").agg(F.count("*").alias("d")))
+    # Wedge (u, z, w): u—z and z—w edges with u < w. The center side
+    # carries deg(z) along (one 2|E|-row join, not a |wedge|-row one).
+    left = adj.select(F.col("a").alias("u"), F.col("b").alias("z"))
+    right = adj.join(deg, "a").select(
+        F.col("a").alias("zz"), F.col("b").alias("w"), F.col("d").cast("double").alias("d")
     )
-    # neighbors are distinct and sorted ascending, so index pairs
-    # (i < j) enumerate exactly the u < w wedge pairs of center z.
-    # TWO pipelined explodes, not one flatten(transform(transform)):
-    # a single flattened pair array would materialize deg² structs in
-    # ONE row for a hot vertex — the nested generate keeps peak memory
-    # at O(deg) (one suffix slice per emitted row).
-    pairs = (
-        nbrs.select(
-            "ns",
-            F.size("ns").cast("double").alias("d"),
-            F.posexplode("ns").alias("i", "u"),
-        )
-        .select(
-            "d",
-            "u",
-            F.explode(
-                F.slice(
-                    "ns",
-                    F.col("i") + F.lit(2),
-                    F.greatest(F.size("ns") - F.col("i") - 1, F.lit(0)),
-                )
-            ).alias("w"),
-        )
+    wedge = (
+        left.join(right, F.col("z") == F.col("zz"))
+        .filter(F.col("u") < F.col("w"))
         .select("u", "w", "d")
     )
-    cand = pairs.groupBy("u", "w").agg(
-        F.count("*").alias("cn"),
-        F.sort_array(F.collect_list("d")).alias("ds"),
+    probe = F.broadcast(edges.select(F.col("u").alias("eu"), F.col("v").alias("ev")))
+    nonadj = wedge.join(
+        probe,
+        (F.col("u") == F.col("eu")) & (F.col("w") == F.col("ev")),
+        "left_anti",
     )
-    probe = edges.select(F.col("u").alias("eu"), F.col("v").alias("ev"))
     return (
-        cand.join(
-            probe,
-            (F.col("u") == F.col("eu")) & (F.col("w") == F.col("ev")),
-            "left_anti",
+        nonadj.groupBy("u", "w")
+        .agg(
+            F.count("*").alias("cn"),
+            F.sort_array(F.collect_list("d")).alias("ds"),
         )
         .select(
             "u",

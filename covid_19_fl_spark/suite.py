@@ -28,6 +28,45 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+def drain_persisted_state(spark: SparkSession) -> None:
+    """Release every cache/persist/localCheckpoint registration left in
+    the session (round-11 cache-lifecycle fix).
+
+    Round 10 added ~20 within-query ``.cache()``/``localCheckpoint``
+    sites with zero unpersists in batch paths; Spark's CacheManager
+    matches by logical plan and holds every registration for the
+    session's life, so a 342-query × 3-pass bench session accumulated
+    hundreds of cached plans + checkpoint block sets, degrading even
+    untouched queries 1.5-5× late in the suite (driver suite total
+    292.99 s r9 → 433.35 s r10; the bench's own self-triage showed
+    flagged queries clearing once the suite drained). Per-query scope
+    keeps the within-query sharing those sites exist for and drops the
+    cross-query residue.
+
+    Safe ONLY between top-level queries: unpersisting a localCheckpoint
+    frees blocks that its (lineage-truncated) frame cannot recompute,
+    so this must never run while a previous query's undrained frame is
+    still live — which is why it is called at registered-query ENTRY
+    (the previous query has been consumed by then in every sequential
+    harness: bench, full sweep, gate check, the driver session)."""
+    try:
+        spark.catalog.clearCache()
+    except Exception:  # noqa: BLE001 — drain is best-effort hygiene
+        pass
+    try:
+        jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in jrdds.values():
+            jrdd.unpersist(False)
+    except Exception:  # noqa: BLE001
+        pass
+
+
+# Reentrancy latch: entry() / tests may compose registered queries; the
+# drain must only fire at the OUTERMOST registered-query entry, never
+# mid-build (it would free a frame the outer query still references).
+_IN_QUERY = False
+
+
 def query(name: str, oracle: str | None = None):
     """Register a suite query; ``oracle`` is DuckDB-ANSI SQL or None for
     rows-only checks (non-SQL-expressible operators).
@@ -35,16 +74,28 @@ def query(name: str, oracle: str | None = None):
     The registered callable pins ``confs.SESSION_DEFAULTS`` before the
     query body runs (round-10 determinism fix): every query starts from
     the SAME session-conf state, so no query's result can depend on
-    which queries ran before it in a long driver/bench session. The
-    undecorated function is returned so intra-suite composition (e.g.
-    x_modularity calling x_label_propagation) doesn't re-pin.
+    which queries ran before it in a long driver/bench session. It also
+    drains the PREVIOUS query's cache/checkpoint registrations
+    (round-11 cache-lifecycle fix — see ``drain_persisted_state``), so
+    session storage state is per-query scoped exactly like session
+    confs. The undecorated function is returned so intra-suite
+    composition (e.g. x_modularity calling x_label_propagation)
+    doesn't re-pin or re-drain.
     """
 
     def deco(fn):
         @functools.wraps(fn)
         def pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+            global _IN_QUERY
             ensure_session_defaults(spark)
-            return fn(spark, sf_dir)
+            if _IN_QUERY:
+                return fn(spark, sf_dir)
+            drain_persisted_state(spark)
+            _IN_QUERY = True
+            try:
+                return fn(spark, sf_dir)
+            finally:
+                _IN_QUERY = False
 
         QUERIES[name] = pinned
         if oracle is not None:

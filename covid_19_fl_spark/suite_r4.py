@@ -84,27 +84,21 @@ def _rocksdb_state_store(spark: SparkSession):
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider"
     )
-    # Changelog checkpointing (round 10): by default every commit
-    # uploads a FULL RocksDB snapshot per store — for a stream-stream
-    # join that is 4 stores × shuffle-partitions × batches full-file
-    # writes even when the delta is tiny. The changelog mode ships the
-    # per-commit delta and lets the background maintenance thread
-    # consolidate snapshots — strictly a checkpoint-format change
-    # (state contents and query results are byte-identical; the
-    # oracle-gated drains pin that), and the posture production
-    # RocksDB deployments run for exactly this write-amplification
-    # reason.
-    changelog = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-    # trackTotalNumberOfRows=false (round 10): keeping the exact
-    # numRowsTotal metric costs RocksDB a per-commit full count pass
-    # over every store. No drain assertion reads numRowsTotal (the
-    # eviction pytest runs the default on-heap provider where the
-    # metric is free; numRowsDroppedByWatermark, which st_late_data_-
-    # audit reads, is an operator counter and unaffected). Measured:
-    # −0.4 s per stream-stream drain at sf0.1; at scale the saving is
-    # a full O(state) scan per store per commit.
-    track = "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
-    with scoped_conf(spark, {key: rocks, changelog: "true", track: "false"}):
+    # Round 11: REVERTED the round-10 changelog-checkpointing +
+    # trackTotalNumberOfRows=false knobs back to the round-9 posture.
+    # Rationale (VERDICT r10 ask #2): the builder host measured them at
+    # 1.14-1.18× faster, but the driver's artifact measured the drains
+    # at 1.79-2.04× SLOWER isolated-normalized (`cleared: false`) —
+    # changelog mode defers snapshot consolidation to background
+    # maintenance threads, and on the driver's filesystem that deferred
+    # work cost more than the per-commit delta saved AND bled into the
+    # next queries' timed regions. For a bounded availableNow drain
+    # (one or two commits total) the full-snapshot write amplification
+    # the changelog mode avoids barely exists, so the r9 default is the
+    # right shape here; a long-lived production stream with thousands
+    # of commits is where changelog mode belongs, configured at the
+    # deployment layer, not latched inside a drain helper.
+    with scoped_conf(spark, {key: rocks}):
         yield
 
 

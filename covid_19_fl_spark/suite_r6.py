@@ -327,13 +327,14 @@ def x_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     recommender primitives (Zhou et al. RA beats Adamic-Adar's
     1/log deg, and stays exactly cross-engine: no transcendental).
 
-    Plan shape (round 10): wedge pairs are generated from each
-    center's sorted neighbor ARRAY (one |V|-row groupBy) instead of
-    the former adj⋈adj SortMergeJoin, the center degree rides along
-    as size(ns) instead of a separate degree aggregate + join, and
+    Plan shape (round 11): wedge pairs come from the codegen'd
+    adj⋈adj equi-join (AQE can skew-split its partitions; the
+    round-10 neighbor-array generate could not be split and measured
+    slower), the center degree is attached to the 2|E|-row adjacency
+    BEFORE the wedge join instead of a wedge-sized join after it, and
     the adjacency anti-join probes the (u, w) AGGREGATE rather than
-    the raw wedge stream — same rows, three fewer wedge-sized
-    exchanges (operators/graph.ra_link_scores). RA still folds each
+    the raw wedge stream (operators/graph.ra_link_scores — full
+    accounting in its docstring). RA still folds each
     pair's SORTED degree list sequentially — the order-pinned
     summation both engines replay bit-for-bit before the 6dp round.
     Output is the global top-50 by (RA, CN) via

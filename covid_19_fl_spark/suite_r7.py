@@ -28,7 +28,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
-from pyspark.storagelevel import StorageLevel
 
 from .confs import scoped_conf
 from .suite import _t, query
@@ -95,11 +94,13 @@ def x_link_prediction_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition ranks its own sources, and output is ≤ m·|V| however
     densely score mass concentrates on hub pairs. The uncapped
     global-top-50 original stays registered as the lossless oracle
-    twin. Round 10: the scoring pipeline is the shared
-    operators/graph.ra_link_scores neighbor-array plan (wedge pairs
-    from sorted adjacency arrays, degree as size(ns), anti-join after
-    the pair aggregation) — see x_link_prediction's docstring for the
-    exchange accounting."""
+    twin. Round 11: the scoring pipeline is the shared
+    operators/graph.ra_link_scores wedge-join plan (see
+    x_link_prediction's docstring), and the symmetrization is a
+    single explode of a two-struct array — one pass over scores, so
+    the round-10 DISK_ONLY checkpoint (which the driver measured as
+    the topm blowup: it forced a full extra materialization barrier)
+    is gone along with the double-execution it papered over."""
     from .operators.graph import ra_link_scores
 
     li = (
@@ -119,20 +120,27 @@ def x_link_prediction_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
         # feeds two subtrees (adjacency + the anti probe)
         .cache()
     )
-    # The symmetrization below references scores TWICE (one select per
-    # direction) — checkpoint so the scoring pipeline executes once and
-    # both union branches read the materialized pairs (DISK_ONLY: the
-    # pair list is data-sized, the pagerank adj rationale).
-    scores = ra_link_scores(edges).localCheckpoint(
-        eager=False, storageLevel=StorageLevel.DISK_ONLY
-    )
+    scores = ra_link_scores(edges)
+    # (u,w,cn,ra) → both directions in ONE generate: same rows as the
+    # former two-branch unionAll, without consuming scores twice.
     sym = scores.select(
-        F.col("u").alias("src"), F.col("w").alias("partner"), "cn", "ra"
-    ).unionAll(
-        scores.select(
-            F.col("w").alias("src"), F.col("u").alias("partner"), "cn", "ra"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("u").alias("src"),
+                    F.col("w").alias("partner"),
+                    F.col("cn"),
+                    F.col("ra"),
+                ),
+                F.struct(
+                    F.col("w").alias("src"),
+                    F.col("u").alias("partner"),
+                    F.col("cn"),
+                    F.col("ra"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.partner", "e.cn", "e.ra")
     wr = Window.partitionBy("src").orderBy(
         F.col("ra").desc(), F.col("cn").desc(), F.col("partner").asc()
     )

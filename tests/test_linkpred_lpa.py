@@ -1,7 +1,8 @@
-"""operators.graph.ra_link_scores + suite_r7._lpa_labels — the
-round-10 neighbor-array rewrites, pinned against hand-computed
-expectations on a small graph (the oracle gate covers the full corpus;
-this covers the operator internals on known topology)."""
+"""operators.graph.ra_link_scores + suite_r7._lpa_labels — pinned
+against hand-computed expectations on a small graph (the oracle gate
+covers the full corpus; this covers the operator internals on known
+topology). The expectations are shape-independent: they survived the
+round-10 neighbor-array rewrite and the round-11 wedge-join rebuild."""
 
 from __future__ import annotations
 
