@@ -18,7 +18,7 @@ than one instance:
   the session is reset to the same state at every entry.
 * ``scoped_conf`` is the only sanctioned way for a query to deviate:
   a context manager that restores the previous value on exit (the
-  pattern ``_stream_shuffle_partitions`` / ``_rocksdb_state_store``
+  pattern ``_stream_shuffle_partitions`` / ``_stream_state_store``
   in suite_r4 established).
 * ``tests/test_conf_discipline.py`` lints the source tree: any
   ``spark.conf.set`` outside this module / a context manager fails CI.
