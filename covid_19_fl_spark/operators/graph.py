@@ -35,6 +35,7 @@ def pagerank(
     iterations: int = 5,
     damping_pct: int = 85,
     checkpoint_every: int = 8,
+    pin: StorageLevel = StorageLevel.DISK_ONLY,
 ) -> DataFrame:
     """Deterministic fixed-point PageRank → (node_id, pr) with pr an
     exact bigint in units of 1/PR_SCALE.
@@ -59,19 +60,18 @@ def pagerank(
     # Materialize the raw edge list ONCE (round 10): out_deg, the adj
     # join, and the two node-set union legs each referenced ``edges``
     # — 4 re-runs of the caller's build (orders⋈lineitem + distinct)
-    # before the adj checkpoint ever existed. DISK_ONLY, same
-    # data-sized-cache rationale as adj below.
-    edges = edges.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    # before the adj checkpoint ever existed. ``pin`` picks the level:
+    # DISK_ONLY at data-sized corpora (the 100× sweep OOM'd with the
+    # memory-resident cache starving the per-round SMJ/agg buffers:
+    # crash at 16 g → 146.8 s on disk), MEMORY_AND_DISK below —
+    # measured faster at sf0.1 (r11 A/B; callers derive it from
+    # corpus size via tables.data_pin_level, VERDICT r10 ask #5).
+    edges = edges.localCheckpoint(eager=False, storageLevel=pin)
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out"))
     # Edge list annotated with out-degree once, outside the loop — at
     # scale this is the expensive self-sized join, paid a single time.
-    # DISK_ONLY: the cached edge list is data-sized (|E| rows); letting
-    # it occupy unified memory starves the per-round SMJ/agg buffers —
-    # at the 100× corpus the MEMORY_AND_DISK default filled the store
-    # and OOM'd the personalized variant's tasks. Rounds scan it
-    # sequentially, so disk reads cost one pipelined pass each.
     adj = edges.join(out_deg, "src").localCheckpoint(
-        eager=False, storageLevel=StorageLevel.DISK_ONLY
+        eager=False, storageLevel=pin
     )
 
     nodes = (
@@ -125,6 +125,7 @@ def personalized_pagerank(
     seeds: DataFrame,
     iterations: int = 3,
     damping_pct: int = 85,
+    pin: StorageLevel = StorageLevel.DISK_ONLY,
 ) -> DataFrame:
     """Personalized (seeded) PageRank → (node_id, pr) with pr an exact
     bigint in units of 1/PR_SCALE — the topic-sensitive variant
@@ -142,14 +143,11 @@ def personalized_pagerank(
     unchanged — one rank⋈edge equi-join plus one partial-agg sum; the
     seed indicator is a broadcast semi-annotated node column computed
     once, so personalization adds zero shuffles."""
-    # Raw edges materialized once — see pagerank() (round 10).
-    edges = edges.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    # Raw edges materialized once; ``pin`` rationale — see pagerank().
+    edges = edges.localCheckpoint(eager=False, storageLevel=pin)
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out"))
-    # DISK_ONLY for the data-sized edge cache — see pagerank() above:
-    # at the 100× corpus (100M directed edges) the MEMORY_AND_DISK
-    # default filled the unified store and OOM'd the round joins.
     adj = edges.join(out_deg, "src").localCheckpoint(
-        eager=False, storageLevel=StorageLevel.DISK_ONLY
+        eager=False, storageLevel=pin
     )
     nodes = (
         edges.select(F.col("src").alias("node_id"))
@@ -451,7 +449,11 @@ def ra_link_scores(edges: DataFrame) -> DataFrame:
 HITS_SCALE = 1_000_000
 
 
-def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    pin: StorageLevel = StorageLevel.DISK_ONLY,
+) -> DataFrame:
     """Deterministic fixed-point HITS (Kleinberg hubs/authorities) →
     ``(node_id, role, score)`` with ``role`` in {'hub','auth'} and
     ``score`` an exact bigint in units of 1/HITS_SCALE, max-normalized
@@ -480,11 +482,8 @@ def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
     # ``edges`` 2×/iteration plus the hub init — 7 references at 3
     # iterations, and callers pass an expensive build (orders⋈lineitem
     # + distinct), so un-truncated lineage re-ran that join/dedup 7
-    # times per action. DISK_ONLY for the data-sized frame reused
-    # across rounds, same rationale as the pagerank/ppr adj pin
-    # (measured there at 100×: memory-resident edge caches starve the
-    # round joins' execution memory).
-    edges = edges.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    # times per action. ``pin`` rationale — see pagerank().
+    edges = edges.localCheckpoint(eager=False, storageLevel=pin)
     hubs = (
         edges.select("src")
         .distinct()

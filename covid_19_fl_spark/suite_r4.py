@@ -67,25 +67,10 @@ def _stream_shuffle_partitions(spark: SparkSession, n: int = 16):
 # decode + JVM object headers + store key/value copies), and the heap
 # budget a corpus-sized on-heap join state may claim. 256 MB of source
 # parquet ≈ 2.5 GB decoded state ≈ 1/6 of the default 16 g driver heap
-# — comfortably on-heap below, RocksDB above.
-_STATE_ONHEAP_MAX_SRC_BYTES = 256 * 1024 * 1024
-_corpus_bytes_cache: dict[str, int] = {}
-
-
-def _corpus_bytes(sf_dir: str) -> int:
-    """Total bytes of the corpus a drain's sources read (cached — one
-    os.walk of ~20 files; symlinked stage dirs resolve to these)."""
-    n = _corpus_bytes_cache.get(sf_dir)
-    if n is None:
-        n = 0
-        for root, _dirs, files in os.walk(sf_dir, followlinks=True):
-            for f in files:
-                try:
-                    n += os.path.getsize(os.path.join(root, f))
-                except OSError:
-                    pass
-        _corpus_bytes_cache[sf_dir] = n
-    return n
+# — comfortably on-heap below, RocksDB above. Shared with the
+# iterative-graph cache pins (tables.data_pin_level).
+from .tables import BIG_CORPUS_BYTES as _STATE_ONHEAP_MAX_SRC_BYTES
+from .tables import corpus_bytes as _corpus_bytes
 
 
 @contextmanager

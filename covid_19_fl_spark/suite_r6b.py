@@ -83,7 +83,9 @@ def x_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
         .distinct()
     )
-    return hits(edges, iterations=_HITS_ITERS)
+    from . import tables as _tb
+
+    return hits(edges, iterations=_HITS_ITERS, pin=_tb.data_pin_level(sf_dir))
 
 
 _BQ_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]

@@ -860,6 +860,8 @@ def x_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = cust.filter(F.col("c_nationkey") == 0).select(
         (F.col("c_custkey") * 2).alias("node_id")
     )
-    return personalized_pagerank(edges, seeds, iterations=_PPR_ITERS).filter(
-        F.col("pr") > 0
-    )
+    from . import tables as _tb
+
+    return personalized_pagerank(
+        edges, seeds, iterations=_PPR_ITERS, pin=_tb.data_pin_level(sf_dir)
+    ).filter(F.col("pr") > 0)

@@ -114,7 +114,9 @@ def tx_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
         pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
-    ranked = pagerank(edges, iterations=_TR_ITERS)
+    from . import tables as _tb
+
+    ranked = pagerank(edges, iterations=_TR_ITERS, pin=_tb.data_pin_level(sf_dir))
     top = ranked.orderBy(F.col("pr").desc(), F.col("node_id").asc()).limit(
         _TR_TOPK
     )

@@ -2186,7 +2186,9 @@ def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    return pagerank(edges, iterations=5)
+    from . import tables as _tb
+
+    return pagerank(edges, iterations=5, pin=_tb.data_pin_level(sf_dir))
 
 
 def _count_min_oracle(k: int = 20, depth: int = 4, width: int = 256) -> str:

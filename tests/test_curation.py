@@ -73,12 +73,16 @@ def test_curation_funnel(spark, corpus, eval_set):
     ],
     ids=["default", "with-sample", "keep-all"],
 )
-def test_funnel_counts_matches_funnel_report(spark, corpus, eval_set, cfg):
+def test_funnel_counts_matches_funnel_report(spark, corpus, eval_set, cfg, request):
     """The round-10 single-pass funnel (one conditional aggregation
     over survivor flags) must report row-for-row what the six-leg
     union over curate() stages reports — with and without a benchmark
-    side and a sampling stage."""
-    for bench in (None, eval_set):
+    side and a sampling stage. The benchmark leg runs on the default
+    cfg only (round 11): the decontamination flag is independent of
+    the sample/keep-all knobs, and each leg is four full LSH+CC
+    pipeline executions of pytest wall."""
+    benches = (None, eval_set) if request.node.callspec.id == "default" else (None,)
+    for bench in benches:
         expected = sorted(
             (r.stage_order, r.stage, r.n_docs)
             for r in curation.funnel_report(curation.curate(corpus, bench, cfg)).collect()
